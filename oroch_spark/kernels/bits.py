@@ -1,0 +1,71 @@
+"""Low-level vectorized bit utilities shared by the integer codecs.
+
+These are the numpy analogues of the reference's intrinsics layer
+(`/root/reference/oroch/integer_traits.h:135-170` — clz / usedcount) and of
+the fixed-width bit-packing payload (`/root/reference/oroch/bitpck.h:73-201`).
+We do NOT reproduce the reference's two-uint64-lane 16-byte block layout;
+we use a dense little-endian bitstream (strictly smaller or equal in size)
+while the *cost model* (`cost.py`) still charges the reference's
+`16 * ceil(n / floor(128/nbits))` bytes for selection/budget parity
+(`/root/reference/oroch/bitpck.h:54-71`).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+I64 = np.int64
+
+
+def bit_length(u: np.ndarray) -> np.ndarray:
+    """Vectorized bit length of a uint64 array.
+
+    Mirrors ``integer_traits::usedcount`` (`oroch/integer_traits.h:165-168`):
+    0 -> 0, otherwise 64 - clz(value).
+    """
+    u = np.asarray(u, dtype=U64)
+    bl = np.zeros(u.shape, dtype=I64)
+    v = u.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= (U64(1) << U64(shift))
+        bl[m] += shift
+        v[m] >>= U64(shift)
+    bl[u != 0] += 1
+    return bl
+
+
+def bit_length_scalar(x: int) -> int:
+    """Python-int bit length (x >= 0)."""
+    return int(x).bit_length()
+
+
+def pack_bits(u: np.ndarray, nbits: int) -> bytes:
+    """Pack each uint64 value into ``nbits`` bits, dense little-endian.
+
+    Values must already fit in ``nbits`` bits (caller masks).
+    Output size: ceil(n*nbits/8) bytes (<= the reference's 16-byte-block
+    size from `oroch/bitpck.h:54-71`, charged by the cost model).
+    """
+    n = len(u)
+    if n == 0 or nbits == 0:
+        return b""
+    u = np.asarray(u, dtype=U64)
+    shifts = np.arange(nbits, dtype=U64)
+    bits = ((u[:, None] >> shifts[None, :]) & U64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def unpack_bits(buf: bytes, n: int, nbits: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits`; returns uint64 array of length n."""
+    if n == 0 or nbits == 0:
+        return np.zeros(n, dtype=U64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    bits = np.unpackbits(raw, count=n * nbits, bitorder="little")
+    bits = bits.reshape(n, nbits).astype(U64)
+    shifts = np.arange(nbits, dtype=U64)
+    return (bits << shifts[None, :]).sum(axis=1, dtype=U64)
+
+
+def packed_size(n: int, nbits: int) -> int:
+    """Actual dense size in bytes of :func:`pack_bits` output."""
+    return (n * nbits + 7) // 8

@@ -1,0 +1,606 @@
+"""Vectorized integer codecs with Oroch-style exact-cost auto-selection.
+
+This module re-expresses, in numpy, the *semantics* of the reference
+library's integer codec suite (from-scratch implementation, not a port):
+
+- zigzag transform            -> `/root/reference/oroch/zigzag.h:47-83`
+- LEB128 varint               -> `/root/reference/oroch/varint.h:56-147`
+- normal (verbatim)           -> `/root/reference/oroch/normal.h:31-59`
+- naught (constant)           -> `/root/reference/oroch/naught.h:31-48`
+- bitpck (fixed-width pack)   -> `/root/reference/oroch/bitpck.h:73-201`
+- bitfor (FOR + pack)         -> `/root/reference/oroch/bitfor.h:41-75`
+- bitpfr (patched FOR)        -> `/root/reference/oroch/bitpfr.h:59-124`
+- exact-cost auto-selection   -> `/root/reference/oroch/integer_codec.h:234-496`
+- wire header layout          -> `/root/reference/oroch/integer_codec.h:128-214`
+
+Extensions beyond the reference (per the north rule):
+- a ``delta`` wrapper codec (first value + Oroch-selected encoding of the
+  consecutive differences) for near-monotone sequences such as timestamps;
+  the reference ships the building block (`oroch/offset.h:44-71`) but its
+  selector never tries it.
+- explicit element count handling: the reference's wire format does not
+  store n (callers know the fixed group size 256, `oroch/integer_array.h:44`);
+  our blocks are variable-length so ``n`` travels in the block-row metadata.
+
+All values are handled in a 64-bit internal domain (int64 in / uint64
+packed). ``width`` (4 or 8 bytes) only affects the ``normal`` codec payload
+and the original-size accounting, mirroring the template parameter ``T``.
+
+The *selection* cost model charges the reference's exact sizes (16-byte
+bit-pack blocks, per-value varint bytes) so codec choices and the
+"<= reference size" budget are reproducible; the *actual* payload uses a
+dense bitstream that is never larger.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .bits import I64, U64, bit_length, pack_bits, packed_size, unpack_bits
+
+# Codec tags, superset of `oroch/integer_codec.h:46-54`.
+NAUGHT = 0
+NORMAL = 1
+VARINT = 2
+VARFOR = 3
+BITPCK = 4
+BITFOR = 5
+BITPFR = 6
+DELTA = 7  # extension: delta transform + inner selection
+
+CODEC_NAMES = {
+    NAUGHT: "naught",
+    NORMAL: "normal",
+    VARINT: "varint",
+    VARFOR: "varfor",
+    BITPCK: "bitpck",
+    BITFOR: "bitfor",
+    BITPFR: "bitpfr",
+    DELTA: "delta",
+}
+
+
+# ---------------------------------------------------------------------------
+# zigzag (`oroch/zigzag.h:47-55`): s -> (s<<1)^(s>>63);  u -> (u>>1)^-(u&1)
+# ---------------------------------------------------------------------------
+
+def zigzag_encode(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v, dtype=I64)
+    return ((v << 1) ^ (v >> 63)).view(U64)
+
+
+def zigzag_decode(u: np.ndarray) -> np.ndarray:
+    u = np.asarray(u, dtype=U64)
+    return ((u >> U64(1)) ^ (U64(0) - (u & U64(1)))).view(I64)
+
+
+def zigzag_encode_scalar(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def zigzag_decode_scalar(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+# ---------------------------------------------------------------------------
+# varint (`oroch/varint.h`)
+# ---------------------------------------------------------------------------
+
+def varint_nbits_space(nbits) -> "np.ndarray | int":
+    """Bytes for an integer of given bit length (`oroch/varint.h:56-59`)."""
+    return (nbits + 6) // 7
+
+
+def varint_size(u: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte count; 0 takes 1 byte (`varint.h:66-72`)."""
+    nb = bit_length(u)
+    out = (nb + 6) // 7
+    out[out == 0] = 1
+    return out
+
+
+def varint_encode(u: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array (`varint.h:74-83`)."""
+    n = len(u)
+    if n == 0:
+        return b""
+    u = np.asarray(u, dtype=U64)
+    sizes = varint_size(u)
+    maxb = int(sizes.max())
+    out = np.zeros((n, maxb), dtype=np.uint8)
+    work = u.copy()
+    for k in range(maxb):
+        out[:, k] = (work & U64(0x7F)).astype(np.uint8)
+        work >>= U64(7)
+    cols = np.arange(maxb)
+    cont = cols[None, :] < (sizes - 1)[:, None]
+    out |= cont.astype(np.uint8) << 7
+    keep = cols[None, :] < sizes[:, None]
+    return out[keep].tobytes()
+
+
+def varint_decode(buf: bytes, n: int) -> tuple[np.ndarray, int]:
+    """Vectorized LEB128 decode of exactly n values (`varint.h:85-115`).
+
+    Returns (values uint64, bytes consumed).
+    """
+    if n == 0:
+        return np.zeros(0, dtype=U64), 0
+    b = np.frombuffer(buf, dtype=np.uint8)
+    terminal = (b & 0x80) == 0
+    ends = np.flatnonzero(terminal)
+    if len(ends) < n:
+        raise ValueError("varint stream truncated")
+    ends = ends[:n]
+    nbytes = int(ends[-1]) + 1
+    b = b[:nbytes]
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    gid = np.zeros(nbytes, dtype=np.int64)
+    gid[starts[1:]] = 1
+    gid = np.cumsum(gid)
+    k = np.arange(nbytes) - starts[gid]
+    contrib = (b & 0x7F).astype(U64) << (U64(7) * k.astype(U64))
+    vals = np.bitwise_or.reduceat(contrib, starts)
+    return vals.astype(U64), nbytes
+
+
+def varint_encode_scalar(x: int) -> bytes:
+    out = bytearray()
+    while x >= 0x80:
+        out.append((x & 0x7F) | 0x80)
+        x >>= 7
+    out.append(x)
+    return bytes(out)
+
+
+def varint_decode_scalar(buf: bytes, pos: int) -> tuple[int, int]:
+    x = 0
+    shift = 0
+    while True:
+        byte = buf[pos]
+        pos += 1
+        x |= (byte & 0x7F) << shift
+        if byte < 0x80:
+            return x, pos
+        shift += 7
+
+
+def varint_size_scalar(x: int) -> int:
+    """Bytes to varint-encode a non-negative python int (`varint.h:66-72`)."""
+    if x == 0:
+        return 1
+    return (x.bit_length() + 6) // 7
+
+
+# ---------------------------------------------------------------------------
+# Reference cost formulas (`oroch/bitpck.h:54-71`, `oroch/varint.h:56-72`)
+# ---------------------------------------------------------------------------
+
+def ref_bitpck_space(nvalues: int, nbits: int) -> int:
+    """Reference 16-byte-block bit-pack size (`bitpck.h:54-71`)."""
+    if nvalues == 0:
+        return 0
+    capacity = 128 // nbits
+    return 16 * ((nvalues + capacity - 1) // capacity)
+
+
+# ---------------------------------------------------------------------------
+# Descriptor
+# ---------------------------------------------------------------------------
+
+@dataclass
+class IntDescriptor:
+    """Mirror of ``encoding_metadata`` (`oroch/integer_codec.h:95-127`).
+
+    ``ref_meta``/``ref_data`` carry the reference cost-model sizes (the
+    numbers Oroch's selector would compute); ``data_bytes`` is our actual
+    dense payload size.
+    """
+
+    codec: int = NORMAL
+    n: int = 0
+    width: int = 8
+    origin: int = 0          # signed python int
+    nbits: int = 0
+    noutliers: int = 0
+    oval_codec: int = VARINT  # bitpfr outlier-value sub-codec (BITPCK/VARINT)
+    oval_nbits: int = 0
+    oidx_codec: int = VARINT  # bitpfr outlier-index sub-codec
+    oidx_nbits: int = 0
+    ref_meta: int = 0         # reference metaspace excl. the tag byte
+    ref_data: int = 0         # reference dataspace
+    data_bytes: int = 0       # actual payload bytes we wrote
+    inner: Optional["IntDescriptor"] = None  # for DELTA wrapper
+
+    @property
+    def codec_name(self) -> str:
+        return CODEC_NAMES[self.codec]
+
+    @property
+    def ref_total(self) -> int:
+        """Reference total = 1 tag byte + metaspace + dataspace
+        (`integer_codec.h:109-117`)."""
+        return 1 + self.ref_meta + self.ref_data
+
+
+# ---------------------------------------------------------------------------
+# Selection (`oroch/integer_codec.h:234-496`)
+# ---------------------------------------------------------------------------
+
+def _select_basic(desc: IntDescriptor, vals: np.ndarray, u_zig: np.ndarray,
+                  vmin: int, vmax: int, n: int, width: int) -> None:
+    """`select_basic` (`integer_codec.h:422-496`): exact costs of
+    normal / bitpck / bitfor / varint / varfor with strict-less compare in
+    that order (`integer_codec.h:405-420`)."""
+    # Base case: normal (`integer_codec.h:430-435`).
+    desc.codec = NORMAL
+    desc.ref_meta = 0
+    desc.ref_data = n * width
+    desc.origin = 0
+    desc.nbits = 0
+
+    def compare(codec, metaspace, dataspace, origin, nbits):
+        if dataspace + metaspace < desc.ref_data + desc.ref_meta:
+            desc.codec = codec
+            desc.ref_data = dataspace
+            desc.ref_meta = metaspace
+            desc.origin = origin
+            desc.nbits = nbits
+
+    # bitpck on zigzag values (`integer_codec.h:437-458`).
+    umax = int(max(zigzag_encode_scalar(vmin), zigzag_encode_scalar(vmax)))
+    nbits = umax.bit_length()
+    compare(BITPCK, 1, ref_bitpck_space(n, nbits), 0, nbits)
+
+    # bitfor on (v - min) (`integer_codec.h:460-476`).
+    rng = vmax - vmin  # python ints: exact
+    nbits_for = rng.bit_length()
+    meta_for = 1 + varint_size_scalar(zigzag_encode_scalar(vmin))
+    compare(BITFOR, meta_for, ref_bitpck_space(n, nbits_for), vmin, nbits_for)
+
+    # varint (zigzag) and varfor (origin=min) (`integer_codec.h:478-495`).
+    vispace = int(varint_size(u_zig).sum())
+    u_for = (vals.view(U64) - U64(vmin & 0xFFFFFFFFFFFFFFFF))
+    vfspace = int(varint_size(u_for).sum())
+    meta_vf = varint_size_scalar(zigzag_encode_scalar(vmin))
+    compare(VARINT, 0, vispace, 0, 0)
+    compare(VARFOR, meta_vf, vfspace, vmin, 0)
+
+
+def select(vals: np.ndarray, width: int = 8, try_delta: bool = False) -> IntDescriptor:
+    """Full auto-selection (`integer_codec.h:234-384`), plus the optional
+    ``delta`` extension candidate when ``try_delta`` is set.
+
+    ``vals``: int64 array (signed domain; unsigned inputs must fit int64).
+    """
+    vals = np.ascontiguousarray(vals, dtype=I64)
+    n = len(vals)
+    desc = IntDescriptor(n=n, width=width)
+
+    # Empty sequence -> normal, 0 bytes (`integer_codec.h:248-253`).
+    if n == 0:
+        desc.codec = NORMAL
+        return desc
+
+    vmin = int(vals.min())
+    vmax = int(vals.max())
+
+    # Constant sequence -> naught (`integer_codec.h:256-264`).
+    if vmin == vmax:
+        desc.codec = NAUGHT
+        desc.origin = vmin
+        desc.ref_meta = varint_size_scalar(zigzag_encode_scalar(vmin))
+        desc.ref_data = 0
+        return desc
+
+    u_zig = zigzag_encode(vals)
+    _select_basic(desc, vals, u_zig, vmin, vmax, n, width)
+
+    if n >= 5:  # small-input cutoff (`integer_codec.h:271-272`)
+        _select_bitpfr(desc, vals, vmin, vmax, n)
+
+    if try_delta:
+        _try_delta(desc, vals, width)
+
+    return desc
+
+
+def _select_bitpfr(desc: IntDescriptor, vals: np.ndarray,
+                   vmin: int, vmax: int, n: int) -> None:
+    """The patched-bit-packing histogram sweep (`integer_codec.h:275-383`)."""
+    basic_metaspace = 1 + varint_size_scalar(zigzag_encode_scalar(vmin))
+    u = vals.view(U64) - U64(vmin & 0xFFFFFFFFFFFFFFFF)  # wraparound-exact
+    nbits_max = (vmax - vmin).bit_length()
+    bl = bit_length(u)
+    hist = np.bincount(bl, minlength=65)
+
+    noutliers = n - int(hist[0])
+    for nbits in range(1, nbits_max):
+        cnt = int(hist[nbits])
+        if cnt == 0:
+            continue
+        noutliers -= cnt
+
+        basic_dataspace = ref_bitpck_space(n, nbits)
+        extra_metaspace = 2 + varint_size_scalar(noutliers)
+
+        # Outlier-value encoding: bitpck at (nbits_max - nbits) vs varint
+        # of the overflow bits (`integer_codec.h:307-323`).
+        valpck = ref_bitpck_space(noutliers, nbits_max - nbits)
+        valvar = 0
+        for nb in range(nbits + 1, nbits_max + 1):
+            valvar += varint_nbits_space(nb - nbits) * int(hist[nb])
+        if valpck < valvar:
+            value_codec, value_dataspace = BITPCK, valpck
+        else:
+            value_codec, value_dataspace = VARINT, valvar
+
+        # Early skip via index lower bound (`integer_codec.h:325-335`).
+        indmin = min(ref_bitpck_space(noutliers, 1), n)
+        selected = desc.ref_data + desc.ref_meta
+        estimate = (basic_metaspace + extra_metaspace + basic_dataspace
+                    + value_dataspace + indmin)
+        if estimate >= selected:
+            continue
+
+        # Exact outlier-index costs (`integer_codec.h:337-363`): indices are
+        # delta-1 gaps (offset_codec<size_t,1>, `oroch/bitpfr.h:75-83`).
+        outmask = (u >> U64(nbits)) != 0
+        oidx = np.flatnonzero(outmask).astype(U64)
+        if len(oidx):
+            gaps = np.empty(len(oidx), dtype=U64)
+            gaps[0] = oidx[0]
+            gaps[1:] = oidx[1:] - oidx[:-1] - U64(1)
+            indnbits = max(1, int(bit_length(gaps).max()))
+            indvar = int(varint_size(gaps).sum())
+        else:
+            indnbits, indvar = 1, 0
+        indpck = ref_bitpck_space(noutliers, indnbits)
+        if indpck < indvar:
+            index_codec, index_dataspace = BITPCK, indpck
+        else:
+            index_codec, index_dataspace = VARINT, indvar
+
+        required = (basic_metaspace + extra_metaspace + basic_dataspace
+                    + value_dataspace + index_dataspace)
+        if required < selected:
+            desc.codec = BITPFR
+            desc.origin = vmin
+            desc.nbits = nbits
+            desc.noutliers = noutliers
+            desc.oval_codec = value_codec
+            desc.oval_nbits = nbits_max - nbits
+            desc.oidx_codec = index_codec
+            desc.oidx_nbits = indnbits
+            desc.ref_meta = basic_metaspace + extra_metaspace
+            desc.ref_data = (basic_dataspace + value_dataspace
+                             + index_dataspace)
+
+
+def _try_delta(desc: IntDescriptor, vals: np.ndarray, width: int) -> None:
+    """Extension: try (first value + inner selection on consecutive deltas).
+
+    Built on the reference's offset codec idea (`oroch/offset.h:31-71`) but
+    run through full auto-selection; wins on near-monotone sequences (ts,
+    turn_idx) that the reference's selector cannot exploit.
+
+    Cost compared at reference-model sizes so selection stays deterministic:
+    delta ref cost = varint(zigzag(first)) + inner.ref_total.
+    """
+    n = len(vals)
+    if n < 5:
+        return
+    deltas = np.empty(n - 1, dtype=I64)
+    np.subtract(vals[1:].view(U64), vals[:-1].view(U64),
+                out=deltas.view(U64))  # wraparound-safe
+    inner = select(deltas, width=width, try_delta=False)
+    first = int(vals[0])
+    meta = varint_size_scalar(zigzag_encode_scalar(first))
+    total = meta + inner.ref_total
+    if total < desc.ref_meta + desc.ref_data:
+        desc.codec = DELTA
+        desc.origin = first
+        desc.nbits = 0
+        desc.noutliers = 0
+        desc.ref_meta = meta
+        desc.ref_data = inner.ref_total
+        desc.inner = inner
+
+
+# ---------------------------------------------------------------------------
+# Encode / decode payloads
+# ---------------------------------------------------------------------------
+
+def _encode_sub(u: np.ndarray, codec: int, nbits: int) -> bytes:
+    """Encode an unsigned sub-sequence (bitpfr outlier arrays) with an
+    identity value codec, mirroring `integer_codec.h:498-528` dispatch for
+    the outlier descriptors (zigzag on unsigned == identity)."""
+    if codec == BITPCK:
+        return pack_bits(u, nbits)
+    if codec == VARINT:
+        return varint_encode(u)
+    raise ValueError(f"bad sub-codec {codec}")
+
+
+def _decode_sub(buf: bytes, pos: int, n: int, codec: int, nbits: int
+                ) -> tuple[np.ndarray, int]:
+    if codec == BITPCK:
+        nbytes = packed_size(n, nbits)
+        return unpack_bits(buf[pos:pos + nbytes], n, nbits), pos + nbytes
+    if codec == VARINT:
+        vals, consumed = varint_decode(buf[pos:], n)
+        return vals, pos + consumed
+    raise ValueError(f"bad sub-codec {codec}")
+
+
+def encode_payload(vals: np.ndarray, desc: IntDescriptor) -> bytes:
+    """Encode values per the selected descriptor (`integer_codec.h:386-393`,
+    dispatch at `integer_codec.h:498-528` / `562-581`). Dense layout."""
+    vals = np.ascontiguousarray(vals, dtype=I64)
+    n = len(vals)
+    c = desc.codec
+    if c == NAUGHT:
+        return b""  # `oroch/naught.h:31-48`: zero data bytes
+    if c == NORMAL:
+        dt = "<i4" if desc.width == 4 else "<i8"
+        return vals.astype(dt).tobytes()  # `oroch/normal.h:31-59`
+    if c == VARINT:
+        return varint_encode(zigzag_encode(vals))
+    if c == VARFOR:
+        u = vals.view(U64) - U64(desc.origin & 0xFFFFFFFFFFFFFFFF)
+        return varint_encode(u)
+    if c == BITPCK:
+        return pack_bits(zigzag_encode(vals), desc.nbits)
+    if c == BITFOR:
+        u = vals.view(U64) - U64(desc.origin & 0xFFFFFFFFFFFFFFFF)
+        return pack_bits(u, desc.nbits)
+    if c == BITPFR:
+        u = vals.view(U64) - U64(desc.origin & 0xFFFFFFFFFFFFFFFF)
+        mask = (U64(1) << U64(desc.nbits)) - U64(1)
+        low = pack_bits(u & mask, desc.nbits)
+        outmask = (u >> U64(desc.nbits)) != 0
+        oidx = np.flatnonzero(outmask).astype(U64)
+        ovals = u[outmask] >> U64(desc.nbits)
+        gaps = np.empty(len(oidx), dtype=U64)
+        if len(oidx):
+            gaps[0] = oidx[0]
+            gaps[1:] = oidx[1:] - oidx[:-1] - U64(1)
+        # Order mirrors `integer_codec.h:562-581`: low bits, indices, values.
+        return (low
+                + _encode_sub(gaps, desc.oidx_codec, desc.oidx_nbits)
+                + _encode_sub(ovals, desc.oval_codec, desc.oval_nbits))
+    if c == DELTA:
+        deltas = np.empty(n - 1, dtype=I64)
+        np.subtract(vals[1:].view(U64), vals[:-1].view(U64),
+                    out=deltas.view(U64))
+        return encode_block(deltas, desc.inner)
+    raise ValueError(f"bad codec {c}")
+
+
+def decode_payload(buf: bytes, desc: IntDescriptor) -> np.ndarray:
+    """Inverse of :func:`encode_payload` (`integer_codec.h:395-402`,
+    `530-560`, `583-609`)."""
+    n = desc.n
+    c = desc.codec
+    if c == NAUGHT:
+        return np.full(n, desc.origin, dtype=I64)
+    if c == NORMAL:
+        dt = "<i4" if desc.width == 4 else "<i8"
+        return np.frombuffer(buf, dtype=dt, count=n).astype(I64)
+    if c == VARINT:
+        u, _ = varint_decode(buf, n)
+        return zigzag_decode(u)
+    if c == VARFOR:
+        u, _ = varint_decode(buf, n)
+        return (u + U64(desc.origin & 0xFFFFFFFFFFFFFFFF)).view(I64)
+    if c == BITPCK:
+        return zigzag_decode(unpack_bits(buf, n, desc.nbits))
+    if c == BITFOR:
+        u = unpack_bits(buf, n, desc.nbits)
+        return (u + U64(desc.origin & 0xFFFFFFFFFFFFFFFF)).view(I64)
+    if c == BITPFR:
+        pos = packed_size(n, desc.nbits)
+        u = unpack_bits(buf[:pos], n, desc.nbits)
+        gaps, pos = _decode_sub(buf, pos, desc.noutliers,
+                                desc.oidx_codec, desc.oidx_nbits)
+        ovals, pos = _decode_sub(buf, pos, desc.noutliers,
+                                 desc.oval_codec, desc.oval_nbits)
+        if len(gaps):
+            oidx = np.cumsum(gaps + U64(1)) - U64(1)  # undo delta-1 gaps
+            u[oidx.astype(np.int64)] |= ovals << U64(desc.nbits)
+        return (u + U64(desc.origin & 0xFFFFFFFFFFFFFFFF)).view(I64)
+    if c == DELTA:
+        inner_desc, pos = read_header(buf, 0, n - 1, desc.width)
+        deltas = decode_payload(buf[pos:], inner_desc)
+        out = np.empty(n, dtype=U64)
+        out[0] = U64(desc.origin & 0xFFFFFFFFFFFFFFFF)
+        np.cumsum(deltas.view(U64), out=out[1:])
+        out[1:] += out[0]
+        return out.view(I64)
+    raise ValueError(f"bad codec {c}")
+
+
+# ---------------------------------------------------------------------------
+# Wire header (`integer_codec.h:128-214`) — tag + params, then payload.
+# The element count n is NOT in the header (reference parity, see module
+# docstring); it travels in the block-row metadata.
+# ---------------------------------------------------------------------------
+
+def write_header(desc: IntDescriptor) -> bytes:
+    out = bytearray([desc.codec])
+    c = desc.codec
+    if c in (NAUGHT, VARFOR):
+        out += varint_encode_scalar(zigzag_encode_scalar(desc.origin))
+    elif c in (BITFOR, BITPFR):
+        out += varint_encode_scalar(zigzag_encode_scalar(desc.origin))
+        out.append(desc.nbits)
+    elif c == BITPCK:
+        out.append(desc.nbits)
+    elif c == DELTA:
+        out += varint_encode_scalar(zigzag_encode_scalar(desc.origin))
+    if c == BITPFR:
+        # `encoding_metadata::encode` (`integer_codec.h:196-204`): noutliers
+        # + two extra bytes (nbits if bitpck else 0, `:177-182`).
+        out += varint_encode_scalar(desc.noutliers)
+        out.append(desc.oidx_nbits if desc.oidx_codec == BITPCK else 0)
+        out.append(desc.oval_nbits if desc.oval_codec == BITPCK else 0)
+    return bytes(out)
+
+
+def read_header(buf: bytes, pos: int, n: int, width: int
+                ) -> tuple[IntDescriptor, int]:
+    desc = IntDescriptor(n=n, width=width)
+    desc.codec = buf[pos]
+    pos += 1
+    c = desc.codec
+    if c in (NAUGHT, VARFOR, BITFOR, BITPFR, DELTA):
+        u, pos = varint_decode_scalar(buf, pos)
+        desc.origin = zigzag_decode_scalar(u)
+    if c in (BITFOR, BITPFR):
+        desc.nbits = buf[pos]
+        pos += 1
+    elif c == BITPCK:
+        desc.nbits = buf[pos]
+        pos += 1
+    if c == BITPFR:
+        desc.noutliers, pos = varint_decode_scalar(buf, pos)
+        b1, b2 = buf[pos], buf[pos + 1]
+        pos += 2
+        desc.oidx_codec = BITPCK if b1 else VARINT
+        desc.oidx_nbits = b1 if b1 else 0
+        desc.oval_codec = BITPCK if b2 else VARINT
+        desc.oval_nbits = b2 if b2 else 0
+    return desc, pos
+
+
+# ---------------------------------------------------------------------------
+# Block-level API: header + payload in one blob
+# ---------------------------------------------------------------------------
+
+def encode_block(vals: np.ndarray, desc: Optional[IntDescriptor] = None,
+                 width: int = 8, try_delta: bool = False) -> bytes:
+    """Select (unless given) + header + payload; the analogue of
+    ``integer_group::encode`` (`oroch/integer_group.h:44-60`), without the
+    8-byte alignment padding (our decoder never reinterprets raw buffers)."""
+    vals = np.ascontiguousarray(vals, dtype=I64)
+    if desc is None:
+        desc = select(vals, width=width, try_delta=try_delta)
+    payload = encode_payload(vals, desc)
+    desc.data_bytes = len(payload)
+    return write_header(desc) + payload
+
+
+def decode_block(blob: bytes, n: int, width: int = 8) -> np.ndarray:
+    """Analogue of ``integer_group::decode`` (`oroch/integer_group.h:62-76`);
+    n comes from block-row metadata (see module docstring)."""
+    desc, pos = read_header(blob, 0, n, width)
+    return decode_payload(blob[pos:], desc)
+
+
+def describe_block(blob: bytes, n: int, width: int = 8) -> IntDescriptor:
+    desc, _ = read_header(blob, 0, n, width)
+    return desc
