@@ -1,38 +1,214 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
-"""
+``entry(spark)`` — flagship: encode -> decode round-trip of the events
+table at sf0.001 through the columnar compression engine; returns the
+decoded DataFrame (bit-identical to the source).
 
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 plus the training-data pipeline operators. Round-trip
+queries use ``SELECT *`` oracles: a value-hash match against DuckDB
+reading the same parquet *is* the bit-identical round-trip proof.
+"""
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+import oroch_spark.engine as engine
+import oroch_spark.transcripts as transcripts
+from oroch_spark.operators import dedup, similarity, textstats
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _read(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    src = _read(spark, SF0001, "events")
+    return engine.roundtrip_df(src, ["event_id"], n_buckets=8)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _rt(table: str, key_cols: list[str]):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        src = _read(spark, sf_dir, table)
+        return engine.roundtrip_df(src, key_cols, n_buckets=8,
+                                   text_cols=["text"])
+    return q
+
+
+def _q_rt_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transcripts.generate(spark, n_conv=200, seed=42)
+    return engine.roundtrip_df(df, ["conv_id", "turn_idx"], n_buckets=8,
+                               text_cols=["text"])
+
+
+def _q_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _read(spark, sf_dir, "events")
+    return engine.pruned_lookup(src, "event_id", 4242)
+
+
+def _q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transcripts.generate(spark, n_conv=200, seed=42)
+    blocks = engine.encode_df(df, ["conv_id", "turn_idx"], n_buckets=8,
+                              text_cols=["text"])
+    return (blocks
+            .select(F.explode(engine._codec_entries(F.col("desc")))
+                    .alias("codec"))
+            .groupBy("codec").agg(F.count("*").alias("cnt"))
+            .orderBy("codec"))
+
+
+def _q_compression_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transcripts.generate(spark, n_conv=200, seed=42)
+    blocks = engine.encode_df(df, ["conv_id", "turn_idx"], n_buckets=8,
+                              text_cols=["text"])
+    return blocks.agg(
+        F.sum("n").alias("n_rows"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("bytes_out").alias("bytes_out"),
+        F.sum("ref_bytes").alias("ref_bytes"),
+        (F.sum("bytes_out") <= F.sum("ref_bytes")).alias("within_budget"),
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = textstats.token_stats(_read(spark, sf_dir, "documents"))
+    return df.select("doc_id",
+                     F.col("n_tokens").cast("long").alias("n_tokens"),
+                     F.col("n_chars").cast("long").alias("n_chars"),
+                     F.col("mean_tok_len"))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = textstats.quality_score(_read(spark, sf_dir, "documents"))
+    return df.select("doc_id",
+                     F.col("n_chars").cast("long").alias("n_chars"),
+                     "alpha_ratio", "digit_ratio", "space_ratio",
+                     F.col("stopword_hits").cast("long")
+                      .alias("stopword_hits"))
+
+
+def _q_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_read(spark, sf_dir, "documents")
+            .groupBy("lang").agg(F.count("*").alias("cnt")))
+
+
+def _query_vec(sf_dir: str) -> list[float]:
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    pdf = tbl.to_pandas()
+    return [float(x) for x in pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0]]
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vec(sf_dir), k=10,
+                                  round_to=6)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_lsh(emb, _query_vec(sf_dir), k=10)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    return dedup.jaccard_pairs(docs, cands, threshold=0.5)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_read(spark, sf_dir, "documents"), bits=16)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # engine round-trips (codec suite end-to-end; SURVEY.md §2.1-2.4)
+        "rt_events": _rt("events", ["event_id"]),
+        "rt_lineitem": _rt("lineitem", ["l_orderkey", "l_linenumber"]),
+        "rt_orders": _rt("orders", ["o_orderkey"]),
+        "rt_documents": _rt("documents", ["doc_id"]),
+        "rt_transcripts": _q_rt_transcripts,            # rows-only
+        # container/access ops (SURVEY.md §2.5)
+        "pruned_lookup_events": _q_pruned_lookup,
+        "codec_histogram": _q_codec_histogram,          # rows-only
+        "compression_summary": _q_compression_summary,  # rows-only
+        # training-data pipeline operators
+        "dedup_exact_documents": _q_dedup_exact,
+        "token_stats_documents": _q_token_stats,
+        "quality_documents": _q_quality,
+        "lang_dist_documents": _q_lang_dist,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,                     # rows-only (approx)
+        "minhash_dup_pairs": _q_minhash_pairs,          # rows-only
+        "simhash_documents": _q_simhash,                # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = ",".join(f"'{s}'" for s in textstats.STOPWORDS)
+    return {
+        "rt_events": "SELECT * FROM events",
+        "rt_lineitem": "SELECT * FROM lineitem",
+        "rt_orders": "SELECT * FROM orders",
+        "rt_documents": "SELECT * FROM documents",
+        "pruned_lookup_events":
+            "SELECT * FROM events WHERE event_id = 4242",
+        "dedup_exact_documents": """
+            SELECT min(doc_id) AS doc_id, text,
+                   count(*) AS dup_cnt
+            FROM documents GROUP BY text
+        """,
+        "token_stats_documents": f"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   length(text) / greatest(len(string_split(text, ' ')), 1)
+                       AS mean_tok_len
+            FROM documents
+        """,
+        "quality_documents": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       / greatest(length(text), 1) AS alpha_ratio,
+                   length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       / greatest(length(text), 1) AS digit_ratio,
+                   length(regexp_replace(text, '[^ ]', '', 'g'))
+                       / greatest(length(text), 1) AS space_ratio,
+                   CAST(len(list_intersect(string_split(text, ' '),
+                                           [{stop}])) AS BIGINT)
+                       AS stopword_hits
+            FROM documents
+        """,
+        "lang_dist_documents":
+            "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            pairs AS (SELECT e.vec_id,
+                             UNNEST(e.embedding)::DOUBLE AS x,
+                             UNNEST(q.qv)::DOUBLE AS y
+                      FROM embeddings e, q),
+            s AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx,
+                         SUM(y*y) AS ny
+                  FROM pairs GROUP BY vec_id)
+            SELECT vec_id,
+                   ROUND(dot / (GREATEST(SQRT(nx), 1e-30) * SQRT(ny)), 6)
+                       AS cosine
+            FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+    }

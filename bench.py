@@ -1,0 +1,137 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries": {name: sec}, "sf", ...}.
+
+The headline metric is the north-rule one: encode throughput in
+turns/sec on the synthetic transcript table, with compressed
+bytes/turn and the reference-size budget ratio reported alongside.
+
+Usage:
+    python3 bench.py                 # driver mode (one JSON line)
+    python3 bench.py --cores 8       # override parallelism (scaling runs)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_CONV = int(os.environ.get("OROCH_BENCH_CONV", "2000"))
+
+
+def build_spark(cores: int):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master(f"local[{cores}]")
+            .appName("oroch-bench")
+            .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "16g")
+            .config("spark.ui.enabled", "false")
+            .config("spark.log.level", "ERROR")
+            .getOrCreate())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    spark = build_spark(args.cores)
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from oroch_spark import engine, transcripts
+    from oroch_spark.operators import dedup, similarity
+
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        queries[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- headline: transcript encode throughput -------------------------
+    src = transcripts.generate(spark, N_CONV, seed=42).persist()
+    n_turns = src.count()  # materialize generation outside the timing
+
+    def encode_run():
+        blocks = engine.encode_df(src, ["conv_id", "turn_idx"],
+                                  n_buckets=max(args.cores * 2, 8),
+                                  text_cols=["text"])
+        return blocks.agg(
+            F.sum("n").alias("n"), F.sum("bytes_in").alias("bi"),
+            F.sum("bytes_out").alias("bo"),
+            F.sum("ref_bytes").alias("rb")).collect()[0]
+
+    row = timed("encode_transcripts", encode_run)
+    enc_sec = queries["encode_transcripts"]
+    extra.update({
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / enc_sec, 1),
+        "bytes_per_turn": round(row["bo"] / row["n"], 2),
+        "compression_ratio": round(row["bo"] / row["bi"], 4),
+        "ref_budget_ratio": round(row["bo"] / row["rb"], 4),
+        "within_ref_budget": bool(row["bo"] <= row["rb"]),
+    })
+
+    # --- decode (round-trip half) ---------------------------------------
+    blocks = engine.encode_df(src, ["conv_id", "turn_idx"],
+                              n_buckets=max(args.cores * 2, 8),
+                              text_cols=["text"]).persist()
+    blocks.count()
+    kinds = engine.column_kinds(src.schema)
+    timed("decode_transcripts",
+          lambda: engine.decode_df(blocks, kinds).count())
+    blocks.unpersist()
+    src.unpersist()
+
+    # --- engine round-trips on the sf tables ----------------------------
+    for tbl, keys in [("events", ["event_id"]),
+                      ("lineitem", ["l_orderkey", "l_linenumber"]),
+                      ("documents", ["doc_id"])]:
+        df = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+        timed(f"rt_{tbl}",
+              lambda df=df, keys=keys: engine.roundtrip_df(
+                  df, keys, n_buckets=max(args.cores, 8),
+                  text_cols=["text"]).count())
+
+    # --- pipeline operators ---------------------------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("dedup_exact", lambda: dedup.exact_dedup(docs).count())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = entry._query_vec(sf_dir)
+    timed("ann_cosine_topk",
+          lambda: similarity.cosine_topk(emb, qv, k=10).collect())
+
+    result = {
+        "metric": "encode_turns_per_sec",
+        "value": extra["turns_per_sec"],
+        "unit": "turns/sec",
+        "queries": queries,
+        "sf": sf,
+        "cores": args.cores,
+        **extra,
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

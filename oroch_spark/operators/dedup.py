@@ -1,0 +1,121 @@
+"""Deduplication operators for training-data pipelines.
+
+All operators are pure DataFrame compositions (JVM-side, shuffle on the
+group key only); MinHash banding uses built-in hash functions — no
+Python UDFs anywhere, so everything stays inside whole-stage codegen.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per distinct content.
+    One shuffle on the (hashed) content key; map-side partial agg."""
+    return (df.groupBy(content_col)
+              .agg(F.min(id_col).alias(id_col),
+                   F.count("*").alias("dup_cnt"))
+              .select(id_col, content_col, "dup_cnt"))
+
+
+def ngram_shingles(df: DataFrame, content_col: str = "text", n: int = 5,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Word n-gram shingle set per document (basis for MinHash/Jaccard)."""
+    toks = F.split(F.col(content_col), " ")
+    # sliding n-grams via transform over index range; stays JVM-side
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.select(id_col, F.array_distinct(grams).alias("shingles"))
+
+
+def minhash_signatures(df: DataFrame, content_col: str = "text",
+                       id_col: str = "doc_id", n: int = 5,
+                       num_hashes: int = 32) -> DataFrame:
+    """MinHash signature per document: for k seeds, min over shingle
+    hashes. Vectorized via array transforms + array_min (no UDF)."""
+    sh = ngram_shingles(df, content_col, n, id_col)
+
+    def hasher(k):
+        # closure factory: a default-arg lambda would be seen by pyspark
+        # as a two-arg (element, index) lambda and silently rebind k
+        return lambda s: F.xxhash64(s, F.lit(k))
+
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("shingles"), hasher(k)))
+        for k in range(num_hashes)
+    ])
+    return sh.select(id_col, sig.alias("signature"))
+
+
+def minhash_lsh_candidates(df: DataFrame, content_col: str = "text",
+                           id_col: str = "doc_id", n: int = 5,
+                           num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """LSH banding: split each signature into bands, bucket-join on
+    (band_idx, band_hash); pairs sharing any band are near-dup
+    candidates. Shuffles on band buckets — skew-safe because bucket
+    population is bounded by collision rate, and the self-join is
+    id< id de-duplicated."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, content_col, id_col, n, num_hashes)
+    banded = sig.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(
+                ",", *[F.element_at("signature", b * rows_per_band + r + 1)
+                       for r in range(rows_per_band)]))
+            for b in range(bands)
+        ])).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (left.join(right,
+                       (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.band_hash") == F.col("r.band_hash"))
+                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                  content_col: str = "text", id_col: str = "doc_id",
+                  n: int = 5, threshold: float = 0.7) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs (broadcast
+    the candidate list when small; shingle arrays joined by id)."""
+    sh = ngram_shingles(df, content_col, n, id_col)
+    a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+        "shingles", "sh_a")
+    b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+        "shingles", "sh_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = (inter / F.greatest(union, F.lit(1))).alias("jaccard")
+    return (pairs.join(a, "id_a").join(b, "id_b")
+                 .select("id_a", "id_b", jac)
+                 .filter(F.col("jaccard") >= threshold))
+
+
+def simhash(df: DataFrame, content_col: str = "text",
+            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: sign-sum of per-token hash bits, packed to a
+    64-bit signature. Pure array ops; one pass, no shuffle."""
+    toks = F.split(F.col(content_col), " ")
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def voter(i):
+        mask = 1 << i if i < 63 else -(1 << 63)
+        return lambda acc, x: acc + F.when(
+            x.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+    bit_votes = [F.aggregate(h, F.lit(0), voter(i)) for i in range(bits)]
+    fp = None
+    for i, v in enumerate(bit_votes):
+        term = F.when(v > 0,
+                      F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                          F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return df.select(id_col, fp.alias("simhash"))

@@ -1,0 +1,84 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (built-in higher-order
+functions — zip_with/aggregate — JVM-side), and an LSH-bucketed variant
+as the scale path: random-hyperplane signatures bucket vectors so the
+pairwise work at 100 TB happens within buckets instead of n^2.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0).cast("double"),
+                              lambda acc, x: acc + x))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_to: int | None = None) -> DataFrame:
+    """Exact brute-force cosine top-k against a constant query vector.
+    One scan, no shuffle until the final top-k (orderBy+limit is a
+    TakeOrdered — partial top-k per partition, k rows to the driver).
+    ``round_to`` rounds the score before ranking (cross-engine-stable
+    comparisons)."""
+    q = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    qn = float(np.sqrt(np.sum(np.square(np.asarray(query_vec, np.float64)))))
+    cos = (_dot(F.col(vec_col), q)
+           / (F.greatest(_norm(F.col(vec_col)), F.lit(1e-30)) * F.lit(qn)))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (df.select(id_col, cos.alias("cosine"))
+              .orderBy(F.col("cosine").desc(), F.col(id_col))
+              .limit(k))
+
+
+def rp_lsh_buckets(df: DataFrame, dim: int, n_planes: int = 16,
+                   seed: int = 42, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: sign pattern of
+    ``n_planes`` fixed projections, packed into a long. Vectors in the
+    same bucket are ANN candidates; at scale, join/group within
+    buckets replaces the quadratic scan."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = None
+    for i in range(n_planes):
+        p = F.array(*[F.lit(float(x)).cast("float") for x in planes[i]])
+        bit = F.when(_dot(F.col(vec_col), p) > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                         F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+    return df.select(id_col, vec_col, bucket.alias("bucket"))
+
+
+def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
+                 n_planes: int = 8, seed: int = 42,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 probe_hamming: int = 1) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``probe_hamming`` bits of the query's bucket (multi-probe)."""
+    dim = len(query_vec)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    qbits = 0
+    for i in range(n_planes):
+        if float(np.dot(planes[i], query_vec)) > 0:
+            qbits |= 1 << i
+    probes = {qbits}
+    if probe_hamming >= 1:
+        probes |= {qbits ^ (1 << i) for i in range(n_planes)}
+    buckets = rp_lsh_buckets(df, dim, n_planes, seed, id_col, vec_col)
+    cand = buckets.filter(F.col("bucket").isin(list(probes)))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

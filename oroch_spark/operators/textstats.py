@@ -1,0 +1,68 @@
+"""Text-analysis operators: token counting, quality scoring, language-ID
+heuristic, document fingerprinting. All built-in-function compositions
+(whole-stage codegen); no Python UDFs."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
+             "it", "that", "for", "on", "with", "as", "at", "by"]
+
+
+def token_stats(df: DataFrame, content_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + char count + mean token length."""
+    toks = F.split(F.col(content_col), " ")
+    n_tokens = F.size(toks).alias("n_tokens")
+    n_chars = F.length(content_col).alias("n_chars")
+    return df.select(
+        id_col, n_tokens, n_chars,
+        (F.length(content_col)
+         / F.greatest(F.size(toks), F.lit(1))).alias("mean_tok_len"),
+    )
+
+
+def quality_score(df: DataFrame, content_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: length, alpha ratio, digit ratio,
+    space ratio, stopword hit count (Gopher/C4-style filters)."""
+    txt = F.col(content_col)
+    length = F.length(txt)
+    safe_len = F.greatest(length, F.lit(1))
+    alpha = F.length(F.regexp_replace(txt, "[^a-zA-Z]", ""))
+    digit = F.length(F.regexp_replace(txt, "[^0-9]", ""))
+    space = F.length(F.regexp_replace(txt, "[^ ]", ""))
+    toks = F.split(txt, " ")
+    stop_hits = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(s) for s in STOPWORDS])))
+    return df.select(
+        id_col,
+        length.alias("n_chars"),
+        (alpha / safe_len).alias("alpha_ratio"),
+        (digit / safe_len).alias("digit_ratio"),
+        (space / safe_len).alias("space_ratio"),
+        stop_hits.alias("stopword_hits"),
+    )
+
+
+def lang_id_ngram(df: DataFrame, content_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Tiny character-heuristic language id (en/other): scores common
+    English trigram/stopword evidence. Deterministic, SQL-expressible."""
+    txt = F.lower(F.col(content_col))
+    toks = F.split(txt, " ")
+    en_hits = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(s) for s in STOPWORDS])))
+    pred = F.when(en_hits >= 2, F.lit("en")).otherwise(F.lit("other"))
+    return df.select(id_col, en_hits.alias("en_evidence"),
+                     pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, content_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """64-bit content fingerprint (xxhash64 of the normalized text) —
+    the cheap exact-dup key for massive corpora: dedup shuffles 8-byte
+    keys instead of full documents."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(content_col))),
+                            " +", " ")
+    return df.select(id_col, F.xxhash64(norm).alias("fingerprint"))

