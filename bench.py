@@ -23,6 +23,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_CONV = int(os.environ.get("OROCH_BENCH_CONV", "2000"))
+# Fixed partitioning: the job must be IDENTICAL at every parallelism
+# level (the two-cluster-size rule compares throughput on the same job).
+N_BUCKETS = int(os.environ.get("OROCH_BENCH_BUCKETS", "128"))
+# staged=1: two-phase encode (JVM shuffle -> staged parquet -> python
+# workers read files directly). See engine.encode_df_staged.
+STAGED = os.environ.get("OROCH_BENCH_STAGED", "1") == "1"
 
 
 def build_spark(cores: int):
@@ -42,6 +48,8 @@ def main() -> None:
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--out", default=None)
+    ap.add_argument("--reps", type=int,
+                    default=int(os.environ.get("OROCH_BENCH_REPS", "1")))
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,19 +66,39 @@ def main() -> None:
     extra: dict = {}
 
     def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        queries[name] = round(time.time() - t0, 3)
+        best = None
+        out = None
+        for _ in range(max(1, args.reps)):
+            t0 = time.time()
+            out = fn()
+            w = time.time() - t0
+            best = w if best is None else min(best, w)
+        queries[name] = round(best, 3)
         return out
 
     # --- headline: transcript encode throughput -------------------------
-    src = transcripts.generate(spark, N_CONV, seed=42).persist()
-    n_turns = src.count()  # materialize generation outside the timing
+    # Source is a parquet table (the realistic Iceberg-style input);
+    # generation is materialized once, outside the timing.
+    import tempfile
+
+    src_dir = os.path.join(tempfile.gettempdir(),
+                           f"oroch_bench_src_{N_CONV}")
+    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+        transcripts.generate(spark, N_CONV, seed=42) \
+            .write.mode("overwrite").parquet(src_dir)
+    src = spark.read.parquet(src_dir)
+    n_turns = src.count()
 
     def encode_run():
-        blocks = engine.encode_df(src, ["conv_id", "turn_idx"],
-                                  n_buckets=max(args.cores * 2, 8),
-                                  text_cols=["text"])
+        if STAGED:
+            blocks = engine.encode_df_staged(
+                src, ["conv_id", "turn_idx"],
+                staging_dir=tempfile.mkdtemp(prefix="oroch_stage_"),
+                n_buckets=N_BUCKETS, text_cols=["text"])
+        else:
+            blocks = engine.encode_df(src, ["conv_id", "turn_idx"],
+                                      n_buckets=N_BUCKETS,
+                                      text_cols=["text"])
         return blocks.agg(
             F.sum("n").alias("n"), F.sum("bytes_in").alias("bi"),
             F.sum("bytes_out").alias("bo"),
@@ -89,14 +117,13 @@ def main() -> None:
 
     # --- decode (round-trip half) ---------------------------------------
     blocks = engine.encode_df(src, ["conv_id", "turn_idx"],
-                              n_buckets=max(args.cores * 2, 8),
+                              n_buckets=N_BUCKETS,
                               text_cols=["text"]).persist()
     blocks.count()
     kinds = engine.column_kinds(src.schema)
     timed("decode_transcripts",
           lambda: engine.decode_df(blocks, kinds).count())
     blocks.unpersist()
-    src.unpersist()
 
     # --- engine round-trips on the sf tables ----------------------------
     for tbl, keys in [("events", ["event_id"]),
@@ -105,7 +132,7 @@ def main() -> None:
         df = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
         timed(f"rt_{tbl}",
               lambda df=df, keys=keys: engine.roundtrip_df(
-                  df, keys, n_buckets=max(args.cores, 8),
+                  df, keys, n_buckets=N_BUCKETS,
                   text_cols=["text"]).count())
 
     # --- pipeline operators ---------------------------------------------

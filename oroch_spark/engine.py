@@ -30,6 +30,7 @@ Scale design (the 10^12-turn story):
 from __future__ import annotations
 
 import json
+import os
 import time
 from typing import Iterator, Optional
 
@@ -87,109 +88,186 @@ def spark_type_of(kind: str) -> T.DataType:
 
 
 # ---------------------------------------------------------------------------
-# Per-block column encode/decode (inside the UDF; pure numpy/pandas)
+# Per-block column encode/decode (inside the UDF; arrow/numpy only — no
+# pandas object arrays, no per-row Python)
 # ---------------------------------------------------------------------------
 
-def _encode_column(vals: pd.Series, kind: str, text_hint: bool):
-    """-> (blob bytes, desc dict, bytes_in, ref_bytes)."""
-    n = len(vals)
+def _encode_column(arr: "pa.Array", kind: str, text_hint: bool):
+    """-> (blob bytes, desc dict, bytes_in, ref_bytes). ``arr`` is a
+    flat (combined) pyarrow array."""
+    import pyarrow as pa
+
+    n = len(arr)
     if kind == K_STR:
-        blob, d = sc.encode_str_block(vals, text_hint=text_hint)
-        lengths_total = int(sc.series_to_bytes(vals)[0].sum()) if n else 0
-        return blob, {"k": kind, "c": d.codec_name}, lengths_total + 4 * n, d.ref_total
+        blob, d = sc.encode_str_block(arr, text_hint=text_hint)
+        nbytes = int(sc.arrow_to_bytes(sc.to_string_array(arr))[0].sum()) \
+            if n else 0
+        return blob, {"k": kind, "c": d.codec_name}, nbytes + 4 * n, d.ref_total
+    if arr.null_count:
+        raise ValueError("null values not supported in v0 blocks")
     if kind == K_TS:
-        arr = vals.to_numpy()
-        if arr.dtype.kind == "M":
-            arr = arr.astype("datetime64[us]").view("int64")
-        else:  # already integral micros
-            arr = arr.astype(np.int64)
-        ints, width, delta = arr, 8, True
+        ints = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        width, delta = 8, True
     elif kind == K_F64:
-        ints = vals.to_numpy(dtype=np.float64).view(np.int64)
+        ints = arr.to_numpy(zero_copy_only=False).view(np.int64)
         width, delta = 8, False
     elif kind == K_I32:
-        ints, width, delta = vals.to_numpy(dtype=np.int64), 4, True
+        ints = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        width, delta = 4, True
     else:
-        ints, width, delta = vals.to_numpy(dtype=np.int64), 8, True
+        ints = arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        width, delta = 8, True
     desc = ic.select(ints, width=width, try_delta=delta)
     blob = ic.encode_block(ints, desc=desc, width=width)
     return (blob, {"k": kind, "c": desc.codec_name},
             width * n, desc.ref_total)
 
 
-def _decode_column(blob: bytes, kind: str, n: int):
+def _decode_column(blob: bytes, kind: str, n: int, arrow_type) -> "pa.Array":
+    import pyarrow as pa
+
     if kind == K_STR:
-        return sc.decode_str_block(blob, n)
+        return sc.decode_str_block_arrow(blob, n).cast(arrow_type)
     width = 4 if kind == K_I32 else 8
     ints = ic.decode_block(blob, n, width=width)
     if kind == K_TS:
-        return pd.Series(ints.view("datetime64[us]"))
+        return pa.array(ints, type=pa.int64()).cast(arrow_type)
     if kind == K_F64:
-        return pd.Series(ints.view(np.float64))
+        return pa.array(ints.view(np.float64), type=arrow_type)
     if kind == K_I32:
-        return pd.Series(ints.astype(np.int32))
-    return pd.Series(ints)
+        return pa.array(ints.astype(np.int32), type=arrow_type)
+    return pa.array(ints, type=arrow_type)
+
+
+def _block_arrow_schema():
+    import pyarrow as pa
+    return pa.schema([
+        ("bucket", pa.int32()), ("block_idx", pa.int64()),
+        ("n", pa.int64()), ("key_min", pa.string()),
+        ("key_max", pa.string()), ("payload", pa.binary()),
+        ("desc", pa.string()), ("bytes_in", pa.int64()),
+        ("bytes_out", pa.int64()), ("ref_bytes", pa.int64()),
+    ])
+
+
+def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
+                  kinds, key_cols, text_cols) -> dict:
+    n = table.num_rows
+    pieces = []
+    desc_cols = []
+    bytes_in = 0
+    ref_bytes = 0
+    for name, kind in kinds:
+        arr = table.column(name).combine_chunks()
+        blob, d, b_in, b_ref = _encode_column(arr, kind, name in text_cols)
+        d["o"] = sum(len(p) for p in pieces)
+        d["l"] = len(blob)
+        d["n"] = name
+        pieces.append(blob)
+        desc_cols.append(d)
+        bytes_in += b_in
+        ref_bytes += b_ref
+    payload = b"".join(pieces)
+    key = lambda i: "|".join(str(table.column(k)[i].as_py())
+                             for k in key_cols)
+    return {
+        "bucket": bucket, "block_idx": block_idx, "n": n,
+        "key_min": key(0), "key_max": key(n - 1),
+        "payload": payload,
+        "desc": json.dumps({"cols": desc_cols}),
+        "bytes_in": bytes_in,
+        "bytes_out": len(payload),
+        "ref_bytes": ref_bytes,
+    }
 
 
 def make_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
                    block_rows: int, text_cols: frozenset[str]):
-    """Build the applyInPandas kernel: sort one bucket by the stable key,
-    cut into blocks, encode every column of every block."""
+    """Streaming mapInArrow encode kernel.
 
-    def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(pdf["_bucket"].iloc[0]) if len(pdf) else -1
-        pdf = pdf.sort_values(key_cols, kind="mergesort")
-        rows = []
-        nrows = len(pdf)
-        for bi, lo in enumerate(range(0, nrows, block_rows)):
-            chunk = pdf.iloc[lo:lo + block_rows]
-            n = len(chunk)
-            pieces = []
-            desc_cols = []
-            bytes_in = 0
-            ref_bytes = 0
-            for name, kind in kinds:
-                blob, d, b_in, b_ref = _encode_column(
-                    chunk[name], kind, name in text_cols)
-                d["o"] = sum(len(p) for p in pieces)
-                d["l"] = len(blob)
-                d["n"] = name
-                pieces.append(blob)
-                desc_cols.append(d)
-                bytes_in += b_in
-                ref_bytes += b_ref
-            payload = b"".join(pieces)
-            key0 = "|".join(str(chunk[k].iloc[0]) for k in key_cols)
-            key1 = "|".join(str(chunk[k].iloc[-1]) for k in key_cols)
-            rows.append({
-                "bucket": bucket, "block_idx": bi, "n": n,
-                "key_min": key0, "key_max": key1,
-                "payload": payload,
-                "desc": json.dumps({"cols": desc_cols}),
-                "bytes_in": bytes_in,
-                "bytes_out": len(payload),
-                "ref_bytes": ref_bytes,
-            })
-        return pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+    Input partitions are hash-distributed by ``_bucket`` and sorted by
+    (_bucket, *key_cols), so each bucket's rows arrive contiguously in
+    stable-key order. The kernel buffers at most ``block_rows`` rows of
+    zero-copy RecordBatch slices at a time — executor memory is bounded
+    by the block size, never by the bucket/partition size (the 100 TB
+    constraint: a partition can be arbitrarily large, Arrow streams it
+    in ~10k-row batches). No pandas object arrays are ever created."""
 
-    return encode_bucket
+    def encode_stream(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        out_schema = _block_arrow_schema()
+        buf: list[pa.RecordBatch] = []
+        buffered = 0
+        cur_bucket: Optional[int] = None
+        block_idx = 0
+
+        def flush(out_rows):
+            nonlocal buf, buffered, block_idx
+            if not buffered:
+                return
+            table = pa.Table.from_batches(buf)
+            out_rows.append(_encode_chunk(table, cur_bucket, block_idx,
+                                          kinds, key_cols, text_cols))
+            block_idx += 1
+            buf = []
+            buffered = 0
+
+        def emit(out_rows):
+            return pa.RecordBatch.from_pylist(out_rows, schema=out_schema)
+
+        for batch in batches:
+            out_rows: list[dict] = []
+            while batch.num_rows:
+                bvals = batch.column("_bucket").to_numpy()
+                if cur_bucket is None:
+                    cur_bucket = int(bvals[0])
+                mask = bvals == cur_bucket
+                run = batch.num_rows if mask.all() else int(np.argmin(mask))
+                if run == 0:
+                    flush(out_rows)
+                    cur_bucket = int(bvals[0])
+                    block_idx = 0
+                    continue
+                take = min(run, block_rows - buffered)
+                buf.append(batch.slice(0, take))  # zero-copy
+                buffered += take
+                batch = batch.slice(take)
+                if buffered >= block_rows:
+                    flush(out_rows)
+            if out_rows:
+                yield emit(out_rows)
+        out_rows = []
+        flush(out_rows)
+        if out_rows:
+            yield emit(out_rows)
+
+    return encode_stream
 
 
-def make_decode_fn(kinds: list[tuple[str, str]]):
-    """mapInPandas kernel: each encoded block row expands to its rows.
-    No shuffle — blocks decode independently (SURVEY.md §3.2)."""
+def make_decode_fn(kinds: list[tuple[str, str]], arrow_schema_bytes: bytes):
+    """mapInArrow kernel: each encoded block row expands to its rows.
+    No shuffle — blocks decode independently (SURVEY.md §3.2). The
+    target arrow schema (incl. Spark's timestamp tz convention) is
+    serialized on the driver and rebuilt in the worker."""
 
-    def decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                desc = json.loads(row["desc"])
-                payload = row["payload"]
-                n = int(row["n"])
-                out = {}
-                for d in desc["cols"]:
+    def decode_blocks(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        out_schema = pa.ipc.read_schema(pa.py_buffer(arrow_schema_bytes))
+        for batch in batches:
+            descs = batch.column("desc").to_pylist()
+            payloads = batch.column("payload")
+            ns = batch.column("n").to_pylist()
+            for i in range(batch.num_rows):
+                desc = json.loads(descs[i])
+                payload = payloads[i].as_py()
+                n = int(ns[i])
+                cols = []
+                for d, field in zip(desc["cols"], out_schema):
                     blob = payload[d["o"]:d["o"] + d["l"]]
-                    out[d["n"]] = _decode_column(bytes(blob), d["k"], n)
-                yield pd.DataFrame(out)
+                    cols.append(_decode_column(blob, d["k"], n, field.type))
+                yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
     return decode_blocks
 
@@ -225,14 +303,104 @@ def encode_df(df: DataFrame, key_cols: list[str], n_buckets: int = 32,
     if bucket_filter is not None:
         df = df.filter(F.col("_bucket").isin([int(b) for b in bucket_filter]))
     fn = make_encode_fn(kinds, key_cols, block_rows, text_cols)
-    return df.groupBy("_bucket").applyInPandas(fn, schema=BLOCK_SCHEMA)
+    # One shuffle (repartition by bucket) + in-partition sort; the encode
+    # kernel then streams Arrow batches with O(block_rows) memory.
+    df = (df.repartition(n_buckets, F.col("_bucket"))
+            .sortWithinPartitions("_bucket", *key_cols))
+    return df.mapInArrow(fn, schema=BLOCK_SCHEMA)
+
+
+def make_file_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
+                        block_rows: int, text_cols: frozenset[str],
+                        arrow_batch_rows: int = 16384):
+    """Encode kernel that PULLS its input: each task row names a staged
+    parquet file (one bucket) which the worker reads directly via
+    pyarrow's C++ reader. The bulk bytes never cross the JVM<->Python
+    pipe — only (path, bucket) goes in and compressed blocks come out.
+    (On this sandbox the pipe layer collapses under concurrency; on a
+    real cluster this is still the cheaper path: arrow IPC
+    serialization is skipped and the columnar decode happens where the
+    data is consumed.)"""
+    inner = make_encode_fn(kinds, key_cols, block_rows, text_cols)
+
+    def encode_files(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def row_batches():
+            for task in batches:
+                paths = task.column("path").to_pylist()
+                buckets = task.column("bucket").to_pylist()
+                for path, bucket in zip(paths, buckets):
+                    pf = pq.ParquetFile(path)
+                    for rb in pf.iter_batches(batch_size=arrow_batch_rows):
+                        bcol = pa.array(
+                            np.full(rb.num_rows, bucket, dtype=np.int32))
+                        yield pa.RecordBatch.from_arrays(
+                            list(rb.columns) + [bcol],
+                            names=list(rb.schema.names) + ["_bucket"])
+        yield from inner(row_batches())
+
+    return encode_files
+
+
+def encode_df_staged(df: DataFrame, key_cols: list[str], staging_dir: str,
+                     n_buckets: int = 32, block_rows: int = 65536,
+                     chunk_rows: int = 8192,
+                     text_cols: Optional[list[str]] = None,
+                     bucket_filter: Optional[list[int]] = None) -> DataFrame:
+    """Two-phase encode: (1) JVM-only shuffle+sort materialized to a
+    staging parquet directory laid out ``_bucket=<k>/`` (exactly one
+    sorted file per bucket — no hash-collision skew); (2) python
+    workers read staged files directly (no bulk pipe transfer) and emit
+    compressed blocks.
+
+    Phase boundaries also make the shuffle restartable for free: the
+    staging directory is a reusable artifact of the expensive wide op.
+    """
+    import glob
+    import re
+
+    spark = df.sparkSession
+    kinds = column_kinds(df.schema)
+    conv_col = key_cols[0]
+    order_col = key_cols[1] if len(key_cols) > 1 else None
+    text_cols_f = frozenset(text_cols or [])
+    # micros on disk so pyarrow reads timestamp[us] (INT96/nanos would
+    # silently change the int64 scale the ts codec round-trips through)
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    staged = with_bucket(df, conv_col, order_col, n_buckets, chunk_rows)
+    if bucket_filter is not None:
+        staged = staged.filter(
+            F.col("_bucket").isin([int(b) for b in bucket_filter]))
+    # Sort MUST lead with _bucket: FileFormatWriter requires output
+    # ordered by the partition columns and would otherwise insert its
+    # own (non-stable) sort on _bucket, scrambling the key order inside
+    # each bucket file.
+    (staged.repartition(n_buckets, F.col("_bucket"))
+           .sortWithinPartitions("_bucket", *key_cols)
+           .write.mode("overwrite").partitionBy("_bucket")
+           .parquet(staging_dir))
+    files = sorted(glob.glob(
+        os.path.join(staging_dir, "_bucket=*", "part-*.parquet")))
+    rows = [(f, int(re.search(r"_bucket=(\d+)", f).group(1)))
+            for f in files]
+    fdf = spark.createDataFrame(rows, "path string, bucket int") \
+               .repartition(max(len(rows), 1))
+    fn = make_file_encode_fn(kinds, key_cols, block_rows, text_cols_f)
+    return fdf.mapInArrow(fn, schema=BLOCK_SCHEMA)
 
 
 def decode_df(blocks: DataFrame, schema_kinds: list[tuple[str, str]]) -> DataFrame:
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
     out_schema = T.StructType(
         [T.StructField(n, spark_type_of(k)) for n, k in schema_kinds])
-    fn = make_decode_fn(schema_kinds)
-    return blocks.mapInPandas(fn, schema=out_schema)
+    arrow_schema = to_arrow_schema(out_schema)
+    fn = make_decode_fn(schema_kinds, arrow_schema.serialize().to_pybytes())
+    return blocks.mapInArrow(fn, schema=out_schema)
 
 
 def roundtrip_df(df: DataFrame, key_cols: list[str], **kw) -> DataFrame:

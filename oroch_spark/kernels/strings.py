@@ -40,6 +40,8 @@ import pyarrow as pa
 from . import fsst
 from . import integers as ic
 
+import pyarrow.compute as pc
+
 PLAIN_STR = 16
 DICT_STR = 17
 RLE_STR = 18
@@ -77,30 +79,66 @@ class StrDescriptor:
 # pandas/pyarrow <-> (lengths, concatenated utf8) without per-row Python
 # ---------------------------------------------------------------------------
 
-def series_to_bytes(values) -> tuple[np.ndarray, np.ndarray]:
-    """-> (lengths int64, data uint8). Nulls are rejected (v0 engine
-    contract: the transcript schema is null-free; '' stands for missing)."""
-    arr = pa.array(values, type=pa.large_string())
-    if arr.null_count:
+def to_string_array(values) -> pa.Array:
+    """Normalize input to a flat pa.StringArray/LargeStringArray without
+    copying the character data. Nulls are rejected (v0 engine contract:
+    the transcript schema is null-free; '' stands for missing)."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if not isinstance(values, pa.Array):
+        values = pa.array(values, type=pa.large_string())
+    if not (pa.types.is_large_string(values.type)
+            or pa.types.is_string(values.type)):
+        values = values.cast(pa.large_string())
+    if values.null_count:
         raise ValueError("null strings not supported in v0 blocks")
+    return values
+
+
+# backwards-compatible alias (tests / older callers)
+def to_large_string(values) -> pa.Array:
+    arr = to_string_array(values)
+    if not pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_string())
+    return arr
+
+
+def arrow_to_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """String array -> (lengths int64, data uint8), zero-copy buffer
+    views (no per-string Python objects). Handles both 32-bit
+    (pa.string) and 64-bit (pa.large_string) offsets natively — no cast
+    copy of the character data."""
     buf_off, buf_data = arr.buffers()[1], arr.buffers()[2]
-    offsets = np.frombuffer(buf_off, dtype=np.int64,
-                            count=len(arr) + 1, offset=8 * arr.offset)
+    if pa.types.is_large_string(arr.type):
+        offsets = np.frombuffer(buf_off, dtype=np.int64,
+                                count=len(arr) + 1, offset=8 * arr.offset)
+    else:
+        offsets = np.frombuffer(buf_off, dtype=np.int32,
+                                count=len(arr) + 1,
+                                offset=4 * arr.offset).astype(np.int64)
     data = np.frombuffer(buf_data, dtype=np.uint8)[offsets[0]:offsets[-1]]
     lengths = np.diff(offsets)
     return lengths.astype(np.int64), np.ascontiguousarray(data)
 
 
-def bytes_to_series(lengths: np.ndarray, data: np.ndarray) -> pd.Series:
+def series_to_bytes(values) -> tuple[np.ndarray, np.ndarray]:
+    """-> (lengths int64, data uint8); accepts pandas/numpy/arrow."""
+    return arrow_to_bytes(to_large_string(values))
+
+
+def bytes_to_arrow(lengths: np.ndarray, data: np.ndarray) -> pa.Array:
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
-    arr = pa.LargeStringArray.from_buffers(
+    return pa.LargeStringArray.from_buffers(
         len(lengths),
         pa.py_buffer(offsets.tobytes()),
         pa.py_buffer(np.ascontiguousarray(data).tobytes()),
         None, 0,
     )
-    return arr.to_pandas()
+
+
+def bytes_to_series(lengths: np.ndarray, data: np.ndarray) -> pd.Series:
+    return bytes_to_arrow(lengths, data).to_pandas()
 
 
 def _sized(blob: bytes) -> bytes:
@@ -124,28 +162,41 @@ def _encode_plain(lengths, data) -> bytes:
     return bytes([PLAIN_STR]) + _sized(_int_blob(lengths)) + data.tobytes()
 
 
-def _encode_dict(codes: np.ndarray, uniques: np.ndarray) -> bytes:
-    dl, dd = series_to_bytes(pd.Series(uniques, dtype=object))
-    return (bytes([DICT_STR])
-            + ic.varint_encode_scalar(len(uniques))
+def _dict_section(dict_arr: pa.Array) -> bytes:
+    dl, dd = arrow_to_bytes(dict_arr)
+    return (ic.varint_encode_scalar(len(dict_arr))
             + _sized(_int_blob(dl))
-            + dd.tobytes()
+            + dd.tobytes())
+
+
+def _read_dict_section(blob: bytes, pos: int) -> tuple[pa.Array, int]:
+    ndict, pos = ic.varint_decode_scalar(blob, pos)
+    dl_blob, pos = _read_sized(blob, pos)
+    dlens = ic.decode_block(dl_blob, ndict, width=4)
+    dsize = int(dlens.sum())
+    ddata = np.frombuffer(blob, dtype=np.uint8, offset=pos, count=dsize)
+    return bytes_to_arrow(dlens, ddata), pos + dsize
+
+
+def _encode_dict(codes: np.ndarray, dict_arr: pa.Array) -> bytes:
+    return (bytes([DICT_STR])
+            + _dict_section(dict_arr)
             + _int_blob(codes))
 
 
-def _encode_rle(codes: np.ndarray, values) -> bytes:
-    """values: object array of per-run strings; codes only used to find
-    runs (callers pass factorized codes)."""
+def _encode_rle(codes: np.ndarray, dict_arr: pa.Array) -> bytes:
+    """RLE over dictionary codes: run lengths + run-value dict indices +
+    the dictionary itself. (Layout change vs v0: run values are dict
+    references, so repeated run values are stored once.)"""
     boundaries = np.flatnonzero(np.diff(codes) != 0) + 1
     starts = np.concatenate([[0], boundaries])
     run_len = np.diff(np.concatenate([starts, [len(codes)]]))
-    run_vals = values[starts]
-    rl, rd = series_to_bytes(pd.Series(run_vals, dtype=object))
+    run_idx = codes[starts]
     return (bytes([RLE_STR])
             + ic.varint_encode_scalar(len(starts))
             + _sized(_int_blob(run_len))
-            + _sized(_int_blob(rl))
-            + rd.tobytes())
+            + _dict_section(dict_arr)
+            + _int_blob(run_idx))
 
 
 def _encode_fsst(lengths, data) -> Optional[bytes]:
@@ -169,17 +220,21 @@ def encode_str_block(values, text_hint: bool = False
                      ) -> tuple[bytes, StrDescriptor]:
     """Auto-select and encode one string block.
 
-    ``values``: pandas Series or numpy object array of str (no nulls).
-    ``text_hint``: force trying FSST even when gates would skip it.
+    ``values``: pa.Array / pa.ChunkedArray / pandas Series / numpy
+    object array of str (no nulls). Arrow-native throughout — no
+    per-string Python objects. ``text_hint`` forces trying FSST even
+    when gates would skip it.
     """
-    if isinstance(values, pd.Series):
-        values = values.to_numpy()
-    n = len(values)
-    lengths, data = series_to_bytes(values)
+    arr = to_string_array(values)
+    n = len(arr)
+    lengths, data = arrow_to_bytes(arr)
     total_bytes = int(lengths.sum())
 
     # Reference baseline: plain with lengths at the Oroch model cost.
     len_desc = ic.select(lengths.astype(np.int64), width=4, try_delta=True)
+    len_blob = ic.encode_block(lengths, desc=None, width=4, try_delta=True)
+    plain_size = 1 + ic.varint_size_scalar(len(len_blob)) \
+        + len(len_blob) + total_bytes
     ref_total = (1 + ic.varint_size_scalar(len_desc.ref_total)
                  + len_desc.ref_total + total_bytes)
 
@@ -187,62 +242,72 @@ def encode_str_block(values, text_hint: bool = False
         blob = _encode_plain(lengths, data)
         return blob, StrDescriptor(PLAIN_STR, 0, ref_total, len(blob))
 
-    codes, uniques = pd.factorize(pd.Series(values), sort=True)
-    u = len(uniques)
-    nruns = 1 + int(np.count_nonzero(np.diff(codes)))
-
-    best = _encode_plain(lengths, data)
-    best_codec = PLAIN_STR
-    # Strict-less compare in fixed order (dict, rle, fsst) — mirrors the
-    # reference's compare discipline (`integer_codec.h:405-420`).
-    if u <= max(1, int(n * DICT_MAX_RATIO)) or u <= 256:
-        if u <= DICT_MAX_ABS:
-            cand = _encode_dict(codes, uniques)
-            if len(cand) < len(best):
-                best, best_codec = cand, DICT_STR
-    if nruns <= max(1, int(n * RLE_MAX_RATIO)):
-        cand = _encode_rle(codes, values)
-        if len(cand) < len(best):
-            best, best_codec = cand, RLE_STR
     avg = total_bytes / n
+    # Long-string blocks (text) skip the dictionary machinery entirely:
+    # natural-language blocks essentially never dedup/run, and the C++
+    # hash pass over the full character data is pure overhead.
+    try_dict = avg < 32 or not (text_hint or total_bytes >= FSST_MIN_BYTES)
+
+    best: Optional[bytes] = None  # plain materialized lazily
+    best_size = plain_size
+    best_codec = PLAIN_STR
+    if try_dict:
+        denc = pc.dictionary_encode(arr)  # C++ hash table; deterministic
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_arr = to_large_string(denc.dictionary)
+        u = len(dict_arr)
+        nruns = 1 + int(np.count_nonzero(np.diff(codes)))
+        # Strict-less compare in fixed order (dict, rle, fsst) — mirrors
+        # the reference's compare discipline (`integer_codec.h:405-420`).
+        if (u <= max(1, int(n * DICT_MAX_RATIO)) or u <= 256) \
+                and u <= DICT_MAX_ABS:
+            cand = _encode_dict(codes, dict_arr)
+            if len(cand) < best_size:
+                best, best_size, best_codec = cand, len(cand), DICT_STR
+        if nruns <= max(1, int(n * RLE_MAX_RATIO)):
+            cand = _encode_rle(codes, dict_arr)
+            if len(cand) < best_size:
+                best, best_size, best_codec = cand, len(cand), RLE_STR
+    else:
+        u = n  # assumed distinct; only affects the FSST gate below
     if (text_hint or (avg >= FSST_MIN_AVG_LEN
                       and total_bytes >= FSST_MIN_BYTES
                       and u > n // 8)):
         cand = _encode_fsst(lengths, data)
-        if cand is not None and len(cand) < len(best):
-            best, best_codec = cand, FSST_STR
+        if cand is not None and len(cand) < best_size:
+            best, best_size, best_codec = cand, len(cand), FSST_STR
 
+    if best is None:
+        best = (bytes([PLAIN_STR]) + _sized(len_blob) + data.tobytes())
     return best, StrDescriptor(best_codec, n, ref_total, len(best))
 
 
-def decode_str_block(blob: bytes, n: int) -> pd.Series:
+def _from_dict_codes(codes: np.ndarray, dict_arr: pa.Array) -> pa.Array:
+    ind = pa.array(codes.astype(np.int32), type=pa.int32())
+    return (pa.DictionaryArray.from_arrays(ind, dict_arr)
+            .cast(pa.large_string()))
+
+
+def decode_str_block_arrow(blob: bytes, n: int) -> pa.Array:
     tag = blob[0]
     pos = 1
     if tag == PLAIN_STR:
         len_blob, pos = _read_sized(blob, pos)
         lengths = ic.decode_block(len_blob, n, width=4)
         data = np.frombuffer(blob, dtype=np.uint8, offset=pos)
-        return bytes_to_series(lengths, data[: int(lengths.sum())])
+        return bytes_to_arrow(lengths, data[: int(lengths.sum())])
     if tag == DICT_STR:
-        ndict, pos = ic.varint_decode_scalar(blob, pos)
-        dl_blob, pos = _read_sized(blob, pos)
-        dlens = ic.decode_block(dl_blob, ndict, width=4)
-        dsize = int(dlens.sum())
-        ddata = np.frombuffer(blob, dtype=np.uint8, offset=pos, count=dsize)
-        pos += dsize
-        uniques = bytes_to_series(dlens, ddata).to_numpy()
+        dict_arr, pos = _read_dict_section(blob, pos)
         codes = ic.decode_block(blob[pos:], n, width=4)
-        return pd.Series(uniques[codes], dtype=object)
+        return _from_dict_codes(codes, dict_arr)
     if tag == RLE_STR:
         nruns, pos = ic.varint_decode_scalar(blob, pos)
         rl_blob, pos = _read_sized(blob, pos)
         run_len = ic.decode_block(rl_blob, nruns, width=4)
-        vl_blob, pos = _read_sized(blob, pos)
-        val_len = ic.decode_block(vl_blob, nruns, width=4)
-        vdata = np.frombuffer(blob, dtype=np.uint8, offset=pos,
-                              count=int(val_len.sum()))
-        run_vals = bytes_to_series(val_len, vdata).to_numpy()
-        return pd.Series(np.repeat(run_vals, run_len), dtype=object)
+        dict_arr, pos = _read_dict_section(blob, pos)
+        run_idx = ic.decode_block(blob[pos:], nruns, width=4)
+        codes = np.repeat(run_idx, run_len)
+        return _from_dict_codes(codes, dict_arr)
     if tag == FSST_STR:
         table, pos = fsst.deserialize_table(blob, pos)
         el_blob, pos = _read_sized(blob, pos)
@@ -250,5 +315,9 @@ def decode_str_block(blob: bytes, n: int) -> pd.Series:
         enc = np.frombuffer(blob, dtype=np.uint8, offset=pos,
                             count=int(enc_lens.sum()))
         data, dec_lens = fsst.decode_split(enc, enc_lens, table)
-        return bytes_to_series(dec_lens, data)
+        return bytes_to_arrow(dec_lens, data)
     raise ValueError(f"bad string codec tag {tag}")
+
+
+def decode_str_block(blob: bytes, n: int) -> pd.Series:
+    return decode_str_block_arrow(blob, n).to_pandas()

@@ -1,0 +1,53 @@
+"""Incremental (streaming) encode: Structured Streaming front-end.
+
+The reference has no streaming surface (SURVEY.md §2.6); this is the
+Spark-idiomatic extension: new transcript rows arrive on a stream, each
+micro-batch is encoded with the same kernels and appended to the blocks
+table as a new snapshot increment. Because blocks are self-contained
+(bucket, block_idx scoped by batch), readers never need cross-batch
+state; compaction (re-blocking small increments) is a batch job reusing
+``engine.encode_df``.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import engine
+
+
+def encode_stream(stream_df: DataFrame, out_dir: str,
+                  key_cols: list[str], n_buckets: int = 32,
+                  block_rows: int = 65536, chunk_rows: int = 8192,
+                  text_cols: Optional[list[str]] = None,
+                  checkpoint_dir: Optional[str] = None,
+                  trigger_once: bool = False):
+    """Start a streaming query that encodes every micro-batch and
+    appends its blocks (tagged with the batch id) to
+    ``out_dir/blocks_stream``. Exactly-once via the streaming
+    checkpoint + idempotent batch-id tagging."""
+    blocks_path = os.path.join(out_dir, "blocks_stream")
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_stream_ckpt")
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        blocks = engine.encode_df(
+            batch_df, key_cols, n_buckets=n_buckets,
+            block_rows=block_rows, chunk_rows=chunk_rows,
+            text_cols=text_cols)
+        (blocks.withColumn("batch_id", F.lit(batch_id))
+               .write.mode("append").parquet(blocks_path))
+
+    writer = (stream_df.writeStream
+              .foreachBatch(handle_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_stream_blocks(spark, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "blocks_stream"))

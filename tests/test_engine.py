@@ -50,6 +50,34 @@ class TestRoundtrip:
         assert engine.checksum_df(src) == engine.checksum_df(dec)
         assert src.count() == dec.count()
 
+    def test_staged_roundtrip_bit_identical(self, spark, tiny, tmp_path):
+        # two-phase encode: JVM shuffle -> bucket-partitioned staging
+        # parquet -> python workers read files directly
+        blocks = engine.encode_df_staged(
+            tiny, ["conv_id", "turn_idx"],
+            staging_dir=str(tmp_path / "stage"),
+            n_buckets=6, block_rows=512, text_cols=["text"])
+        dec = engine.decode_df(blocks, engine.column_kinds(tiny.schema))
+        assert engine.checksum_df(dec) == engine.checksum_df(tiny)
+        # exactly one staged file per non-empty bucket
+        import glob
+        files = glob.glob(str(tmp_path / "stage" / "_bucket=*" / "part-*"))
+        assert 0 < len(files) <= 6
+
+    def test_staged_matches_direct_blocks(self, spark, tiny, tmp_path):
+        direct = engine.encode_df(tiny, ["conv_id", "turn_idx"],
+                                  n_buckets=6, block_rows=512,
+                                  text_cols=["text"]).toPandas()
+        staged = engine.encode_df_staged(
+            tiny, ["conv_id", "turn_idx"],
+            staging_dir=str(tmp_path / "st2"),
+            n_buckets=6, block_rows=512, text_cols=["text"]).toPandas()
+        a = direct.sort_values(["bucket", "block_idx"]).reset_index(drop=True)
+        b = staged.sort_values(["bucket", "block_idx"]).reset_index(drop=True)
+        assert a.n.tolist() == b.n.tolist()
+        assert a.key_min.tolist() == b.key_min.tolist()
+        assert a.bytes_out.sum() == b.bytes_out.sum()
+
     def test_compression_beats_reference_budget(self, spark, tiny):
         blocks = engine.encode_df(tiny, ["conv_id", "turn_idx"],
                                   n_buckets=4, text_cols=["text"]).toPandas()
