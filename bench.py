@@ -26,9 +26,13 @@ N_CONV = int(os.environ.get("OROCH_BENCH_CONV", "2000"))
 # Fixed partitioning: the job must be IDENTICAL at every parallelism
 # level (the two-cluster-size rule compares throughput on the same job).
 N_BUCKETS = int(os.environ.get("OROCH_BENCH_BUCKETS", "128"))
-# staged=1: two-phase encode (JVM shuffle -> staged parquet -> python
-# workers read files directly). See engine.encode_df_staged.
-STAGED = os.environ.get("OROCH_BENCH_STAGED", "1") == "1"
+N_SRC_FILES = int(os.environ.get("OROCH_BENCH_SRC_FILES", "64"))
+# Encode mode for the headline metric:
+#   maponly  (default) shuffle-free encode of the conv-clustered source
+#            (engine.encode_parquet_maponly) — the plan that scales
+#   staged   two-phase: JVM shuffle -> staged parquet -> python workers
+#   shuffle  single-plan salted repartition + mapInArrow
+MODE = os.environ.get("OROCH_BENCH_MODE", "maponly")
 
 
 def build_spark(cores: int):
@@ -82,15 +86,23 @@ def main() -> None:
     import tempfile
 
     src_dir = os.path.join(tempfile.gettempdir(),
-                           f"oroch_bench_src_{N_CONV}")
+                           f"oroch_bench_src_{N_CONV}_{N_SRC_FILES}f")
     if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
-        transcripts.generate(spark, N_CONV, seed=42) \
+        # Fixed file count + per-conversation seeding + in-partition id
+        # sort => byte-identical source layout at every parallelism
+        # level (the input to the two-cluster-size comparison).
+        transcripts.generate(spark, N_CONV, seed=42,
+                             partitions=N_SRC_FILES) \
             .write.mode("overwrite").parquet(src_dir)
     src = spark.read.parquet(src_dir)
     n_turns = src.count()
 
     def encode_run():
-        if STAGED:
+        if MODE == "maponly":
+            blocks = engine.encode_parquet_maponly(
+                spark, src_dir, ["conv_id", "turn_idx"],
+                text_cols=["text"])
+        elif MODE == "staged":
             blocks = engine.encode_df_staged(
                 src, ["conv_id", "turn_idx"],
                 staging_dir=tempfile.mkdtemp(prefix="oroch_stage_"),
@@ -116,9 +128,9 @@ def main() -> None:
     })
 
     # --- decode (round-trip half) ---------------------------------------
-    blocks = engine.encode_df(src, ["conv_id", "turn_idx"],
-                              n_buckets=N_BUCKETS,
-                              text_cols=["text"]).persist()
+    blocks = engine.encode_parquet_maponly(
+        spark, src_dir, ["conv_id", "turn_idx"],
+        text_cols=["text"]).persist()
     blocks.count()
     kinds = engine.column_kinds(src.schema)
     timed("decode_transcripts",

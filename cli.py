@@ -1,0 +1,220 @@
+"""spark-submit entry point for the oroch_spark encode/decode engine.
+
+Cluster usage (north rule: the job runs via ``spark-submit --py-files``
+on multi-executor clusters):
+
+    python3 cli.py zip                      # -> dist/oroch_spark.zip
+    spark-submit --py-files dist/oroch_spark.zip cli.py encode \
+        --src  /path/to/transcripts_parquet \
+        --out  /path/to/encoded \
+        --keys conv_id,turn_idx --text-cols text \
+        --mode maponly                      # or staged / shuffle
+    spark-submit --py-files dist/oroch_spark.zip cli.py verify \
+        --src /path/to/transcripts_parquet --out /path/to/encoded
+    spark-submit --py-files dist/oroch_spark.zip cli.py metrics \
+        --out /path/to/encoded
+
+``encode`` is checkpointed: rerunning after an interruption resumes
+from the per-bucket manifest (shuffle/staged modes via
+``checkpoint.encode_job``; maponly re-encodes only files without a
+manifest row). ``metrics`` prints the per-partition throughput rollup
+(rows, bytes in/out, codec histogram, encode wall, rows/sec) the north
+rule asks the job to emit.
+
+Local smoke run (no cluster):
+
+    python3 cli.py encode --src ... --out ... --master "local[8]"
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import zipfile
+
+
+def make_zip(repo_root: str) -> str:
+    """Package oroch_spark/ into dist/oroch_spark.zip for --py-files."""
+    dist = os.path.join(repo_root, "dist")
+    os.makedirs(dist, exist_ok=True)
+    out = os.path.join(dist, "oroch_spark.zip")
+    pkg = os.path.join(repo_root, "oroch_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for base, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".pyc") or "__pycache__" in base:
+                    continue
+                full = os.path.join(base, f)
+                zf.write(full, os.path.relpath(full, repo_root))
+    return out
+
+
+def build_session(master: str | None):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("oroch-spark-cli")
+    if master:  # local runs; under spark-submit the conf wins
+        b = b.master(master)
+    return b.getOrCreate()
+
+
+def cmd_encode(args) -> None:
+    from oroch_spark import checkpoint, engine
+    from oroch_spark.sources.table import snapshot_of_dir
+    from pyspark.sql import functions as F
+
+    spark = build_session(args.master)
+    keys = args.keys.split(",")
+    text_cols = args.text_cols.split(",") if args.text_cols else None
+    snapshot_id = args.snapshot_id or snapshot_of_dir(args.src)
+
+    if args.mode == "maponly":
+        blocks_path = os.path.join(args.out, "blocks")
+        manifest_path = os.path.join(args.out, "manifest")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        done = checkpoint._done_buckets(spark, manifest_path, snapshot_id)
+        import glob
+        ordinals = {f: i for i, f in enumerate(
+            sorted(glob.glob(os.path.join(args.src, "*.parquet"))))}
+        blocks = engine.encode_parquet_maponly(
+            spark, args.src, keys, block_rows=args.block_rows,
+            text_cols=text_cols,
+            file_filter=None if not done
+            else (lambda f: ordinals[f] not in done))
+        blocks.persist()
+        try:
+            (blocks.write.partitionBy("bucket").mode("overwrite")
+                   .parquet(blocks_path))
+            manifest = engine.manifest_rows(blocks, snapshot_id, "cli")
+            manifest.write.mode("append").parquet(manifest_path)
+        finally:
+            blocks.unpersist()
+    else:
+        df = spark.read.parquet(args.src)
+        if args.mode == "staged":
+            blocks = engine.encode_df_staged(
+                df, keys, staging_dir=os.path.join(args.out, "_staging"),
+                n_buckets=args.buckets, block_rows=args.block_rows,
+                text_cols=text_cols)
+            blocks.persist()
+            try:
+                (blocks.write.partitionBy("bucket").mode("overwrite")
+                       .parquet(os.path.join(args.out, "blocks")))
+                engine.manifest_rows(blocks, snapshot_id, "cli") \
+                      .write.mode("append") \
+                      .parquet(os.path.join(args.out, "manifest"))
+            finally:
+                blocks.unpersist()
+        else:
+            checkpoint.encode_job(
+                spark, df, args.out, keys, snapshot_id,
+                n_buckets=args.buckets, block_rows=args.block_rows,
+                text_cols=text_cols,
+                buckets_per_stage=args.buckets_per_stage)
+    summary = (spark.read.parquet(os.path.join(args.out, "blocks"))
+               .agg(F.sum("n").alias("rows"),
+                    F.sum("bytes_in").alias("bytes_in"),
+                    F.sum("bytes_out").alias("bytes_out"),
+                    F.sum("ref_bytes").alias("ref_bytes"),
+                    F.sum("wall_ms").alias("encode_wall_ms"))
+               .collect()[0].asDict())
+    summary["snapshot_id"] = snapshot_id
+    print(json.dumps({k: (float(v) if v is not None else None)
+                      if k == "encode_wall_ms" else v
+                      for k, v in summary.items()}, default=int))
+    spark.stop()
+
+
+def cmd_decode(args) -> None:
+    from oroch_spark import engine
+
+    spark = build_session(args.master)
+    blocks = spark.read.parquet(os.path.join(args.out, "blocks"))
+    import pyarrow.parquet as pq
+    import glob
+    src_file = sorted(glob.glob(os.path.join(args.src, "*.parquet")))[0]
+    kinds = engine.arrow_column_kinds(pq.read_schema(src_file))
+    dec = engine.decode_df(blocks, kinds)
+    dec.write.mode("overwrite").parquet(args.dest)
+    print(json.dumps({"rows": spark.read.parquet(args.dest).count()}))
+    spark.stop()
+
+
+def cmd_verify(args) -> None:
+    from oroch_spark import engine
+
+    spark = build_session(args.master)
+    src = spark.read.parquet(args.src)
+    blocks = spark.read.parquet(os.path.join(args.out, "blocks"))
+    kinds = engine.column_kinds(src.schema)
+    dec = engine.decode_df(blocks, kinds).select(*[n for n, _ in kinds])
+    src = src.select(*[n for n, _ in kinds])
+    ok = (engine.checksum_df(src) == engine.checksum_df(dec)
+          and src.count() == dec.count())
+    print(json.dumps({"bit_identical": bool(ok)}))
+    spark.stop()
+    if not ok:
+        sys.exit(1)
+
+
+def cmd_metrics(args) -> None:
+    spark = build_session(args.master)
+    m = spark.read.parquet(os.path.join(args.out, "manifest"))
+    for row in m.orderBy("bucket").collect():
+        d = row.asDict()
+        d["completed_at"] = str(d.get("completed_at"))
+        print(json.dumps(d, default=str))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="oroch-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    z = sub.add_parser("zip", help="build dist/oroch_spark.zip")
+
+    def common(p):
+        p.add_argument("--master", default=None)
+        p.add_argument("--out", required=True)
+
+    e = sub.add_parser("encode")
+    common(e)
+    e.add_argument("--src", required=True)
+    e.add_argument("--keys", default="conv_id,turn_idx")
+    e.add_argument("--text-cols", default="text")
+    e.add_argument("--mode", default="maponly",
+                   choices=["maponly", "staged", "shuffle"])
+    e.add_argument("--buckets", type=int, default=128)
+    e.add_argument("--block-rows", type=int, default=65536)
+    e.add_argument("--buckets-per-stage", type=int, default=None)
+    e.add_argument("--snapshot-id", default=None)
+
+    d = sub.add_parser("decode")
+    common(d)
+    d.add_argument("--src", required=True)
+    d.add_argument("--dest", required=True)
+
+    v = sub.add_parser("verify")
+    common(v)
+    v.add_argument("--src", required=True)
+
+    m = sub.add_parser("metrics")
+    common(m)
+
+    args = ap.parse_args()
+    if args.cmd == "zip":
+        print(make_zip(os.path.dirname(os.path.abspath(__file__))))
+    elif args.cmd == "encode":
+        cmd_encode(args)
+    elif args.cmd == "decode":
+        cmd_decode(args)
+    elif args.cmd == "verify":
+        cmd_verify(args)
+    elif args.cmd == "metrics":
+        cmd_metrics(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,7 @@ BLOCK_SCHEMA = T.StructType([
     T.StructField("bytes_in", T.LongType()),
     T.StructField("bytes_out", T.LongType()),
     T.StructField("ref_bytes", T.LongType()),
+    T.StructField("wall_ms", T.DoubleType()),
 ])
 
 
@@ -147,11 +148,13 @@ def _block_arrow_schema():
         ("key_max", pa.string()), ("payload", pa.binary()),
         ("desc", pa.string()), ("bytes_in", pa.int64()),
         ("bytes_out", pa.int64()), ("ref_bytes", pa.int64()),
+        ("wall_ms", pa.float64()),
     ])
 
 
 def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
                   kinds, key_cols, text_cols) -> dict:
+    t0 = time.time()
     n = table.num_rows
     pieces = []
     desc_cols = []
@@ -178,6 +181,7 @@ def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
         "bytes_in": bytes_in,
         "bytes_out": len(payload),
         "ref_bytes": ref_bytes,
+        "wall_ms": (time.time() - t0) * 1000.0,
     }
 
 
@@ -344,6 +348,80 @@ def make_file_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
     return encode_files
 
 
+def arrow_column_kinds(schema: "pa.Schema") -> list[tuple[str, str]]:
+    """column_kinds for a pyarrow (parquet footer) schema."""
+    import pyarrow as pa
+
+    out = []
+    for field in schema:
+        if field.name.startswith("_"):
+            continue
+        t = field.type
+        if pa.types.is_int32(t):
+            out.append((field.name, K_I32))
+        elif pa.types.is_int64(t):
+            out.append((field.name, K_I64))
+        elif pa.types.is_float64(t):
+            out.append((field.name, K_F64))
+        elif pa.types.is_timestamp(t):
+            out.append((field.name, K_TS))
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            out.append((field.name, K_STR))
+        else:
+            raise ValueError(f"unsupported column type {field.name}: {t}")
+    return out
+
+
+def encode_parquet_maponly(spark, source: str, key_cols: list[str],
+                           block_rows: int = 65536,
+                           text_cols: Optional[list[str]] = None,
+                           file_filter=None) -> DataFrame:
+    """Shuffle-free (map-only) encode for conv-clustered input.
+
+    An Iceberg transcript table is normally written clustered by
+    conv_id (ingest appends whole conversations; compaction sorts by
+    the natural key), so the expensive salted shuffle in
+    ``encode_df``/``encode_df_staged`` buys nothing: every file already
+    holds contiguous runs of conversations in turn order. This path
+    maps each source parquet file straight to encoded blocks — one
+    narrow stage, no wide exchange anywhere, which is the plan that
+    survives a 100 TB scale-up (encode cost grows linearly with data;
+    shuffle cost would grow super-linearly with cluster pressure).
+
+    Correctness does not depend on clustering: blocks are
+    self-contained and the round-trip invariant is equality under
+    stable (conv_id, turn_idx) ordering, which a decode + sort always
+    restores. Un-clustered input merely compresses worse; for that
+    case use ``encode_df_staged`` (explicit salted repartition,
+    SURVEY.md §7 step 5).
+
+    Skew: a single huge conversation or file does not pin one task
+    beyond its own bytes — the kernel cuts ``block_rows`` blocks while
+    streaming, O(block_rows) memory; file-level parallelism is the
+    same unit Spark's own scan uses. ``bucket`` in the output is the
+    file ordinal (lineage: which source file produced the block).
+    """
+    import glob
+
+    files = sorted(glob.glob(os.path.join(source, "*.parquet"))) \
+        if os.path.isdir(source) else [source]
+    if not files:
+        raise ValueError(f"no parquet files under {source}")
+    import pyarrow.parquet as pq
+    kinds = arrow_column_kinds(pq.read_schema(files[0]))
+    # bucket id = ordinal in the FULL sorted listing, so a resume
+    # filter never renumbers buckets (manifest rows stay valid)
+    rows = [(f, i) for i, f in enumerate(files)
+            if file_filter is None or file_filter(f)]
+    if not rows:
+        raise ValueError("file_filter excluded every input file")
+    fdf = (spark.createDataFrame(rows, "path string, bucket int")
+                .repartition(len(rows)))
+    fn = make_file_encode_fn(kinds, key_cols, block_rows,
+                             frozenset(text_cols or []))
+    return fdf.mapInArrow(fn, schema=BLOCK_SCHEMA)
+
+
 def encode_df_staged(df: DataFrame, key_cols: list[str], staging_dir: str,
                      n_buckets: int = 32, block_rows: int = 65536,
                      chunk_rows: int = 8192,
@@ -452,6 +530,9 @@ def manifest_rows(blocks: DataFrame, snapshot_id: str, run_id: str) -> DataFrame
         F.sum("bytes_in").alias("bytes_in"),
         F.sum("bytes_out").alias("bytes_out"),
         F.sum("ref_bytes").alias("ref_bytes"),
+        F.sum("wall_ms").alias("encode_wall_ms"),
+        (F.sum("n") / (F.sum("wall_ms") / 1000.0))
+            .alias("rows_per_sec"),
         F.min("key_min").alias("key_min"),
         F.max("key_max").alias("key_max"),
     ))

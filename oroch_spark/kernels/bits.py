@@ -24,13 +24,14 @@ def bit_length(u: np.ndarray) -> np.ndarray:
     0 -> 0, otherwise 64 - clz(value).
     """
     u = np.asarray(u, dtype=U64)
-    bl = np.zeros(u.shape, dtype=I64)
-    v = u.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        m = v >= (U64(1) << U64(shift))
-        bl[m] += shift
-        v[m] >>= U64(shift)
-    bl[u != 0] += 1
+    # frexp exponent == bit_length exactly while the float64 conversion
+    # is exact (u < 2^53); frexp(0) yields exponent 0 which is also
+    # correct. Values >= 2^53 could round up across a power of two, so
+    # recompute those (rare) from the exact top 48 bits.
+    bl = np.frexp(u.astype(np.float64))[1].astype(I64)
+    big = u >= U64(1 << 53)
+    if big.any():
+        bl[big] = np.frexp((u[big] >> U64(16)).astype(np.float64))[1] + 16
     return bl
 
 

@@ -189,14 +189,22 @@ def encode(data: np.ndarray, starts: np.ndarray, table: list[bytes]
 
         best_code = lut1[seg[:m]]
         best_len = np.ones(m, dtype=np.int8)
+        # int64: numpy fancy indexing converts any other index dtype to
+        # intp first — a hidden extra pass per use
         w2 = (acc & U64(0xFFFF)).astype(np.int64)
         hit_codes = lut2[w2]
         hit = (hit_codes >= 0) & (dist >= 2)
         best_code[hit] = hit_codes[hit]
         best_len[hit] = 2
         pre = lut_pre[w2]
-        for L in long_lens:
-            cand = np.flatnonzero((pre & (1 << (L - 3))) != 0)
+        # longest-first with elimination: a position matched at a longer
+        # length never re-enters a shorter searchsorted pass (greedy
+        # wants the longest match only)
+        unmatched = None
+        for L in reversed(long_lens):
+            sel = (pre & (1 << (L - 3))) != 0
+            cand = np.flatnonzero(sel if unmatched is None
+                                  else (sel & unmatched))
             if not len(cand):
                 continue
             vals, codes = by_len[L]
@@ -207,6 +215,9 @@ def encode(data: np.ndarray, starts: np.ndarray, table: list[bytes]
             hitp = cand[ok]
             best_code[hitp] = codes[ins[ok]]
             best_len[hitp] = L
+            if unmatched is None:
+                unmatched = np.ones(m, dtype=bool)
+            unmatched[hitp] = False
 
         # greedy parse within the segment (pointer doubling, segment-local)
         nxt = np.empty(m + 1, dtype=np.int32)
@@ -245,7 +256,8 @@ def encode(data: np.ndarray, starts: np.ndarray, table: list[bytes]
 
 def _orbit_from(nxt: np.ndarray, start: int, m: int) -> np.ndarray:
     """Orbit of ``start`` under nxt (length m+1, sentinel at m), clipped
-    to positions < m."""
+    to positions < m. Pointer doubling in int32 (half the gather
+    bandwidth of int64; segment indices always fit)."""
     pos = np.array([start], dtype=np.int64)
     jump = nxt.astype(np.int64)
     while pos[-1] < m:

@@ -46,12 +46,14 @@ PLAIN_STR = 16
 DICT_STR = 17
 RLE_STR = 18
 FSST_STR = 19
+WSDICT_STR = 20
 
 STR_CODEC_NAMES = {
     PLAIN_STR: "plain_str",
     DICT_STR: "dict_str",
     RLE_STR: "rle_str",
     FSST_STR: "fsst_str",
+    WSDICT_STR: "wsdict_str",
 }
 
 # Selection gates (deterministic functions of block stats).
@@ -60,6 +62,7 @@ DICT_MAX_ABS = 1 << 16
 RLE_MAX_RATIO = 0.5        # try rle when nruns <= n * ratio
 FSST_MIN_AVG_LEN = 8.0     # try fsst on text-like blocks
 FSST_MIN_BYTES = 1 << 12
+FSST_SKIP_RATIO = 0.55     # skip fsst once best/plain is below this
 
 
 @dataclass
@@ -199,6 +202,46 @@ def _encode_rle(codes: np.ndarray, dict_arr: pa.Array) -> bytes:
             + _int_blob(run_idx))
 
 
+def _encode_wsdict(arr: pa.Array) -> Optional[bytes]:
+    """Word-dictionary codec: split every string on ' ' (C++), dictionary
+    the flat word stream (C++ hash), then run the word-id sequence and
+    per-string word counts through the Oroch-style integer selector.
+
+    Split-on-space + join-with-space is lossless for ANY string
+    (consecutive/leading/trailing spaces become empty words), so this is
+    a general codec, not a heuristic: natural-language and code/tool
+    transcripts compress far below FSST's in-string-pattern floor
+    because the dictionary captures cross-string redundancy. Decode is
+    a C++ gather (take) + list binary_join.
+    """
+    lst = pc.split_pattern(arr, " ")
+    counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(lst)
+    denc = pc.dictionary_encode(flat)
+    ids = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_arr = to_large_string(denc.dictionary)
+    return (bytes([WSDICT_STR])
+            + _dict_section(dict_arr)
+            + _sized(_int_blob(counts))
+            + _int_blob(ids))
+
+
+def _decode_wsdict(blob: bytes, n: int, pos: int) -> pa.Array:
+    dict_arr, pos = _read_dict_section(blob, pos)
+    cnt_blob, pos = _read_sized(blob, pos)
+    counts = ic.decode_block(cnt_blob, n, width=4)
+    total = int(counts.sum())
+    ids = ic.decode_block(blob[pos:], total, width=4)
+    words = pc.take(dict_arr, pa.array(ids, type=pa.int64()))
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    lst = pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), words)
+    # separator must be large_string to match large_list<large_string>
+    return pc.binary_join(lst, pa.scalar(" ", type=pa.large_string()))
+
+
 def _encode_fsst(lengths, data) -> Optional[bytes]:
     starts = np.zeros(len(lengths), dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
@@ -273,9 +316,16 @@ def encode_str_block(values, text_hint: bool = False
     if (text_hint or (avg >= FSST_MIN_AVG_LEN
                       and total_bytes >= FSST_MIN_BYTES
                       and u > n // 8)):
-        cand = _encode_fsst(lengths, data)
+        cand = _encode_wsdict(arr)
         if cand is not None and len(cand) < best_size:
-            best, best_size, best_codec = cand, len(cand), FSST_STR
+            best, best_size, best_codec = cand, len(cand), WSDICT_STR
+        # FSST is the expensive candidate; try it only while the best
+        # so far has not already beaten FSST's practical compression
+        # floor on text (deterministic gate — a pure function of sizes)
+        if best_size > int(total_bytes * FSST_SKIP_RATIO):
+            cand = _encode_fsst(lengths, data)
+            if cand is not None and len(cand) < best_size:
+                best, best_size, best_codec = cand, len(cand), FSST_STR
 
     if best is None:
         best = (bytes([PLAIN_STR]) + _sized(len_blob) + data.tobytes())
@@ -308,6 +358,8 @@ def decode_str_block_arrow(blob: bytes, n: int) -> pa.Array:
         run_idx = ic.decode_block(blob[pos:], nruns, width=4)
         codes = np.repeat(run_idx, run_len)
         return _from_dict_codes(codes, dict_arr)
+    if tag == WSDICT_STR:
+        return _decode_wsdict(blob, n, pos)
     if tag == FSST_STR:
         table, pos = fsst.deserialize_table(blob, pos)
         el_blob, pos = _read_sized(blob, pos)

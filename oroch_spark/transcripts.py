@@ -102,5 +102,9 @@ def generate(spark: SparkSession, n_conv: int, seed: int = 42,
             for idx in pdf["id"].tolist():
                 yield _conv_frame(seed, int(idx))
 
-    ids = spark.range(n_conv).repartition(partitions, F.col("id"))
+    # In-partition sort makes each output partition's row order (and so
+    # any downstream parquet file) deterministic across parallelism
+    # levels — shuffle arrival order is not.
+    ids = (spark.range(n_conv).repartition(partitions, F.col("id"))
+                .sortWithinPartitions("id"))
     return ids.mapInPandas(gen, schema=SCHEMA)

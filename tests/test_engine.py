@@ -64,6 +64,24 @@ class TestRoundtrip:
         files = glob.glob(str(tmp_path / "stage" / "_bucket=*" / "part-*"))
         assert 0 < len(files) <= 6
 
+    def test_maponly_roundtrip_bit_identical(self, spark, tiny, tmp_path):
+        # shuffle-free encode of a conv-clustered parquet source
+        src_dir = str(tmp_path / "src")
+        spark.conf.set("spark.sql.parquet.outputTimestampType",
+                       "TIMESTAMP_MICROS")
+        (tiny.repartition(4, "conv_id")
+             .sortWithinPartitions("conv_id", "turn_idx")
+             .write.mode("overwrite").parquet(src_dir))
+        blocks = engine.encode_parquet_maponly(
+            spark, src_dir, ["conv_id", "turn_idx"], block_rows=512,
+            text_cols=["text"])
+        dec = engine.decode_df(blocks, engine.column_kinds(tiny.schema))
+        assert_identical(tiny.toPandas(), dec.toPandas())
+        # the only exchange in the plan is over file-name rows (the
+        # task list), never over data rows
+        plan = blocks._jdf.queryExecution().executedPlan().toString()
+        assert "parquet" not in plan.lower()  # data read happens in-UDF
+
     def test_staged_matches_direct_blocks(self, spark, tiny, tmp_path):
         direct = engine.encode_df(tiny, ["conv_id", "turn_idx"],
                                   n_buckets=6, block_rows=512,

@@ -51,13 +51,27 @@ class TestSelection:
         assert desc.codec in (sc.RLE_STR, sc.DICT_STR)
         assert len(blob) < 40
 
-    def test_high_card_text_picks_fsst(self):
+    def test_word_text_picks_wsdict(self):
+        # space-separated token soup: the word-dictionary codec captures
+        # cross-string redundancy and must win over FSST
         rng = np.random.default_rng(2)
         vals = make_token_soup(rng, 2000)
         blob, desc = roundtrip(vals)
+        assert desc.codec == sc.WSDICT_STR
+        raw = sum(len(v.encode()) for v in vals)
+        assert len(blob) < raw * 0.35  # strong compression
+
+    def test_spaceless_patterned_text_picks_fsst(self):
+        # no spaces -> wsdict degenerates to whole-string dict; distinct
+        # strings built from repeated in-string substrings are FSST's case
+        rng = np.random.default_rng(3)
+        frags = ["abcdefg", "hijklmn", "opqrstu", "vwxyzab"]
+        vals = ["".join(frags[j] for j in rng.integers(0, 4, 40)) + str(i)
+                for i in range(600)]
+        blob, desc = roundtrip(vals)
         assert desc.codec == sc.FSST_STR
         raw = sum(len(v.encode()) for v in vals)
-        assert len(blob) < raw * 0.7  # meaningful compression
+        assert len(blob) < raw * 0.7
 
     def test_empty_and_edge(self):
         roundtrip([])
