@@ -134,6 +134,30 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_read(spark, sf_dir, "documents"), bits=16)
 
 
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_read(spark, sf_dir, "documents"),
+                                 algo="md5")
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = textstats.lang_id_ngram(_read(spark, sf_dir, "documents"))
+    return df.select("doc_id",
+                     F.col("en_evidence").cast("long").alias("en_evidence"),
+                     "lang_pred")
+
+
+def _q_near_dup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.5)
+
+
+def _q_near_dup_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(_query_vec(sf_dir))
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.5,
+                                            n_planes=6, dim=dim)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # engine round-trips (codec suite end-to-end; SURVEY.md §2.1-2.4)
@@ -155,6 +179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,                     # rows-only (approx)
         "minhash_dup_pairs": _q_minhash_pairs,          # rows-only
         "simhash_documents": _q_simhash,                # rows-only
+        "fingerprint_documents": _q_fingerprint,
+        "langid_documents": _q_langid,
+        "near_dup_pairs_embeddings": _q_near_dup_emb,
+        "near_dup_pairs_lsh": _q_near_dup_emb_lsh,      # rows-only (approx)
     }
 
 
@@ -196,6 +224,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_dist_documents":
             "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+        "fingerprint_documents": """
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+                       AS fingerprint
+            FROM documents
+        """,
+        "langid_documents": f"""
+            SELECT doc_id,
+                   CAST(len(list_intersect(
+                        string_split(lower(text), ' '), [{stop}]))
+                     AS BIGINT) AS en_evidence,
+                   CASE WHEN len(list_intersect(
+                        string_split(lower(text), ' '), [{stop}])) >= 2
+                        THEN 'en' ELSE 'other' END AS lang_pred
+            FROM documents
+        """,
+        "near_dup_pairs_embeddings": """
+            WITH pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     UNNEST(a.embedding)::DOUBLE AS x,
+                     UNNEST(b.embedding)::DOUBLE AS y
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id),
+            s AS (SELECT id_a, id_b, SUM(x*y) AS dot,
+                         SUM(x*x) AS nx, SUM(y*y) AS ny
+                  FROM pairs GROUP BY id_a, id_b)
+            SELECT id_a, id_b,
+                   ROUND(dot / (GREATEST(SQRT(nx), 1e-30)
+                                * GREATEST(SQRT(ny), 1e-30)), 6) AS cosine
+            FROM s
+            WHERE ROUND(dot / (GREATEST(SQRT(nx), 1e-30)
+                               * GREATEST(SQRT(ny), 1e-30)), 6) >= 0.5
+        """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings
                        WHERE vec_id = 0),

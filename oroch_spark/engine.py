@@ -415,8 +415,12 @@ def encode_parquet_maponly(spark, source: str, key_cols: list[str],
             if file_filter is None or file_filter(f)]
     if not rows:
         raise ValueError("file_filter excluded every input file")
-    fdf = (spark.createDataFrame(rows, "path string, bucket int")
-                .repartition(len(rows)))
+    # exactly one file per partition: DataFrame repartition(n) is
+    # round-robin with a per-partition random offset, which leaves ~1/e
+    # of the partitions empty and doubles others — stragglers
+    fdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, len(rows)),
+        "path string, bucket int")
     fn = make_file_encode_fn(kinds, key_cols, block_rows,
                              frozenset(text_cols or []))
     return fdf.mapInArrow(fn, schema=BLOCK_SCHEMA)
@@ -464,8 +468,9 @@ def encode_df_staged(df: DataFrame, key_cols: list[str], staging_dir: str,
         os.path.join(staging_dir, "_bucket=*", "part-*.parquet")))
     rows = [(f, int(re.search(r"_bucket=(\d+)", f).group(1)))
             for f in files]
-    fdf = spark.createDataFrame(rows, "path string, bucket int") \
-               .repartition(max(len(rows), 1))
+    fdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, max(len(rows), 1)),
+        "path string, bucket int")
     fn = make_file_encode_fn(kinds, key_cols, block_rows, text_cols_f)
     return fdf.mapInArrow(fn, schema=BLOCK_SCHEMA)
 

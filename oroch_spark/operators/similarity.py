@@ -20,9 +20,12 @@ def _dot(a, b):
 
 
 def _norm(a):
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                              F.lit(0.0).cast("double"),
-                              lambda acc, x: acc + x))
+    # square in double (float32 squares would lose the precision the
+    # cross-engine oracle compare needs)
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x))
 
 
 def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -61,6 +64,43 @@ def rp_lsh_buckets(df: DataFrame, dim: int, n_planes: int = 16,
                          F.lit(0).cast("long"))
         bucket = bit if bucket is None else bucket.bitwiseOR(bit)
     return df.select(id_col, vec_col, bucket.alias("bucket"))
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          n_planes: int = 0, seed: int = 42,
+                          dim: int | None = None,
+                          round_to: int | None = 6) -> DataFrame:
+    """Embedding near-duplicate pairs: (id_a < id_b) with cosine >=
+    threshold.
+
+    ``n_planes=0``: exact all-pairs join (oracle-checkable; quadratic —
+    small inputs / verification only). ``n_planes>0``: the scale path —
+    random-hyperplane LSH buckets first, the pair join runs only inside
+    buckets, so work is sum of bucket sizes squared, not n^2; near-dups
+    (cosine ~ 1) land in the same bucket with high probability."""
+    norm = F.greatest(_norm(F.col(vec_col)), F.lit(1e-30))
+    base = df.select(id_col, vec_col, norm.alias("_n"))
+    if n_planes > 0:
+        if dim is None:
+            raise ValueError("dim is required for the LSH path")
+        b = rp_lsh_buckets(df, dim, n_planes, seed, id_col, vec_col)
+        base = base.join(b.select(id_col, "bucket"), id_col)
+        join_cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) \
+            & (F.col("a.bucket") == F.col("b.bucket"))
+    else:
+        join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    a, b = base.alias("a"), base.alias("b")
+    cos = (_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+           / (F.col("a._n") * F.col("b._n")))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (a.join(b, join_cond)
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     cos.alias("cosine"))
+             .filter(F.col("cosine") >= threshold))
 
 
 def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,

@@ -59,10 +59,15 @@ def lang_id_ngram(df: DataFrame, content_col: str = "text",
 
 
 def fingerprint(df: DataFrame, content_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """64-bit content fingerprint (xxhash64 of the normalized text) —
-    the cheap exact-dup key for massive corpora: dedup shuffles 8-byte
-    keys instead of full documents."""
+                id_col: str = "doc_id", algo: str = "xxhash64") -> DataFrame:
+    """Content fingerprint of the normalized text — the cheap exact-dup
+    key for massive corpora: dedup shuffles a fixed-width key instead of
+    full documents. ``xxhash64`` (default, 8 bytes) for scale; ``md5``
+    (hex) for cross-engine-checkable runs (DuckDB computes the same)."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(content_col))),
                             " +", " ")
-    return df.select(id_col, F.xxhash64(norm).alias("fingerprint"))
+    if algo == "md5":
+        fp = F.md5(F.encode(norm, "UTF-8"))
+    else:
+        fp = F.xxhash64(norm)
+    return df.select(id_col, fp.alias("fingerprint"))
