@@ -22,7 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_CONV = int(os.environ.get("OROCH_BENCH_CONV", "2000"))
+N_CONV = int(os.environ.get("OROCH_BENCH_CONV", "12000"))
 # Fixed partitioning: the job must be IDENTICAL at every parallelism
 # level (the two-cluster-size rule compares throughput on the same job).
 N_BUCKETS = int(os.environ.get("OROCH_BENCH_BUCKETS", "128"))

@@ -50,13 +50,18 @@ def make_zip(repo_root: str) -> str:
     return out
 
 
-def build_session(master: str | None):
+def build_session(args):
+    """Session for a command: reuse ``args.spark`` when a caller (tests,
+    notebooks) passes one — then the command must not stop it."""
+    ext = getattr(args, "spark", None)
+    if ext is not None:
+        return ext, False
     from pyspark.sql import SparkSession
 
     b = SparkSession.builder.appName("oroch-spark-cli")
-    if master:  # local runs; under spark-submit the conf wins
-        b = b.master(master)
-    return b.getOrCreate()
+    if args.master:  # local runs; under spark-submit the conf wins
+        b = b.master(args.master)
+    return b.getOrCreate(), True
 
 
 def cmd_encode(args) -> None:
@@ -64,7 +69,7 @@ def cmd_encode(args) -> None:
     from oroch_spark.sources.table import snapshot_of_dir
     from pyspark.sql import functions as F
 
-    spark = build_session(args.master)
+    spark, own = build_session(args)
     keys = args.keys.split(",")
     text_cols = args.text_cols.split(",") if args.text_cols else None
     snapshot_id = args.snapshot_id or snapshot_of_dir(args.src)
@@ -78,19 +83,25 @@ def cmd_encode(args) -> None:
         import glob
         ordinals = {f: i for i, f in enumerate(
             sorted(glob.glob(os.path.join(args.src, "*.parquet"))))}
-        blocks = engine.encode_parquet_maponly(
-            spark, args.src, keys, block_rows=args.block_rows,
-            text_cols=text_cols,
-            file_filter=None if not done
-            else (lambda f: ordinals[f] not in done))
-        blocks.persist()
-        try:
-            (blocks.write.partitionBy("bucket").mode("overwrite")
-                   .parquet(blocks_path))
-            manifest = engine.manifest_rows(blocks, snapshot_id, "cli")
-            manifest.write.mode("append").parquet(manifest_path)
-        finally:
-            blocks.unpersist()
+        pending = [f for f, i in ordinals.items() if i not in done]
+        if not pending:
+            print(json.dumps({"resumed": True, "encoded_files": 0,
+                              "skipped_files": len(done),
+                              "snapshot_id": snapshot_id}))
+        else:
+            blocks = engine.encode_parquet_maponly(
+                spark, args.src, keys, block_rows=args.block_rows,
+                text_cols=text_cols,
+                file_filter=None if not done
+                else (lambda f: ordinals[f] not in done))
+            blocks.persist()
+            try:
+                (blocks.write.partitionBy("bucket").mode("overwrite")
+                       .parquet(blocks_path))
+                manifest = engine.manifest_rows(blocks, snapshot_id, "cli")
+                manifest.write.mode("append").parquet(manifest_path)
+            finally:
+                blocks.unpersist()
     else:
         df = spark.read.parquet(args.src)
         if args.mode == "staged":
@@ -124,13 +135,14 @@ def cmd_encode(args) -> None:
     print(json.dumps({k: (float(v) if v is not None else None)
                       if k == "encode_wall_ms" else v
                       for k, v in summary.items()}, default=int))
-    spark.stop()
+    if own:
+        spark.stop()
 
 
 def cmd_decode(args) -> None:
     from oroch_spark import engine
 
-    spark = build_session(args.master)
+    spark, own = build_session(args)
     blocks = spark.read.parquet(os.path.join(args.out, "blocks"))
     import pyarrow.parquet as pq
     import glob
@@ -139,13 +151,14 @@ def cmd_decode(args) -> None:
     dec = engine.decode_df(blocks, kinds)
     dec.write.mode("overwrite").parquet(args.dest)
     print(json.dumps({"rows": spark.read.parquet(args.dest).count()}))
-    spark.stop()
+    if own:
+        spark.stop()
 
 
 def cmd_verify(args) -> None:
     from oroch_spark import engine
 
-    spark = build_session(args.master)
+    spark, own = build_session(args)
     src = spark.read.parquet(args.src)
     blocks = spark.read.parquet(os.path.join(args.out, "blocks"))
     kinds = engine.column_kinds(src.schema)
@@ -154,19 +167,21 @@ def cmd_verify(args) -> None:
     ok = (engine.checksum_df(src) == engine.checksum_df(dec)
           and src.count() == dec.count())
     print(json.dumps({"bit_identical": bool(ok)}))
-    spark.stop()
+    if own:
+        spark.stop()
     if not ok:
         sys.exit(1)
 
 
 def cmd_metrics(args) -> None:
-    spark = build_session(args.master)
+    spark, own = build_session(args)
     m = spark.read.parquet(os.path.join(args.out, "manifest"))
     for row in m.orderBy("bucket").collect():
         d = row.asDict()
         d["completed_at"] = str(d.get("completed_at"))
         print(json.dumps(d, default=str))
-    spark.stop()
+    if own:
+        spark.stop()
 
 
 def main() -> None:

@@ -375,7 +375,8 @@ def arrow_column_kinds(schema: "pa.Schema") -> list[tuple[str, str]]:
 def encode_parquet_maponly(spark, source: str, key_cols: list[str],
                            block_rows: int = 65536,
                            text_cols: Optional[list[str]] = None,
-                           file_filter=None) -> DataFrame:
+                           file_filter=None,
+                           tasks: Optional[int] = None) -> DataFrame:
     """Shuffle-free (map-only) encode for conv-clustered input.
 
     An Iceberg transcript table is normally written clustered by
@@ -415,11 +416,20 @@ def encode_parquet_maponly(spark, source: str, key_cols: list[str],
             if file_filter is None or file_filter(f)]
     if not rows:
         raise ValueError("file_filter excluded every input file")
-    # exactly one file per partition: DataFrame repartition(n) is
-    # round-robin with a per-partition random offset, which leaves ~1/e
-    # of the partitions empty and doubles others — stragglers
+    # Deterministic contiguous file->task grouping via parallelize
+    # slices (DataFrame repartition(n) is round-robin with a random
+    # per-partition offset — it leaves ~1/e of the partitions empty and
+    # doubles others, creating stragglers). Task count targets ~4 waves
+    # per core slot: the PySpark python-runner costs ~100-200 ms per
+    # task regardless of size, so one-file-per-task wastes
+    # nfiles x latency at small parallelism while too-few tasks lose
+    # balance. Output blocks are identical for any grouping (bucket =
+    # file ordinal, block_idx scoped per bucket).
+    if tasks is None:
+        tasks = max(1, min(len(rows),
+                           spark.sparkContext.defaultParallelism * 4))
     fdf = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, len(rows)),
+        spark.sparkContext.parallelize(rows, tasks),
         "path string, bucket int")
     fn = make_file_encode_fn(kinds, key_cols, block_rows,
                              frozenset(text_cols or []))

@@ -1,0 +1,81 @@
+"""CLI (spark-submit entry) end-to-end: zip, encode (maponly +
+checkpointed), verify, metrics, resume-without-reencode."""
+import argparse
+import glob
+import json
+import os
+import zipfile
+
+import pytest
+
+import cli
+from oroch_spark import engine, transcripts
+
+
+@pytest.fixture(scope="module")
+def src_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_src") / "transcripts")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    (transcripts.generate(spark, 60, seed=11, partitions=4)
+     .write.mode("overwrite").parquet(d))
+    return d
+
+
+def _ns(spark=None, **kw):
+    return argparse.Namespace(master=None, spark=spark, **kw)
+
+
+def test_zip_contains_package(tmp_path):
+    out = cli.make_zip("/root/repo")
+    names = zipfile.ZipFile(out).namelist()
+    assert "oroch_spark/engine.py" in names
+    assert "oroch_spark/kernels/integers.py" in names
+    assert not any("__pycache__" in n for n in names)
+
+
+def test_encode_verify_metrics_roundtrip(spark, src_dir, tmp_path, capsys):
+    out = str(tmp_path / "enc")
+    cli.cmd_encode(_ns(spark, src=src_dir, out=out,
+                       keys="conv_id,turn_idx",
+                       text_cols="text", mode="maponly", buckets=8,
+                       block_rows=512, buckets_per_stage=None,
+                       snapshot_id=None))
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == spark.read.parquet(src_dir).count()
+    assert summary["bytes_out"] <= summary["ref_bytes"]
+
+    cli.cmd_verify(_ns(spark, src=src_dir, out=out))
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["bit_identical"]
+
+    cli.cmd_metrics(_ns(spark, out=out))
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip()
+             .splitlines()]
+    assert len(lines) == len(glob.glob(os.path.join(src_dir,
+                                                    "*.parquet")))
+    assert all(r["status"] == "done" for r in lines)
+    assert all(r["rows_per_sec"] > 0 for r in lines)
+
+
+def test_maponly_resume_skips_done_files(spark, src_dir, tmp_path,
+                                         capsys):
+    out = str(tmp_path / "enc2")
+    cli.cmd_encode(_ns(spark, src=src_dir, out=out,
+                       keys="conv_id,turn_idx",
+                       text_cols="text", mode="maponly", buckets=8,
+                       block_rows=512, buckets_per_stage=None,
+                       snapshot_id="snap-A"))
+    capsys.readouterr()
+    # a second run with the same snapshot finds every file done and
+    # must short-circuit without re-encoding anything
+    cli.cmd_encode(_ns(spark, src=src_dir, out=out,
+                       keys="conv_id,turn_idx",
+                       text_cols="text", mode="maponly", buckets=8,
+                       block_rows=512, buckets_per_stage=None,
+                       snapshot_id="snap-A"))
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip()
+             .splitlines()]
+    assert lines[0]["resumed"] is True
+    assert lines[0]["encoded_files"] == 0
+    assert lines[0]["skipped_files"] == 4
