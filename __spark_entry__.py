@@ -165,6 +165,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_lineitem": _rt("lineitem", ["l_orderkey", "l_linenumber"]),
         "rt_orders": _rt("orders", ["o_orderkey"]),
         "rt_documents": _rt("documents", ["doc_id"]),
+        "rt_customer": _rt("customer", ["c_custkey"]),
+        "rt_supplier": _rt("supplier", ["s_suppkey"]),
+        "rt_part": _rt("part", ["p_partkey"]),
+        "rt_nation": _rt("nation", ["n_nationkey"]),
+        "rt_region": _rt("region", ["r_regionkey"]),
         "rt_transcripts": _q_rt_transcripts,            # rows-only
         # container/access ops (SURVEY.md §2.5)
         "pruned_lookup_events": _q_pruned_lookup,
@@ -193,6 +198,11 @@ def oracle_sql() -> dict[str, str]:
         "rt_lineitem": "SELECT * FROM lineitem",
         "rt_orders": "SELECT * FROM orders",
         "rt_documents": "SELECT * FROM documents",
+        "rt_customer": "SELECT * FROM customer",
+        "rt_supplier": "SELECT * FROM supplier",
+        "rt_part": "SELECT * FROM part",
+        "rt_nation": "SELECT * FROM nation",
+        "rt_region": "SELECT * FROM region",
         "pruned_lookup_events":
             "SELECT * FROM events WHERE event_id = 4242",
         "dedup_exact_documents": """
