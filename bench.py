@@ -25,8 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_CONV = int(os.environ.get("OROCH_BENCH_CONV", "12000"))
 # Fixed partitioning: the job must be IDENTICAL at every parallelism
 # level (the two-cluster-size rule compares throughput on the same job).
-N_BUCKETS = int(os.environ.get("OROCH_BENCH_BUCKETS", "128"))
-N_SRC_FILES = int(os.environ.get("OROCH_BENCH_SRC_FILES", "64"))
+N_BUCKETS = int(os.environ.get("OROCH_BENCH_BUCKETS", "32"))
+N_SRC_FILES = int(os.environ.get("OROCH_BENCH_SRC_FILES", "256"))
 # Encode mode for the headline metric:
 #   maponly  (default) shuffle-free encode of the conv-clustered source
 #            (engine.encode_parquet_maponly) — the plan that scales
@@ -53,7 +53,7 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--out", default=None)
     ap.add_argument("--reps", type=int,
-                    default=int(os.environ.get("OROCH_BENCH_REPS", "1")))
+                    default=int(os.environ.get("OROCH_BENCH_REPS", "3")))
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
