@@ -231,11 +231,21 @@ class IntDescriptor:
 # Selection (`oroch/integer_codec.h:234-496`)
 # ---------------------------------------------------------------------------
 
+def _varint_total_from_hist(hist: np.ndarray) -> int:
+    """Exact varint byte total from a bit-length histogram:
+    sum over bins of count * max(1, ceil(bits/7)) (`varint.h:56-72`)."""
+    b = np.arange(len(hist))
+    per = np.maximum((b + 6) // 7, 1)
+    return int((hist * per).sum())
+
+
 def _select_basic(desc: IntDescriptor, vals: np.ndarray, u_zig: np.ndarray,
-                  vmin: int, vmax: int, n: int, width: int) -> None:
+                  vmin: int, vmax: int, n: int, width: int,
+                  hist_zig: np.ndarray, hist_for: np.ndarray) -> None:
     """`select_basic` (`integer_codec.h:422-496`): exact costs of
     normal / bitpck / bitfor / varint / varfor with strict-less compare in
-    that order (`integer_codec.h:405-420`)."""
+    that order (`integer_codec.h:405-420`). Varint totals come from the
+    shared bit-length histograms — same exact bytes, one pass."""
     # Base case: normal (`integer_codec.h:430-435`).
     desc.codec = NORMAL
     desc.ref_meta = 0
@@ -263,9 +273,8 @@ def _select_basic(desc: IntDescriptor, vals: np.ndarray, u_zig: np.ndarray,
     compare(BITFOR, meta_for, ref_bitpck_space(n, nbits_for), vmin, nbits_for)
 
     # varint (zigzag) and varfor (origin=min) (`integer_codec.h:478-495`).
-    vispace = int(varint_size(u_zig).sum())
-    u_for = (vals.view(U64) - U64(vmin & 0xFFFFFFFFFFFFFFFF))
-    vfspace = int(varint_size(u_for).sum())
+    vispace = _varint_total_from_hist(hist_zig)
+    vfspace = _varint_total_from_hist(hist_for)
     meta_vf = varint_size_scalar(zigzag_encode_scalar(vmin))
     compare(VARINT, 0, vispace, 0, 0)
     compare(VARFOR, meta_vf, vfspace, vmin, 0)
@@ -297,11 +306,17 @@ def select(vals: np.ndarray, width: int = 8, try_delta: bool = False) -> IntDesc
         desc.ref_data = 0
         return desc
 
+    # One pass each for the two value transforms + their bit-length
+    # histograms; every varint/bitpfr cost below derives from these.
     u_zig = zigzag_encode(vals)
-    _select_basic(desc, vals, u_zig, vmin, vmax, n, width)
+    u_for = vals.view(U64) - U64(vmin & 0xFFFFFFFFFFFFFFFF)
+    hist_zig = np.bincount(bit_length(u_zig), minlength=65)
+    hist_for = np.bincount(bit_length(u_for), minlength=65)
+    _select_basic(desc, vals, u_zig, vmin, vmax, n, width,
+                  hist_zig, hist_for)
 
     if n >= 5:  # small-input cutoff (`integer_codec.h:271-272`)
-        _select_bitpfr(desc, vals, vmin, vmax, n)
+        _select_bitpfr(desc, u_for, hist_for, vmin, vmax, n)
 
     if try_delta:
         _try_delta(desc, vals, width)
@@ -309,14 +324,13 @@ def select(vals: np.ndarray, width: int = 8, try_delta: bool = False) -> IntDesc
     return desc
 
 
-def _select_bitpfr(desc: IntDescriptor, vals: np.ndarray,
+def _select_bitpfr(desc: IntDescriptor, u: np.ndarray, hist: np.ndarray,
                    vmin: int, vmax: int, n: int) -> None:
-    """The patched-bit-packing histogram sweep (`integer_codec.h:275-383`)."""
+    """The patched-bit-packing histogram sweep (`integer_codec.h:275-383`).
+    ``u`` is the FOR-transformed array, ``hist`` its bit-length
+    histogram (computed once in :func:`select`)."""
     basic_metaspace = 1 + varint_size_scalar(zigzag_encode_scalar(vmin))
-    u = vals.view(U64) - U64(vmin & 0xFFFFFFFFFFFFFFFF)  # wraparound-exact
     nbits_max = (vmax - vmin).bit_length()
-    bl = bit_length(u)
-    hist = np.bincount(bl, minlength=65)
 
     noutliers = n - int(hist[0])
     for nbits in range(1, nbits_max):
