@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 import oroch_spark.engine as engine
 import oroch_spark.transcripts as transcripts
-from oroch_spark.operators import dedup, similarity, textstats
+from oroch_spark.operators import dedup, multimodal, similarity, textstats
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -151,6 +151,28 @@ def _q_near_dup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(emb, threshold=0.5)
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media payloads -> feature vectors via
+    mapInPandas (decode stubbed deterministically; schema/batching real)."""
+    media = multimodal.synthetic_media(spark, n=200, seed=42)
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id",
+                        F.col("n_bytes").cast("long").alias("n_bytes"),
+                        F.round(F.element_at("feat", 1), 4).alias("f0"))
+
+
+def _q_recompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction job: tiny blocks -> full-size blocks, decoded content
+    preserved (returns the recompacted round-trip)."""
+    src = _read(spark, sf_dir, "nation")
+    kinds = engine.column_kinds(src.schema)
+    small = engine.encode_df(src, ["n_nationkey"], n_buckets=2,
+                             block_rows=4)
+    big = engine.recompact(small, kinds, ["n_nationkey"], n_buckets=2,
+                           block_rows=4096)
+    return engine.decode_df(big, kinds)
+
+
 def _q_near_dup_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     dim = len(_query_vec(sf_dir))
@@ -188,6 +210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_documents": _q_langid,
         "near_dup_pairs_embeddings": _q_near_dup_emb,
         "near_dup_pairs_lsh": _q_near_dup_emb_lsh,      # rows-only (approx)
+        "media_features": _q_media_features,            # rows-only (stubbed decode)
+        "recompact_nation": _q_recompact,
     }
 
 
@@ -203,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_part": "SELECT * FROM part",
         "rt_nation": "SELECT * FROM nation",
         "rt_region": "SELECT * FROM region",
+        "recompact_nation": "SELECT * FROM nation",
         "pruned_lookup_events":
             "SELECT * FROM events WHERE event_id = 4242",
         "dedup_exact_documents": """

@@ -505,6 +505,21 @@ def roundtrip_df(df: DataFrame, key_cols: list[str], **kw) -> DataFrame:
     return decode_df(encode_df(df, key_cols, **kw), kinds)
 
 
+def recompact(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+              key_cols: list[str], n_buckets: int = 32,
+              block_rows: int = 65536,
+              text_cols: Optional[list[str]] = None) -> DataFrame:
+    """Compaction: decode small blocks (e.g. streaming increments, tiny
+    buckets) and re-encode at full block size. The analogue of the
+    reference's insert-then-re-encode group maintenance
+    (`/root/reference/oroch/integer_array.h:216-245`) for an immutable
+    table: instead of rippling values between groups, a periodic batch
+    job rewrites a snapshot's small blocks as right-sized ones."""
+    dec = decode_df(blocks, schema_kinds)
+    return encode_df(dec, key_cols, n_buckets=n_buckets,
+                     block_rows=block_rows, text_cols=text_cols)
+
+
 def checksum_df(df: DataFrame) -> int:
     """Order-insensitive whole-table checksum: sum of per-row xxhash64
     over all columns (no global sort — scales to any size)."""

@@ -64,6 +64,46 @@ class TestRoundtrip:
         files = glob.glob(str(tmp_path / "stage" / "_bucket=*" / "part-*"))
         assert 0 < len(files) <= 6
 
+    def test_single_giant_conversation_spreads_buckets(self, spark):
+        # skew: one conversation with 30k turns must not land in one
+        # bucket — the salted key (conv_id, turn_idx // chunk) splits it,
+        # and decode is still bit-identical (north rule skew clause)
+        from pyspark.sql import functions as F
+        df = (spark.range(30000)
+              .select(F.lit("conv-giant").alias("conv_id"),
+                      F.col("id").cast("int").alias("turn_idx"),
+                      F.lit("user").alias("role"),
+                      F.concat(F.lit("turn text "), F.col("id"))
+                       .alias("text"),
+                      F.lit("").alias("tool"),
+                      F.timestamp_micros(
+                          F.lit(1_700_000_000_000_000) + F.col("id"))
+                       .alias("ts")))
+        blocks = engine.encode_df(df, ["conv_id", "turn_idx"],
+                                  n_buckets=8, block_rows=2048,
+                                  chunk_rows=1024, text_cols=["text"])
+        blocks.persist()
+        n_buckets_used = blocks.select("bucket").distinct().count()
+        assert n_buckets_used >= 6  # spread, not pinned to one task
+        dec = engine.decode_df(blocks, engine.column_kinds(df.schema))
+        assert engine.checksum_df(dec) == engine.checksum_df(df)
+        blocks.unpersist()
+
+    def test_recompact_preserves_content(self, spark, tiny):
+        kinds = engine.column_kinds(tiny.schema)
+        small = engine.encode_df(tiny, ["conv_id", "turn_idx"],
+                                 n_buckets=4, block_rows=64,
+                                 text_cols=["text"])
+        n_small = small.count()
+        big = engine.recompact(small, kinds, ["conv_id", "turn_idx"],
+                               n_buckets=4, block_rows=8192,
+                               text_cols=["text"])
+        big.persist()
+        assert big.count() < n_small
+        dec = engine.decode_df(big, kinds)
+        assert engine.checksum_df(dec) == engine.checksum_df(tiny)
+        big.unpersist()
+
     def test_maponly_roundtrip_bit_identical(self, spark, tiny, tmp_path):
         # shuffle-free encode of a conv-clustered parquet source
         src_dir = str(tmp_path / "src")
