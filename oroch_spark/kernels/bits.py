@@ -50,10 +50,13 @@ def pack_bits(u: np.ndarray, nbits: int) -> bytes:
     n = len(u)
     if n == 0 or nbits == 0:
         return b""
-    u = np.asarray(u, dtype=U64)
-    shifts = np.arange(nbits, dtype=U64)
-    bits = ((u[:, None] >> shifts[None, :]) & U64(1)).astype(np.uint8)
-    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    u = np.ascontiguousarray(u, dtype=U64)
+    # little-endian byte view -> per-value bit rows (C-side unpackbits),
+    # keep the low nbits of each row, repack densely. Avoids the
+    # (n x nbits) uint64 shift matrix entirely.
+    byte_rows = u.view(np.uint8).reshape(n, 8)
+    bits = np.unpackbits(byte_rows, axis=1, bitorder="little")[:, :nbits]
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 
 
 def unpack_bits(buf: bytes, n: int, nbits: int) -> np.ndarray:
@@ -62,9 +65,12 @@ def unpack_bits(buf: bytes, n: int, nbits: int) -> np.ndarray:
         return np.zeros(n, dtype=U64)
     raw = np.frombuffer(buf, dtype=np.uint8)
     bits = np.unpackbits(raw, count=n * nbits, bitorder="little")
-    bits = bits.reshape(n, nbits).astype(U64)
-    shifts = np.arange(nbits, dtype=U64)
-    return (bits << shifts[None, :]).sum(axis=1, dtype=U64)
+    # pad each value's bit row to 64, repack C-side, view as uint64 —
+    # no uint64 shift/sum expansion
+    padded = np.zeros((n, 64), dtype=np.uint8)
+    padded[:, :nbits] = bits.reshape(n, nbits)
+    return np.packbits(padded, axis=1, bitorder="little") \
+             .view(U64).reshape(n)
 
 
 def packed_size(n: int, nbits: int) -> int:
