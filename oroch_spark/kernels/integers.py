@@ -395,6 +395,21 @@ def _select_bitpfr(desc: IntDescriptor, u: np.ndarray, hist: np.ndarray,
                              + index_dataspace)
 
 
+def _delta_transform(vals: np.ndarray, width: int) -> np.ndarray:
+    """Consecutive deltas with wraparound arithmetic. For width=4 the
+    deltas are wrapped into the int32 domain (a delta of two int32s
+    needs 33 bits; storing it mod 2^32 is lossless because decode
+    re-wraps the cumulative sum into int32 — and it keeps the inner
+    codec within the 4-byte width contract)."""
+    n = len(vals)
+    deltas = np.empty(n - 1, dtype=I64)
+    np.subtract(vals[1:].view(U64), vals[:-1].view(U64),
+                out=deltas.view(U64))  # wraparound-safe
+    if width == 4:
+        deltas = deltas.astype(np.int32).astype(I64)
+    return deltas
+
+
 def _try_delta(desc: IntDescriptor, vals: np.ndarray, width: int) -> None:
     """Extension: try (first value + inner selection on consecutive deltas).
 
@@ -408,9 +423,7 @@ def _try_delta(desc: IntDescriptor, vals: np.ndarray, width: int) -> None:
     n = len(vals)
     if n < 5:
         return
-    deltas = np.empty(n - 1, dtype=I64)
-    np.subtract(vals[1:].view(U64), vals[:-1].view(U64),
-                out=deltas.view(U64))  # wraparound-safe
+    deltas = _delta_transform(vals, width)
     inner = select(deltas, width=width, try_delta=False)
     first = int(vals[0])
     meta = varint_size_scalar(zigzag_encode_scalar(first))
@@ -488,10 +501,7 @@ def encode_payload(vals: np.ndarray, desc: IntDescriptor) -> bytes:
                 + _encode_sub(gaps, desc.oidx_codec, desc.oidx_nbits)
                 + _encode_sub(ovals, desc.oval_codec, desc.oval_nbits))
     if c == DELTA:
-        deltas = np.empty(n - 1, dtype=I64)
-        np.subtract(vals[1:].view(U64), vals[:-1].view(U64),
-                    out=deltas.view(U64))
-        return encode_block(deltas, desc.inner)
+        return encode_block(_delta_transform(vals, desc.width), desc.inner)
     raise ValueError(f"bad codec {c}")
 
 
@@ -534,7 +544,12 @@ def decode_payload(buf: bytes, desc: IntDescriptor) -> np.ndarray:
         out[0] = U64(desc.origin & 0xFFFFFFFFFFFFFFFF)
         np.cumsum(deltas.view(U64), out=out[1:])
         out[1:] += out[0]
-        return out.view(I64)
+        vals64 = out.view(I64)
+        if desc.width == 4:
+            # deltas were stored mod 2^32; re-wrap the running sum into
+            # the int32 domain (exact — true values fit int32)
+            vals64 = vals64.astype(np.int32).astype(I64)
+        return vals64
     raise ValueError(f"bad codec {c}")
 
 
