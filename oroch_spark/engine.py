@@ -95,49 +95,84 @@ def spark_type_of(kind: str) -> T.DataType:
 
 def _encode_column(arr: "pa.Array", kind: str, text_hint: bool):
     """-> (blob bytes, desc dict, bytes_in, ref_bytes). ``arr`` is a
-    flat (combined) pyarrow array."""
+    flat (combined) pyarrow array. Nullable columns get a packed
+    validity bitmap prefix (ceil(n/8) bytes, little-endian bit order)
+    and encode with nulls filled; decode restores the mask. The bitmap
+    is charged to both actual and reference bytes (the reference has no
+    null concept, so the budget comparison stays apples-to-apples)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     n = len(arr)
+    nullable = bool(arr.null_count)
+    if nullable:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        vblob = np.packbits(valid, bitorder="little").tobytes()
+    else:
+        vblob = b""
     if kind == K_STR:
-        blob, d = sc.encode_str_block(arr, text_hint=text_hint)
-        nbytes = int(sc.arrow_to_bytes(sc.to_string_array(arr))[0].sum()) \
+        a = pc.fill_null(arr, "") if nullable else arr
+        blob, d = sc.encode_str_block(a, text_hint=text_hint)
+        nbytes = int(sc.arrow_to_bytes(sc.to_string_array(a))[0].sum()) \
             if n else 0
-        return blob, {"k": kind, "c": d.codec_name}, nbytes + 4 * n, d.ref_total
-    if arr.null_count:
-        raise ValueError("null values not supported in v0 blocks")
+        desc = {"k": kind, "c": d.codec_name}
+        if nullable:
+            desc["z"] = 1
+        return (vblob + blob, desc, nbytes + 4 * n,
+                d.ref_total + len(vblob))
     if kind == K_TS:
-        ints = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ia = arr.cast(pa.int64())
+        if nullable:
+            ia = pc.fill_null(ia, 0)
+        ints = ia.to_numpy(zero_copy_only=False)
         width, delta = 8, True
     elif kind == K_F64:
-        ints = arr.to_numpy(zero_copy_only=False).view(np.int64)
+        a = pc.fill_null(arr, 0.0) if nullable else arr
+        ints = a.to_numpy(zero_copy_only=False).view(np.int64)
         width, delta = 8, False
     elif kind == K_I32:
-        ints = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        a = pc.fill_null(arr, 0) if nullable else arr
+        ints = a.to_numpy(zero_copy_only=False).astype(np.int64)
         width, delta = 4, True
     else:
-        ints = arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        a = pc.fill_null(arr, 0) if nullable else arr
+        ints = a.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         width, delta = 8, True
     desc = ic.select(ints, width=width, try_delta=delta)
     blob = ic.encode_block(ints, desc=desc, width=width)
-    return (blob, {"k": kind, "c": desc.codec_name},
-            width * n, desc.ref_total)
+    d = {"k": kind, "c": desc.codec_name}
+    if nullable:
+        d["z"] = 1
+    return (vblob + blob, d, width * n, desc.ref_total + len(vblob))
 
 
-def _decode_column(blob: bytes, kind: str, n: int, arrow_type) -> "pa.Array":
+def _decode_column(blob: bytes, kind: str, n: int, arrow_type,
+                   nullable: bool = False) -> "pa.Array":
     import pyarrow as pa
+    import pyarrow.compute as pc
 
+    if nullable:
+        nb = (n + 7) // 8
+        valid = np.unpackbits(np.frombuffer(blob[:nb], dtype=np.uint8),
+                              count=n, bitorder="little").astype(bool)
+        blob = blob[nb:]
     if kind == K_STR:
-        return sc.decode_str_block_arrow(blob, n).cast(arrow_type)
-    width = 4 if kind == K_I32 else 8
-    ints = ic.decode_block(blob, n, width=width)
-    if kind == K_TS:
-        return pa.array(ints, type=pa.int64()).cast(arrow_type)
-    if kind == K_F64:
-        return pa.array(ints.view(np.float64), type=arrow_type)
-    if kind == K_I32:
-        return pa.array(ints.astype(np.int32), type=arrow_type)
-    return pa.array(ints, type=arrow_type)
+        out = sc.decode_str_block_arrow(blob, n).cast(arrow_type)
+    else:
+        width = 4 if kind == K_I32 else 8
+        ints = ic.decode_block(blob, n, width=width)
+        if kind == K_TS:
+            out = pa.array(ints, type=pa.int64()).cast(arrow_type)
+        elif kind == K_F64:
+            out = pa.array(ints.view(np.float64), type=arrow_type)
+        elif kind == K_I32:
+            out = pa.array(ints.astype(np.int32), type=arrow_type)
+        else:
+            out = pa.array(ints, type=arrow_type)
+    if nullable:
+        out = pc.if_else(pa.array(valid), out,
+                         pa.scalar(None, type=out.type))
+    return out
 
 
 def _block_arrow_schema():
@@ -270,7 +305,8 @@ def make_decode_fn(kinds: list[tuple[str, str]], arrow_schema_bytes: bytes):
                 cols = []
                 for d, field in zip(desc["cols"], out_schema):
                     blob = payload[d["o"]:d["o"] + d["l"]]
-                    cols.append(_decode_column(blob, d["k"], n, field.type))
+                    cols.append(_decode_column(blob, d["k"], n, field.type,
+                                               nullable=bool(d.get("z"))))
                 yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
     return decode_blocks

@@ -64,6 +64,35 @@ class TestRoundtrip:
         files = glob.glob(str(tmp_path / "stage" / "_bucket=*" / "part-*"))
         assert 0 < len(files) <= 6
 
+    def test_nullable_columns_roundtrip(self, spark):
+        # nulls in every supported kind: validity bitmap prefix + fill
+        from pyspark.sql import functions as F
+        df = (spark.range(2000)
+              .select(F.concat(F.lit("c"), (F.col("id") % 7))
+                       .alias("conv_id"),
+                      F.col("id").cast("int").alias("turn_idx"),
+                      F.when(F.col("id") % 3 == 0, None)
+                       .otherwise(F.concat(F.lit("text "), F.col("id")))
+                       .alias("text"),
+                      F.when(F.col("id") % 5 == 0, None)
+                       .otherwise(F.col("id").cast("double") / 3.0)
+                       .alias("score"),
+                      F.when(F.col("id") % 4 == 0, None)
+                       .otherwise(F.col("id").cast("long") * 1000)
+                       .alias("big"),
+                      F.when(F.col("id") % 6 == 0, None)
+                       .otherwise(F.timestamp_micros(
+                           F.lit(1_700_000_000_000_000) + F.col("id")))
+                       .alias("ts")))
+        dec = engine.roundtrip_df(df, ["conv_id", "turn_idx"],
+                                  n_buckets=4, block_rows=256,
+                                  text_cols=["text"])
+        src_pd = df.toPandas().sort_values(["conv_id", "turn_idx"]) \
+                   .reset_index(drop=True)
+        dec_pd = dec.toPandas().sort_values(["conv_id", "turn_idx"]) \
+                   .reset_index(drop=True)[src_pd.columns]
+        pd.testing.assert_frame_equal(src_pd, dec_pd, check_exact=True)
+
     def test_single_giant_conversation_spreads_buckets(self, spark):
         # skew: one conversation with 30k turns must not land in one
         # bucket — the salted key (conv_id, turn_idx // chunk) splits it,
