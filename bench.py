@@ -69,14 +69,20 @@ def main() -> None:
     queries: dict[str, float] = {}
     extra: dict = {}
 
-    def timed(name, fn):
+    def timed(name, fn, required=True):
         best = None
         out = None
-        for _ in range(max(1, args.reps)):
-            t0 = time.time()
-            out = fn()
-            w = time.time() - t0
-            best = w if best is None else min(best, w)
+        try:
+            for _ in range(max(1, args.reps)):
+                t0 = time.time()
+                out = fn()
+                w = time.time() - t0
+                best = w if best is None else min(best, w)
+        except Exception:
+            if required:
+                raise
+            queries[name] = None  # non-headline op failed; keep the line
+            return None
         queries[name] = round(best, 3)
         return out
 
@@ -148,12 +154,22 @@ def main() -> None:
                   text_cols=["text"]).count())
 
     # --- pipeline operators ---------------------------------------------
+    from oroch_spark.operators import textstats
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    timed("dedup_exact", lambda: dedup.exact_dedup(docs).count())
+    timed("dedup_exact", lambda: dedup.exact_dedup(docs).count(),
+          required=False)
+    timed("fingerprint", lambda: textstats.fingerprint(docs).count(),
+          required=False)
+    timed("langid", lambda: textstats.lang_id_ngram(docs).count(),
+          required=False)
+    timed("simhash", lambda: dedup.simhash(docs, bits=16).count(),
+          required=False)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = entry._query_vec(sf_dir)
     timed("ann_cosine_topk",
-          lambda: similarity.cosine_topk(emb, qv, k=10).collect())
+          lambda: similarity.cosine_topk(emb, qv, k=10).collect(),
+          required=False)
 
     result = {
         "metric": "encode_turns_per_sec",
