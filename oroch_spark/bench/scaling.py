@@ -33,6 +33,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(
 
 
 def run_level(cores: int, sf_dir: str, n_conv: int, reps: int = 5) -> dict:
+    """One fresh-JVM bench at local[cores], with the WHOLE process tree
+    (JVM + forked python workers) pinned to exactly ``cores`` CPUs via
+    sched_setaffinity. Without pinning, a local[2] JVM's scheduler/IO
+    threads and result handling leak onto idle host cores, inflating
+    the small level and understating true scaling — pinning models a
+    cluster whose nodes really have N cores total."""
     out = tempfile.mktemp(suffix=".json")
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
@@ -42,6 +48,7 @@ def run_level(cores: int, sf_dir: str, n_conv: int, reps: int = 5) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py"),
          "--cores", str(cores), "--out", out],
         check=True, env=env, cwd=REPO,
+        preexec_fn=lambda: os.sched_setaffinity(0, set(range(cores))),
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     with open(out) as fh:
         return json.loads(fh.read())
@@ -91,20 +98,48 @@ def host_capacity_probe(levels: list[int], tasks_per_level: int = 32,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--conv", type=int, default=12000)
+    ap.add_argument("--conv", type=int, default=48000)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--no-probe", action="store_true")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
 
     probe = {} if args.no_probe else host_capacity_probe([1, lo, hi, 32])
 
+    # Pre-generate the shared source table unpinned at full parallelism
+    # (the first pinned-2-CPU level would otherwise pay the whole
+    # generation serially); the level runs then hit the /tmp cache.
+    env = dict(os.environ, OROCH_BENCH_CONV=str(args.conv))
+    subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r);"
+         "import bench; from oroch_spark import transcripts; import os;"
+         "import tempfile;"
+         "src = os.path.join(tempfile.gettempdir(),"
+         " f'oroch_bench_src_{bench.N_CONV}_{bench.N_SRC_FILES}f');"
+         "spark = bench.build_spark(32);"
+         "transcripts.generate(spark, bench.N_CONV, seed=42,"
+         " partitions=bench.N_SRC_FILES).write.mode('overwrite')"
+         ".parquet(src) if not os.path.exists(os.path.join(src,"
+         " '_SUCCESS')) else None; spark.stop()" % REPO],
+        check=True, env=env, cwd=REPO,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    # Interleave the two levels over several rounds and keep each
+    # level's best run: host load on this overcommitted sandbox swings
+    # 2x minute-to-minute, so measuring the levels back-to-back once
+    # randomly inflates or deflates the ratio. Alternation samples both
+    # levels across the same load windows.
     res = {}
-    for c in (lo, hi):
-        res[c] = run_level(c, args.sf_dir, args.conv)
-        time.sleep(20)  # cooldown: let the previous JVM fully drain
+    for _ in range(args.rounds):
+        for c in (lo, hi):
+            r = run_level(c, args.sf_dir, args.conv, reps=2)
+            if c not in res or r["turns_per_sec"] > res[c]["turns_per_sec"]:
+                res[c] = r
+            time.sleep(10)  # drain the previous JVM
     t_lo = res[lo]["turns_per_sec"]
     t_hi = res[hi]["turns_per_sec"]
     eff = (t_hi / t_lo) / (hi / lo)
@@ -115,8 +150,13 @@ Generated by `python3 -m oroch_spark.bench.scaling` — the same encode
 job (deterministic synthetic transcript table, {args.conv} conversations,
 {res[lo]['n_turns']:,} turns, seed 42, fixed 256-file conv-clustered
 parquet layout) run at two parallelism levels on identical input,
-fresh JVM each, per the driver's two-cluster-size rule. The encode is
-the shuffle-free map-only plan (`engine.encode_parquet_maponly`).
+fresh JVM each, per the driver's two-cluster-size rule. Each level's
+whole process tree (JVM + python workers) is pinned to exactly N CPUs
+via sched_setaffinity — a faithful model of cluster nodes with N cores
+total — and the levels are interleaved over {args.rounds} rounds (best
+per level) so the minute-scale load swings of this overcommitted host
+hit both levels alike. The encode is the shuffle-free map-only plan
+(`engine.encode_parquet_maponly`).
 
 | level | cores | encode turns/sec | bytes/turn | ref-budget ratio |
 |---|---|---|---|---|
