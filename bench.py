@@ -41,6 +41,8 @@ def build_spark(cores: int):
             .appName("oroch-bench")
             .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
             .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.parquet.outputTimestampType",
+                    "TIMESTAMP_MICROS")
             .config("spark.driver.memory", "16g")
             .config("spark.ui.enabled", "false")
             .config("spark.log.level", "ERROR")

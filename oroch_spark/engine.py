@@ -121,7 +121,13 @@ def _encode_column(arr: "pa.Array", kind: str, text_hint: bool):
         return (vblob + blob, desc, nbytes + 4 * n,
                 d.ref_total + len(vblob))
     if kind == K_TS:
-        ia = arr.cast(pa.int64())
+        ia = arr
+        if pa.types.is_timestamp(ia.type) and ia.type.unit != "us":
+            # normalize to the engine's epoch-micros domain: file-pull
+            # inputs can surface as ns (e.g. INT96 parquet) and a raw
+            # int64 view would be off by 1000x after decode
+            ia = ia.cast(pa.timestamp("us", tz=ia.type.tz))
+        ia = ia.cast(pa.int64())
         if nullable:
             ia = pc.fill_null(ia, 0)
         ints = ia.to_numpy(zero_copy_only=False)

@@ -64,6 +64,35 @@ class TestRoundtrip:
         files = glob.glob(str(tmp_path / "stage" / "_bucket=*" / "part-*"))
         assert 0 < len(files) <= 6
 
+    def test_maponly_ns_timestamp_parquet(self, spark, tmp_path):
+        # INT96/ns-unit parquet surfaces as timestamp[ns] in the
+        # file-pull path; the encoder must normalize to epoch-micros
+        # (regression: decoded ts was off by 1000x at bench scale)
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        n = 500
+        pdf = pd.DataFrame({
+            "conv_id": [f"c{i%7}" for i in range(n)],
+            "turn_idx": np.arange(n, dtype=np.int32),
+            "ts": pd.to_datetime(1_700_000_000_000_000 + np.arange(n) * 1_000_000,
+                                 unit="us"),
+        })
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        tbl = tbl.set_column(2, "ts", tbl.column("ts").cast(pa.timestamp("ns")))
+        src_dir = tmp_path / "nssrc"
+        src_dir.mkdir()
+        pq.write_table(tbl, str(src_dir / "part-0.parquet"))
+        blocks = engine.encode_parquet_maponly(
+            spark, str(src_dir), ["conv_id", "turn_idx"], block_rows=128)
+        kinds = [("conv_id", "str"), ("turn_idx", "i32"), ("ts", "ts")]
+        dec = engine.decode_df(blocks, kinds).toPandas() \
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        exp = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        pd.testing.assert_series_equal(dec["ts"], exp["ts"],
+                                       check_exact=True)
+
     def test_nullable_columns_roundtrip(self, spark):
         # nulls in every supported kind: validity bitmap prefix + fill
         from pyspark.sql import functions as F
