@@ -102,7 +102,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--levels", default="2,8")
-    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--no-probe", action="store_true")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
@@ -136,7 +136,7 @@ def main() -> None:
     res = {}
     for _ in range(args.rounds):
         for c in (lo, hi):
-            r = run_level(c, args.sf_dir, args.conv, reps=2)
+            r = run_level(c, args.sf_dir, args.conv, reps=3)
             if c not in res or r["turns_per_sec"] > res[c]["turns_per_sec"]:
                 res[c] = r
             time.sleep(10)  # drain the previous JVM
