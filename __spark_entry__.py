@@ -87,6 +87,7 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = textstats.token_stats(_read(spark, sf_dir, "documents"))
     return df.select("doc_id",
                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                     "n_bpe_tokens",
                      F.col("n_chars").cast("long").alias("n_chars"),
                      F.col("mean_tok_len"))
 
@@ -122,6 +123,11 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.ann_topk_lsh(emb, _query_vec(sf_dir), k=10)
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_ivf(emb, _query_vec(sf_dir), k=10)
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_dist_documents": _q_lang_dist,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,                     # rows-only (approx)
+        "ann_ivf_topk": _q_ann_ivf,                     # rows-only (approx)
         "minhash_dup_pairs": _q_minhash_pairs,          # rows-only
         "simhash_documents": _q_simhash,                # rows-only
         "fingerprint_documents": _q_fingerprint,
@@ -238,6 +245,9 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_documents": f"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '{textstats.BPE_PATTERN}')) AS BIGINT)
+                       AS n_bpe_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars,
                    length(text) / greatest(len(string_split(text, ' ')), 1)
                        AS mean_tok_len

@@ -66,6 +66,64 @@ def rp_lsh_buckets(df: DataFrame, dim: int, n_planes: int = 16,
     return df.select(id_col, vec_col, bucket.alias("bucket"))
 
 
+def _kmeans_fit(x: "np.ndarray", k: int, iters: int, seed: int) -> "np.ndarray":
+    """Tiny deterministic k-means (numpy, driver-side — centroid table
+    is small by construction; the data never leaves the executors)."""
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for j in range(len(cent)):
+            m = lab == j
+            if m.any():
+                cent[j] = x[m].mean(axis=0)
+    return cent
+
+
+def ivf_assign(df: DataFrame, centroids: "np.ndarray",
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """IVF coarse quantizer: nearest-centroid list id per vector,
+    computed JVM-side (argmin over per-centroid squared distances built
+    as array expressions — no UDF, no shuffle)."""
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(F.col(vec_col),
+                       F.array(*[F.lit(float(v)).cast("float")
+                                 for v in c]),
+                       lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+        for c in centroids
+    ])
+    lst = (F.array_position(dists, F.array_min(dists)) - 1) \
+        .cast("int").alias("ivf_list")
+    return df.select(id_col, vec_col, lst)
+
+
+def ann_topk_ivf(df: DataFrame, query_vec: list[float], k: int = 10,
+                 n_centroids: int = 16, n_probe: int = 6,
+                 train_sample: int = 512, iters: int = 5, seed: int = 42,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """IVF approximate top-k: k-means centroids from a deterministic
+    sample, vectors bucketed by nearest centroid, search only the
+    ``n_probe`` lists nearest the query. At scale the assignment is a
+    one-pass narrow map and the search touches n_probe/n_centroids of
+    the data; the centroid table broadcast is O(k*dim)."""
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).orderBy(id_col)
+         .limit(train_sample).collect()], dtype=np.float64)
+    cent = _kmeans_fit(sample, n_centroids, iters, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probes = np.argsort(((cent - q) ** 2).sum(axis=1))[:n_probe]
+    assigned = ivf_assign(df, cent, id_col, vec_col)
+    cand = assigned.filter(F.col("ivf_list")
+                           .isin([int(p) for p in probes]))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",

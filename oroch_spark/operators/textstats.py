@@ -9,14 +9,25 @@ STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
              "it", "that", "for", "on", "with", "as", "at", "by"]
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space
+# symbols — the coarse split BPE vocabularies refine. RE2- and
+# Java-regex compatible so a SQL oracle can reproduce it exactly.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def token_stats(df: DataFrame, content_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Whitespace token count + char count + mean token length."""
+    """Whitespace token count, BPE-ish regex token count, char count,
+    mean token length."""
     toks = F.split(F.col(content_col), " ")
     n_tokens = F.size(toks).alias("n_tokens")
+    n_bpe = F.size(F.regexp_extract_all(
+        F.col(content_col), F.lit(BPE_PATTERN), F.lit(0)))
     n_chars = F.length(content_col).alias("n_chars")
     return df.select(
-        id_col, n_tokens, n_chars,
+        id_col, n_tokens,
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        n_chars,
         (F.length(content_col)
          / F.greatest(F.size(toks), F.lit(1))).alias("mean_tok_len"),
     )
