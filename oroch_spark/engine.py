@@ -134,8 +134,38 @@ def _encode_column(arr: "pa.Array", kind: str, text_hint: bool):
         width, delta = 8, True
     elif kind == K_F64:
         a = pc.fill_null(arr, 0.0) if nullable else arr
-        ints = a.to_numpy(zero_copy_only=False).view(np.int64)
-        width, delta = 8, False
+        f = a.to_numpy(zero_copy_only=False)
+        # ALP-style exact decimal scaling: if every value is bitwise
+        # reconstructible as round(v*10^e)/10^e with the integer in
+        # float-exact range, integer-code the scaled values (price-like
+        # columns drop from 64 raw bits to ~20 packed bits). The
+        # reference budget stays the raw-bits selection (the reference
+        # model has no float transform). Tag byte: 0=raw bits, else e.
+        raw_bits = f.view(np.int64)
+        ref_desc = ic.select(raw_bits, width=8, try_delta=False)
+        for e in (0, 1, 2, 3, 4):
+            scale = 10.0 ** e
+            ints = np.round(f * scale)
+            if (np.abs(ints) < 2.0 ** 53).all() \
+                    and ((ints / scale).view(np.int64) == raw_bits).all():
+                iv = ints.astype(np.int64)
+                desc = ic.select(iv, width=8, try_delta=True)
+                blob = bytes([e + 1]) + ic.encode_block(iv, desc=desc,
+                                                        width=8)
+                if len(blob) > 1 + ref_desc.ref_total:
+                    break  # scaled ints lost to the raw-bits budget
+                d = {"k": kind, "c": f"dec{e}+{desc.codec_name}"}
+                if nullable:
+                    d["z"] = 1
+                return (vblob + blob, d, 8 * n,
+                        ref_desc.ref_total + len(vblob) + 1)
+        blob = bytes([0]) + ic.encode_block(raw_bits, desc=ref_desc,
+                                            width=8)
+        d = {"k": kind, "c": ref_desc.codec_name}
+        if nullable:
+            d["z"] = 1
+        return (vblob + blob, d, 8 * n,
+                ref_desc.ref_total + len(vblob) + 1)
     elif kind == K_I32:
         a = pc.fill_null(arr, 0) if nullable else arr
         ints = a.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -164,13 +194,21 @@ def _decode_column(blob: bytes, kind: str, n: int, arrow_type,
         blob = blob[nb:]
     if kind == K_STR:
         out = sc.decode_str_block_arrow(blob, n).cast(arrow_type)
+    elif kind == K_F64:
+        tag = blob[0]
+        ints = ic.decode_block(blob[1:], n, width=8)
+        if tag == 0:
+            vals = ints.view(np.float64)
+        else:
+            # decimal-scaled: encode verified round(v*10^e)/10^e is
+            # bitwise-identical, and IEEE division is deterministic
+            vals = ints.astype(np.float64) / (10.0 ** (tag - 1))
+        out = pa.array(vals, type=arrow_type)
     else:
         width = 4 if kind == K_I32 else 8
         ints = ic.decode_block(blob, n, width=width)
         if kind == K_TS:
             out = pa.array(ints, type=pa.int64()).cast(arrow_type)
-        elif kind == K_F64:
-            out = pa.array(ints.view(np.float64), type=arrow_type)
         elif kind == K_I32:
             out = pa.array(ints.astype(np.int32), type=arrow_type)
         else:

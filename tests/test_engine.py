@@ -93,6 +93,29 @@ class TestRoundtrip:
         pd.testing.assert_series_equal(dec["ts"], exp["ts"],
                                        check_exact=True)
 
+    def test_double_decimal_scaling_column(self):
+        # price-like 2-decimal doubles integer-code far below raw bits;
+        # NaN/inf/-0.0 blocks fall back to raw and stay bit-identical
+        import pyarrow as pa
+        rng = np.random.default_rng(5)
+        prices = np.round(rng.uniform(0, 5000, 4000), 2)
+        arr = pa.array(prices, type=pa.float64())
+        blob, d, b_in, b_ref = engine._encode_column(arr, engine.K_F64,
+                                                     False)
+        assert d["c"].startswith("dec2+")
+        assert len(blob) < b_in // 3  # ~20 packed bits vs 64 raw
+        back = engine._decode_column(blob, engine.K_F64, len(prices),
+                                     pa.float64())
+        assert back.equals(arr)
+
+        odd = np.array([1.5, float("nan"), float("inf"), -0.0, 2.25e-300])
+        arr2 = pa.array(odd, type=pa.float64())
+        blob2, d2, _, _ = engine._encode_column(arr2, engine.K_F64, False)
+        back2 = engine._decode_column(blob2, engine.K_F64, len(odd),
+                                      pa.float64())
+        assert back2.to_numpy(zero_copy_only=False).view(np.int64) \
+            .tolist() == odd.view(np.int64).tolist()
+
     def test_nullable_columns_roundtrip(self, spark):
         # nulls in every supported kind: validity bitmap prefix + fill
         from pyspark.sql import functions as F
