@@ -633,3 +633,40 @@ def decode_block(blob: bytes, n: int, width: int = 8) -> np.ndarray:
 def describe_block(blob: bytes, n: int, width: int = 8) -> IntDescriptor:
     desc, _ = read_header(blob, 0, n, width)
     return desc
+
+
+def _fetch_bits(payload: bytes, i: int, nbits: int) -> int:
+    """Read the ``nbits`` bits at value index ``i`` from the dense
+    little-endian bitstream without touching the rest."""
+    bitpos = i * nbits
+    byte0 = bitpos >> 3
+    chunk = payload[byte0:byte0 + 9].ljust(9, b"\0")
+    return (int.from_bytes(chunk, "little") >> (bitpos & 7)) \
+        & ((1 << nbits) - 1)
+
+
+def fetch(blob: bytes, i: int, n: int, width: int = 8) -> int:
+    """Random access: value at index ``i`` without decoding the block —
+    the analogue of ``bitpck_codec::fetch`` (`/root/reference/oroch/
+    bitpck.h:203-225, 258-266`). O(1) for naught/normal/bitpck/bitfor;
+    stream codecs (varint/bitpfr/delta) fall back to a full decode, as
+    the reference's varint path also must."""
+    if not 0 <= i < n:
+        raise IndexError(i)
+    desc, pos = read_header(blob, 0, n, width)
+    payload = blob[pos:]
+    c = desc.codec
+    if c == NAUGHT:
+        return desc.origin
+    if c == NORMAL:
+        w = desc.width
+        dt = "<i4" if w == 4 else "<i8"
+        return int(np.frombuffer(payload, dtype=dt, count=1,
+                                 offset=i * w)[0])
+    if c == BITPCK:
+        return zigzag_decode_scalar(_fetch_bits(payload, i, desc.nbits))
+    if c == BITFOR:
+        u = (desc.origin + _fetch_bits(payload, i, desc.nbits)) \
+            & 0xFFFFFFFFFFFFFFFF
+        return u - (1 << 64) if u >= (1 << 63) else u
+    return int(decode_block(blob, n, width)[i])

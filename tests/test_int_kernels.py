@@ -228,3 +228,29 @@ class TestRandomized:
         roundtrip(a, width=4)
         d = ic.select(a, width=4)
         assert d.codec != ic.NORMAL or d.ref_data == 777 * 4
+
+
+class TestFetch:
+    """Random access without block decode (`oroch/bitpck.h:203-225`)."""
+
+    def test_fetch_matches_decode_across_codecs(self):
+        import numpy as np
+        from oroch_spark.kernels import integers as ic
+        rng = np.random.default_rng(9)
+        cases = [
+            np.full(100, 7, dtype=np.int64),                 # naught
+            rng.integers(-2**60, 2**60, 50),                 # normal-ish
+            rng.integers(0, 1000, 300),                      # bitfor/bitpck
+            rng.integers(-500, 500, 300),                    # bitpck (zigzag)
+            np.arange(1000, 1300, dtype=np.int64),           # delta
+            np.concatenate([rng.integers(0, 100, 290),
+                            rng.integers(2**40, 2**41, 10)]),  # bitpfr
+        ]
+        for a in cases:
+            a = a.astype(np.int64)
+            for try_delta in (False, True):
+                blob = ic.encode_block(a, width=8, try_delta=try_delta)
+                dec = ic.decode_block(blob, len(a), width=8)
+                for i in [0, 1, len(a) // 2, len(a) - 1]:
+                    assert ic.fetch(blob, i, len(a)) == dec[i], \
+                        (ic.describe_block(blob, len(a)).codec_name, i)
