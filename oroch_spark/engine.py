@@ -619,9 +619,11 @@ def pruned_lookup(df: DataFrame, key_col: str, value: int,
     kinds = column_kinds(df.schema)
     blocks = encode_df(df, [key_col], n_buckets=n_buckets,
                        block_rows=block_rows)
-    v = str(int(value)).zfill(20)
-    pruned = blocks.filter((F.lpad("key_min", 20, "0") <= v)
-                           & (F.lpad("key_max", 20, "0") >= v))
+    v = int(value)
+    # single-key blocks store str(int) bounds; numeric cast compares
+    # correctly for negatives too (zero-padded string compare does not)
+    pruned = blocks.filter((F.col("key_min").cast("long") <= v)
+                           & (F.col("key_max").cast("long") >= v))
     return decode_df(pruned, kinds).filter(F.col(key_col) == value)
 
 
