@@ -93,7 +93,8 @@ def spark_type_of(kind: str) -> T.DataType:
 # pandas object arrays, no per-row Python)
 # ---------------------------------------------------------------------------
 
-def _encode_column(arr: "pa.Array", kind: str, text_hint: bool):
+def _encode_column(arr: "pa.Array", kind: str, text_hint: bool,
+                   name: str = ""):
     """-> (blob bytes, desc dict, bytes_in, ref_bytes). ``arr`` is a
     flat (combined) pyarrow array. Nullable columns get a packed
     validity bitmap prefix (ceil(n/8) bytes, little-endian bit order)
@@ -125,8 +126,20 @@ def _encode_column(arr: "pa.Array", kind: str, text_hint: bool):
         if pa.types.is_timestamp(ia.type) and ia.type.unit != "us":
             # normalize to the engine's epoch-micros domain: file-pull
             # inputs can surface as ns (e.g. INT96 parquet) and a raw
-            # int64 view would be off by 1000x after decode
-            ia = ia.cast(pa.timestamp("us", tz=ia.type.tz))
+            # int64 view would be off by 1000x after decode. Policy:
+            # whole-microsecond values only — genuine sub-microsecond
+            # precision is a hard error (never silent truncation),
+            # because the decode target (Spark TimestampType) is
+            # micros and the bit-identical round-trip would be broken.
+            try:
+                ia = ia.cast(pa.timestamp("us", tz=ia.type.tz))
+            except pa.lib.ArrowInvalid as exc:
+                raise ValueError(
+                    f"timestamp column {name!r} carries sub-microsecond "
+                    f"precision ({ia.type}); the engine's domain is "
+                    "epoch-micros (Spark TimestampType). Truncate "
+                    "explicitly upstream (e.g. date_trunc) before "
+                    "encoding.") from exc
         ia = ia.cast(pa.int64())
         if nullable:
             ia = pc.fill_null(ia, 0)
@@ -143,24 +156,31 @@ def _encode_column(arr: "pa.Array", kind: str, text_hint: bool):
         # model has no float transform). Tag byte: 0=raw bits, else e.
         raw_bits = f.view(np.int64)
         ref_desc = ic.select(raw_bits, width=8, try_delta=False)
+        raw_blob = bytes([0]) + ic.encode_block(raw_bits, desc=ref_desc,
+                                                width=8)
         for e in (0, 1, 2, 3, 4):
             scale = 10.0 ** e
             ints = np.round(f * scale)
-            if (np.abs(ints) < 2.0 ** 53).all() \
-                    and ((ints / scale).view(np.int64) == raw_bits).all():
-                iv = ints.astype(np.int64)
+            if not (np.abs(ints) < 2.0 ** 53).all():
+                continue
+            iv = ints.astype(np.int64)
+            # Verify against the EXACT decode expression (int64 ->
+            # float64 -> /scale): this rejects any value the round-trip
+            # cannot reproduce bitwise, including -0.0 (stored int 0
+            # decodes to +0.0) — such blocks fall back to raw bits.
+            if ((iv.astype(np.float64) / scale).view(np.int64)
+                    == raw_bits).all():
                 desc = ic.select(iv, width=8, try_delta=True)
                 blob = bytes([e + 1]) + ic.encode_block(iv, desc=desc,
                                                         width=8)
-                if len(blob) > 1 + ref_desc.ref_total:
-                    break  # scaled ints lost to the raw-bits budget
+                if len(blob) >= len(raw_blob):
+                    break  # scaled ints lost to the actual raw encoding
                 d = {"k": kind, "c": f"dec{e}+{desc.codec_name}"}
                 if nullable:
                     d["z"] = 1
                 return (vblob + blob, d, 8 * n,
                         ref_desc.ref_total + len(vblob) + 1)
-        blob = bytes([0]) + ic.encode_block(raw_bits, desc=ref_desc,
-                                            width=8)
+        blob = raw_blob
         d = {"k": kind, "c": ref_desc.codec_name}
         if nullable:
             d["z"] = 1
@@ -241,7 +261,8 @@ def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
     ref_bytes = 0
     for name, kind in kinds:
         arr = table.column(name).combine_chunks()
-        blob, d, b_in, b_ref = _encode_column(arr, kind, name in text_cols)
+        blob, d, b_in, b_ref = _encode_column(arr, kind, name in text_cols,
+                                              name=name)
         d["o"] = sum(len(p) for p in pieces)
         d["l"] = len(blob)
         d["n"] = name

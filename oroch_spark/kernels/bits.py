@@ -5,9 +5,13 @@ These are the numpy analogues of the reference's intrinsics layer
 the fixed-width bit-packing payload (`/root/reference/oroch/bitpck.h:73-201`).
 We do NOT reproduce the reference's two-uint64-lane 16-byte block layout;
 we use a dense little-endian bitstream (strictly smaller or equal in size)
-while the *cost model* (`cost.py`) still charges the reference's
+while the *cost model* (in `integers.py`) still charges the reference's
 `16 * ceil(n / floor(128/nbits))` bytes for selection/budget parity
 (`/root/reference/oroch/bitpck.h:54-71`).
+
+Wire contract: the bitstream is little-endian at both the byte and the
+bit level (values enter the stream low-bit-first through a `<u8` view),
+independent of host byte order.
 """
 from __future__ import annotations
 
@@ -50,7 +54,9 @@ def pack_bits(u: np.ndarray, nbits: int) -> bytes:
     n = len(u)
     if n == 0 or nbits == 0:
         return b""
-    u = np.ascontiguousarray(u, dtype=U64)
+    # '<u8' pins the wire format to little-endian regardless of host
+    # byte order (no-op view on LE hosts, byte-swapping copy on BE)
+    u = np.ascontiguousarray(u, dtype="<u8")
     # little-endian byte view -> per-value bit rows (C-side unpackbits),
     # keep the low nbits of each row, repack densely. Avoids the
     # (n x nbits) uint64 shift matrix entirely.
@@ -70,7 +76,7 @@ def unpack_bits(buf: bytes, n: int, nbits: int) -> np.ndarray:
     padded = np.zeros((n, 64), dtype=np.uint8)
     padded[:, :nbits] = bits.reshape(n, nbits)
     return np.packbits(padded, axis=1, bitorder="little") \
-             .view(U64).reshape(n)
+             .view("<u8").reshape(n).astype(U64, copy=False)
 
 
 def packed_size(n: int, nbits: int) -> int:
