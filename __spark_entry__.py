@@ -50,6 +50,38 @@ def _q_rt_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                text_cols=["text"])
 
 
+def _q_rt_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table round-trip: array<float> via the byte-plane codec
+    (sign-rotated MSB plane + per-plane Oroch selection), vec_id/label
+    via the integer codecs. Bit-identical decode is the oracle."""
+    src = _read(spark, sf_dir, "embeddings")
+    return engine.roundtrip_df(src, ["vec_id"], n_buckets=8)
+
+
+def _q_rt_alltypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-type round-trip: date32, float32, boolean, tinyint,
+    smallint, decimal(12,2) derived from lineitem by deterministic
+    casts — the engine's full scalar type matrix in one oracle query."""
+    src = _read(spark, sf_dir, "lineitem")
+    df = src.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_linenumber").cast("tinyint").alias("lin_i8"),
+        F.col("l_suppkey").cast("smallint").alias("supp_i16"),
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.col("l_discount").cast("float").alias("disc_f32"),
+        (F.col("l_quantity") > 25).alias("qty_gt25"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+    )
+    rt = engine.roundtrip_df(df, ["l_orderkey", "l_linenumber"],
+                             n_buckets=8)
+    # the round-trip above runs the date/decimal codecs bit-exact; the
+    # OUTPUT surface re-casts them to types both engines fetch
+    # identically (DuckDB hands DECIMAL/DATE to pandas as
+    # float64/datetime64, Spark as Decimal/date objects)
+    return rt.withColumn("price_dec", F.col("price_dec").cast("double")) \
+             .withColumn("ship_date", F.col("ship_date").cast("timestamp"))
+
+
 def _q_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _read(spark, sf_dir, "events")
     return engine.pruned_lookup(src, "event_id", 4242)
@@ -198,6 +230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_part": _rt("part", ["p_partkey"]),
         "rt_nation": _rt("nation", ["n_nationkey"]),
         "rt_region": _rt("region", ["r_regionkey"]),
+        "rt_embeddings": _q_rt_embeddings,
+        "rt_alltypes": _q_rt_alltypes,
         "rt_transcripts": _q_rt_transcripts,            # rows-only
         # container/access ops (SURVEY.md §2.5)
         "pruned_lookup_events": _q_pruned_lookup,
@@ -234,6 +268,19 @@ def oracle_sql() -> dict[str, str]:
         "rt_part": "SELECT * FROM part",
         "rt_nation": "SELECT * FROM nation",
         "rt_region": "SELECT * FROM region",
+        "rt_embeddings": "SELECT * FROM embeddings",
+        "rt_alltypes": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_linenumber AS TINYINT) AS lin_i8,
+                   CAST(l_suppkey AS SMALLINT) AS supp_i16,
+                   CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP)
+                       AS ship_date,
+                   CAST(l_discount AS FLOAT) AS disc_f32,
+                   l_quantity > 25 AS qty_gt25,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+                       AS price_dec
+            FROM lineitem
+        """,
         "recompact_nation": "SELECT * FROM nation",
         "pruned_lookup_events":
             "SELECT * FROM events WHERE event_id = 4242",

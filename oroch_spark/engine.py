@@ -42,8 +42,14 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from .kernels import integers as ic
 from .kernels import strings as sc
 
-# Column kind tags
+# Column kind tags. The reference handles every integer width/signedness
+# uniformly via integer_traits promotion (`/root/reference/oroch/
+# integer_traits.h:31-59`); the engine mirrors that: every scalar kind
+# normalizes into the int64 codec domain with a declared byte width.
 K_I32, K_I64, K_F64, K_TS, K_STR = "i32", "i64", "f64", "ts", "str"
+K_BOOL, K_I8, K_I16, K_DATE, K_F32 = "bool", "i8", "i16", "date", "f32"
+# decimal kinds carry their params: "dec(p,s)" with p <= 18 (unscaled
+# value fits int64, Spark's own compact representation for that range)
 
 BLOCK_SCHEMA = T.StructType([
     T.StructField("bucket", T.IntegerType()),
@@ -76,15 +82,44 @@ def column_kinds(schema: T.StructType) -> list[tuple[str, str]]:
             out.append((f.name, K_TS))
         elif isinstance(dt, T.StringType):
             out.append((f.name, K_STR))
+        elif isinstance(dt, T.BooleanType):
+            out.append((f.name, K_BOOL))
+        elif isinstance(dt, T.ByteType):
+            out.append((f.name, K_I8))
+        elif isinstance(dt, T.ShortType):
+            out.append((f.name, K_I16))
+        elif isinstance(dt, T.DateType):
+            out.append((f.name, K_DATE))
+        elif isinstance(dt, T.FloatType):
+            out.append((f.name, K_F32))
+        elif isinstance(dt, T.DecimalType):
+            if dt.precision > 18:
+                raise ValueError(
+                    f"decimal column {f.name}: precision {dt.precision} "
+                    "> 18 (unscaled value would not fit int64)")
+            out.append((f.name, f"dec({dt.precision},{dt.scale})"))
+        elif isinstance(dt, T.ArrayType) and isinstance(
+                dt.elementType, (T.FloatType, T.DoubleType)):
+            w = 4 if isinstance(dt.elementType, T.FloatType) else 8
+            out.append((f.name, f"arr(f{w * 8})"))
         else:
             raise ValueError(f"unsupported column type {f.name}: {dt}")
     return out
 
 
 def spark_type_of(kind: str) -> T.DataType:
+    if kind.startswith("dec("):
+        p, s = kind[4:-1].split(",")
+        return T.DecimalType(int(p), int(s))
+    if kind == "arr(f32)":
+        return T.ArrayType(T.FloatType())
+    if kind == "arr(f64)":
+        return T.ArrayType(T.DoubleType())
     return {
         K_I32: T.IntegerType(), K_I64: T.LongType(), K_F64: T.DoubleType(),
         K_TS: T.TimestampType(), K_STR: T.StringType(),
+        K_BOOL: T.BooleanType(), K_I8: T.ByteType(), K_I16: T.ShortType(),
+        K_DATE: T.DateType(), K_F32: T.FloatType(),
     }[kind]
 
 
@@ -92,6 +127,210 @@ def spark_type_of(kind: str) -> T.DataType:
 # Per-block column encode/decode (inside the UDF; arrow/numpy only — no
 # pandas object arrays, no per-row Python)
 # ---------------------------------------------------------------------------
+
+def _float_encode(f: np.ndarray, width: int, kind: str, nullable: bool,
+                  vblob: bytes):
+    """Shared float32/float64 block encoder.
+
+    ALP-style exact decimal scaling: if every value is bitwise
+    reconstructible as round(v*10^e)/10^e with the integer in
+    float-exact range, integer-code the scaled values (price-like
+    columns drop from 64 raw bits to ~20 packed bits). Verification
+    uses the EXACT decode expression (int64 -> float64 -> /scale ->
+    target float width), so anything the round-trip cannot reproduce
+    bitwise — including -0.0 — falls back to raw bits. The reference
+    budget stays the raw-bits selection (the reference model has no
+    float transform). Tag byte: 0 = raw IEEE bits at the column width,
+    else e+1 = scaled ints (always encoded at width 8: round(v*10^e)
+    can exceed the int32 domain even for float32 inputs).
+    """
+    n = len(f)
+    fdt = np.float32 if width == 4 else np.float64
+    bdt = np.int32 if width == 4 else np.int64
+    raw_bits = f.view(bdt).astype(np.int64, copy=False)
+    ref_desc = ic.select(raw_bits, width=width, try_delta=False)
+    raw_blob = bytes([0]) + ic.encode_block(raw_bits, desc=ref_desc,
+                                            width=width)
+    f64 = f.astype(np.float64, copy=False)
+    for e in (0, 1, 2, 3, 4):
+        scale = 10.0 ** e
+        ints = np.round(f64 * scale)
+        if not (np.abs(ints) < 2.0 ** 53).all():
+            continue
+        iv = ints.astype(np.int64)
+        dec = (iv.astype(np.float64) / scale).astype(fdt).view(bdt)
+        if (dec.astype(np.int64, copy=False) == raw_bits).all():
+            desc = ic.select(iv, width=8, try_delta=True)
+            blob = bytes([e + 1]) + ic.encode_block(iv, desc=desc, width=8)
+            if len(blob) >= len(raw_blob):
+                break  # scaled ints lost to the actual raw encoding
+            d = {"k": kind, "c": f"dec{e}+{desc.codec_name}"}
+            if nullable:
+                d["z"] = 1
+            return (vblob + blob, d, width * n,
+                    ref_desc.ref_total + len(vblob) + 1)
+    d = {"k": kind, "c": ref_desc.codec_name}
+    if nullable:
+        d["z"] = 1
+    return (vblob + raw_blob, d, width * n,
+            ref_desc.ref_total + len(vblob) + 1)
+
+
+def _float_decode(blob: bytes, n: int, width: int) -> np.ndarray:
+    tag = blob[0]
+    if tag == 0:
+        bdt = np.int32 if width == 4 else np.int64
+        fdt = np.float32 if width == 4 else np.float64
+        return ic.decode_block(blob[1:], n, width=width) \
+            .astype(bdt).view(fdt)
+    ints = ic.decode_block(blob[1:], n, width=8)
+    # decimal-scaled: encode verified round(v*10^e)/10^e is
+    # bitwise-identical, and IEEE division is deterministic
+    vals = ints.astype(np.float64) / (10.0 ** (tag - 1))
+    return vals.astype(np.float32) if width == 4 else vals
+
+
+def _decimal_unscaled(arr: "pa.Array") -> np.ndarray:
+    """Unscaled int64 values of a decimal128(p<=18, s) array, read
+    straight from the 16-byte little-endian two's-complement buffer
+    (low word first) — no per-row Python, no object arrays."""
+    import pyarrow as pa
+
+    n = len(arr)
+    data = np.frombuffer(arr.buffers()[1], dtype="<i8")
+    pairs = data[2 * arr.offset: 2 * (arr.offset + n)].reshape(n, 2)
+    low, high = pairs[:, 0].copy(), pairs[:, 1]
+    if not (high == (low >> 63)).all():
+        raise ValueError("decimal value exceeds 64-bit unscaled range")
+    return low
+
+
+def _decimal_rebuild(iv: np.ndarray, arrow_type) -> "pa.Array":
+    import pyarrow as pa
+
+    n = len(iv)
+    data = np.empty((n, 2), dtype="<i8")
+    data[:, 0] = iv
+    data[:, 1] = iv >> 63  # sign extension into the high word
+    return pa.Array.from_buffers(arrow_type, n,
+                                 [None, pa.py_buffer(data.tobytes())])
+
+
+def _encode_float_array(arr: "pa.ListArray", kind: str, nullable: bool,
+                        vblob: bytes, valid: Optional[np.ndarray] = None):
+    """Embedding-column codec: ``array<float>`` / ``array<double>``.
+
+    Generalizes the reference's per-block cheapest-of selection
+    (`/root/reference/oroch/integer_codec.h:234-384`) to float vectors:
+    the flattened element buffer is split into IEEE byte planes and each
+    plane runs through the Oroch-style integer selector at width 1 (the
+    sign/exponent plane of real embedding data is low-entropy — e.g.
+    unit-norm float32 vectors use only a handful of exponent bytes —
+    while mantissa planes stay near-random and degrade to `normal`).
+    Per-row element counts are themselves an Oroch-selected integer
+    sequence (fixed-dim tables collapse to `naught`, ~3 bytes/block).
+
+    Layout: mode(1B: 1=planes, 0=raw LE values)
+            ‖ varint(n_elems) ‖ varint(len) + lengths_block
+            ‖ per plane: varint(len) + plane_block   (mode 1)
+            ‖ raw element bytes                      (mode 0)
+    The raw fallback guarantees actual bytes <= raw + O(header), and the
+    reference budget is the raw element bytes + the lengths block (the
+    reference model has no float/vector concept).
+    """
+    elem_w = 4 if kind == "arr(f32)" else 8
+    n = len(arr)
+    off = arr.offsets.to_numpy().astype(np.int64) if n \
+        else np.zeros(1, dtype=np.int64)
+    raw_counts = np.diff(off)
+    counts = (np.where(valid, raw_counts, 0)
+              if valid is not None else raw_counts)
+    child = arr.values
+    if child.null_count:
+        raise ValueError("array columns with null ELEMENTS are not "
+                         "supported (null rows are)")
+    vall = child.to_numpy(zero_copy_only=False)
+    # vectorized gather of the logical elements (row slices of the
+    # child buffer, skipping null rows) — no per-row Python
+    n_elems = int(counts.sum())
+    within = (np.arange(n_elems)
+              - np.repeat(np.cumsum(counts) - counts, counts))
+    idx = np.repeat(off[:-1], counts) + within
+    v = vall[idx]
+    udt = np.uint32 if elem_w == 4 else np.uint64
+    bits = np.ascontiguousarray(v).view(udt)
+    len_desc = ic.select(counts, width=4)
+    len_blob = ic.encode_block(counts, desc=len_desc, width=4)
+    head = (ic.varint_encode_scalar(n_elems)
+            + ic.varint_encode_scalar(len(len_blob)) + len_blob)
+    raw = bits.astype(f"<u{elem_w}").tobytes()
+    plane_blobs = []
+    plane_names = []
+    byte_rows = bits.view(np.uint8).reshape(n_elems, elem_w) if n_elems \
+        else np.zeros((0, elem_w), dtype=np.uint8)
+    for k in range(elem_w):
+        plane = byte_rows[:, k].astype(np.int64)
+        if k == elem_w - 1:
+            # MSB plane = sign + exponent high bits. Rotate the sign
+            # down to bit 0 so +x and -x exponents interleave into one
+            # tight range instead of two clusters 128 apart — FOR then
+            # needs ~log2(exponent spread)+1 bits, not 8. Bijective,
+            # inverted on decode.
+            plane = ((plane << 1) | (plane >> 7)) & 0xFF
+        pdesc = ic.select(plane, width=1)
+        plane_blobs.append(ic.encode_block(plane, desc=pdesc, width=1))
+        plane_names.append(pdesc.codec_name)
+    planes = b"".join(ic.varint_encode_scalar(len(p)) + p
+                      for p in plane_blobs)
+    if len(planes) < len(raw):
+        blob = bytes([1]) + head + planes
+    else:
+        blob = bytes([0]) + head + raw
+        plane_names = ["raw"]
+    d = {"k": kind, "c": "fplane", "pc": ",".join(plane_names)}
+    if nullable:
+        d["z"] = 1
+    ref_bytes = elem_w * n_elems + len_desc.ref_total + len(vblob) + 1
+    return (vblob + blob, d, elem_w * n_elems + 4 * n, ref_bytes)
+
+
+def _decode_float_array(blob: bytes, kind: str, n: int, arrow_type,
+                        valid: Optional[np.ndarray] = None) -> "pa.Array":
+    import pyarrow as pa
+
+    elem_w = 4 if kind == "arr(f32)" else 8
+    fdt = np.float32 if elem_w == 4 else np.float64
+    mode = blob[0]
+    pos = 1
+    n_elems, pos = ic.varint_decode_scalar(blob, pos)
+    ln, pos = ic.varint_decode_scalar(blob, pos)
+    counts = ic.decode_block(blob[pos:pos + ln], n, width=4)
+    pos += ln
+    if mode == 0:
+        v = np.frombuffer(blob, dtype=f"<u{elem_w}", count=n_elems,
+                          offset=pos)
+    else:
+        byte_rows = np.empty((n_elems, elem_w), dtype=np.uint8)
+        for k in range(elem_w):
+            ln, pos = ic.varint_decode_scalar(blob, pos)
+            plane = ic.decode_block(blob[pos:pos + ln], n_elems, width=1)
+            if k == elem_w - 1:
+                plane = ((plane >> 1) | ((plane & 1) << 7)) & 0xFF
+            byte_rows[:, k] = plane
+            pos += ln
+        v = byte_rows.reshape(-1).view(f"<u{elem_w}")
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    values = pa.array(v.view(fdt))
+    if valid is not None:
+        # a null at offsets[i] marks list i null (Arrow from_arrays
+        # contract); the final offset stays valid
+        mask = np.append(~valid, False)
+        oarr = pa.array(offsets, type=pa.int32(), mask=mask)
+    else:
+        oarr = pa.array(offsets, type=pa.int32())
+    return pa.ListArray.from_arrays(oarr, values).cast(arrow_type)
+
 
 def _encode_column(arr: "pa.Array", kind: str, text_hint: bool,
                    name: str = ""):
@@ -147,45 +386,45 @@ def _encode_column(arr: "pa.Array", kind: str, text_hint: bool,
         width, delta = 8, True
     elif kind == K_F64:
         a = pc.fill_null(arr, 0.0) if nullable else arr
-        f = a.to_numpy(zero_copy_only=False)
-        # ALP-style exact decimal scaling: if every value is bitwise
-        # reconstructible as round(v*10^e)/10^e with the integer in
-        # float-exact range, integer-code the scaled values (price-like
-        # columns drop from 64 raw bits to ~20 packed bits). The
-        # reference budget stays the raw-bits selection (the reference
-        # model has no float transform). Tag byte: 0=raw bits, else e.
-        raw_bits = f.view(np.int64)
-        ref_desc = ic.select(raw_bits, width=8, try_delta=False)
-        raw_blob = bytes([0]) + ic.encode_block(raw_bits, desc=ref_desc,
-                                                width=8)
-        for e in (0, 1, 2, 3, 4):
-            scale = 10.0 ** e
-            ints = np.round(f * scale)
-            if not (np.abs(ints) < 2.0 ** 53).all():
-                continue
-            iv = ints.astype(np.int64)
-            # Verify against the EXACT decode expression (int64 ->
-            # float64 -> /scale): this rejects any value the round-trip
-            # cannot reproduce bitwise, including -0.0 (stored int 0
-            # decodes to +0.0) — such blocks fall back to raw bits.
-            if ((iv.astype(np.float64) / scale).view(np.int64)
-                    == raw_bits).all():
-                desc = ic.select(iv, width=8, try_delta=True)
-                blob = bytes([e + 1]) + ic.encode_block(iv, desc=desc,
-                                                        width=8)
-                if len(blob) >= len(raw_blob):
-                    break  # scaled ints lost to the actual raw encoding
-                d = {"k": kind, "c": f"dec{e}+{desc.codec_name}"}
-                if nullable:
-                    d["z"] = 1
-                return (vblob + blob, d, 8 * n,
-                        ref_desc.ref_total + len(vblob) + 1)
-        blob = raw_blob
-        d = {"k": kind, "c": ref_desc.codec_name}
+        return _float_encode(a.to_numpy(zero_copy_only=False), 8, kind,
+                             nullable, vblob)
+    elif kind == K_F32:
+        a = pc.fill_null(arr, np.float32(0.0)) if nullable else arr
+        return _float_encode(a.to_numpy(zero_copy_only=False), 4, kind,
+                             nullable, vblob)
+    elif kind.startswith("arr("):
+        # null rows encode as zero-length lists (the validity bitmap
+        # restores them); element-level nulls are unsupported
+        return _encode_float_array(arr, kind, nullable, vblob,
+                                   valid if nullable else None)
+    elif kind == K_BOOL:
+        a = pc.fill_null(arr, False) if nullable else arr
+        ints = a.to_numpy(zero_copy_only=False).astype(np.int64)
+        width, delta = 1, False
+    elif kind == K_I8:
+        a = pc.fill_null(arr, 0) if nullable else arr
+        ints = a.to_numpy(zero_copy_only=False).astype(np.int64)
+        width, delta = 1, True
+    elif kind == K_I16:
+        a = pc.fill_null(arr, 0) if nullable else arr
+        ints = a.to_numpy(zero_copy_only=False).astype(np.int64)
+        width, delta = 2, True
+    elif kind == K_DATE:
+        # date32: int32 days since epoch — delta/FOR codecs win on the
+        # near-sorted date runs typical of event tables
+        ia = arr.cast(pa.int32())
         if nullable:
-            d["z"] = 1
-        return (vblob + blob, d, 8 * n,
-                ref_desc.ref_total + len(vblob) + 1)
+            ia = pc.fill_null(ia, 0)
+        ints = ia.to_numpy(zero_copy_only=False).astype(np.int64)
+        width, delta = 4, True
+    elif kind.startswith("dec("):
+        a = arr
+        if nullable:
+            import decimal as _dec
+            a = pc.fill_null(arr, pa.scalar(_dec.Decimal(0),
+                                            type=arr.type))
+        ints = _decimal_unscaled(a)
+        width, delta = 8, True
     elif kind == K_I32:
         a = pc.fill_null(arr, 0) if nullable else arr
         ints = a.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -215,22 +454,33 @@ def _decode_column(blob: bytes, kind: str, n: int, arrow_type,
     if kind == K_STR:
         out = sc.decode_str_block_arrow(blob, n).cast(arrow_type)
     elif kind == K_F64:
-        tag = blob[0]
-        ints = ic.decode_block(blob[1:], n, width=8)
-        if tag == 0:
-            vals = ints.view(np.float64)
-        else:
-            # decimal-scaled: encode verified round(v*10^e)/10^e is
-            # bitwise-identical, and IEEE division is deterministic
-            vals = ints.astype(np.float64) / (10.0 ** (tag - 1))
-        out = pa.array(vals, type=arrow_type)
+        out = pa.array(_float_decode(blob, n, 8), type=arrow_type)
+    elif kind == K_F32:
+        out = pa.array(_float_decode(blob, n, 4), type=arrow_type)
+    elif kind.startswith("arr("):
+        # validity is restored structurally (nullable list offsets)
+        return _decode_float_array(blob, kind, n, arrow_type,
+                                   valid if nullable else None)
+    elif kind.startswith("dec("):
+        out = _decimal_rebuild(ic.decode_block(blob, n, width=8),
+                               arrow_type)
     else:
-        width = 4 if kind == K_I32 else 8
+        width = {K_I32: 4, K_DATE: 4, K_BOOL: 1, K_I8: 1, K_I16: 2} \
+            .get(kind, 8)
         ints = ic.decode_block(blob, n, width=width)
         if kind == K_TS:
             out = pa.array(ints, type=pa.int64()).cast(arrow_type)
         elif kind == K_I32:
             out = pa.array(ints.astype(np.int32), type=arrow_type)
+        elif kind == K_DATE:
+            out = pa.array(ints.astype(np.int32),
+                           type=pa.int32()).cast(arrow_type)
+        elif kind == K_BOOL:
+            out = pa.array(ints.astype(bool), type=arrow_type)
+        elif kind == K_I8:
+            out = pa.array(ints.astype(np.int8), type=arrow_type)
+        elif kind == K_I16:
+            out = pa.array(ints.astype(np.int16), type=arrow_type)
         else:
             out = pa.array(ints, type=arrow_type)
     if nullable:
@@ -468,6 +718,27 @@ def arrow_column_kinds(schema: "pa.Schema") -> list[tuple[str, str]]:
             out.append((field.name, K_TS))
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
             out.append((field.name, K_STR))
+        elif pa.types.is_boolean(t):
+            out.append((field.name, K_BOOL))
+        elif pa.types.is_int8(t):
+            out.append((field.name, K_I8))
+        elif pa.types.is_int16(t):
+            out.append((field.name, K_I16))
+        elif pa.types.is_date32(t):
+            out.append((field.name, K_DATE))
+        elif pa.types.is_float32(t):
+            out.append((field.name, K_F32))
+        elif pa.types.is_decimal(t):
+            if t.precision > 18:
+                raise ValueError(
+                    f"decimal column {field.name}: precision "
+                    f"{t.precision} > 18 (unscaled exceeds int64)")
+            out.append((field.name, f"dec({t.precision},{t.scale})"))
+        elif (pa.types.is_list(t) or pa.types.is_large_list(t)) and (
+                pa.types.is_float32(t.value_type)
+                or pa.types.is_float64(t.value_type)):
+            w = 32 if pa.types.is_float32(t.value_type) else 64
+            out.append((field.name, f"arr(f{w})"))
         else:
             raise ValueError(f"unsupported column type {field.name}: {t}")
     return out

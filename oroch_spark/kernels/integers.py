@@ -23,8 +23,11 @@ Extensions beyond the reference (per the north rule):
   our blocks are variable-length so ``n`` travels in the block-row metadata.
 
 All values are handled in a 64-bit internal domain (int64 in / uint64
-packed). ``width`` (4 or 8 bytes) only affects the ``normal`` codec payload
-and the original-size accounting, mirroring the template parameter ``T``.
+packed). ``width`` (1, 2, 4 or 8 bytes) only affects the ``normal`` codec
+payload and the original-size accounting, mirroring the template
+parameter ``T`` — the reference handles all integer widths uniformly via
+``integer_traits`` promotion (`oroch/integer_traits.h:31-59, 135-170`);
+narrow types promote to the 64-bit domain here the same way.
 
 The *selection* cost model charges the reference's exact sizes (16-byte
 bit-pack blocks, per-value varint bytes) so codec choices and the
@@ -49,6 +52,11 @@ BITPCK = 4
 BITFOR = 5
 BITPFR = 6
 DELTA = 7  # extension: delta transform + inner selection
+
+# width -> little-endian dtype for the `normal` verbatim payload and for
+# delta wraparound (the narrow-type analogue of integer_traits promotion)
+_WIDTH_DT = {1: "<i1", 2: "<i2", 4: "<i4", 8: "<i8"}
+_WIDTH_NP = {1: np.int8, 2: np.int16, 4: np.int32, 8: np.int64}
 
 CODEC_NAMES = {
     NAUGHT: "naught",
@@ -396,17 +404,17 @@ def _select_bitpfr(desc: IntDescriptor, u: np.ndarray, hist: np.ndarray,
 
 
 def _delta_transform(vals: np.ndarray, width: int) -> np.ndarray:
-    """Consecutive deltas with wraparound arithmetic. For width=4 the
-    deltas are wrapped into the int32 domain (a delta of two int32s
-    needs 33 bits; storing it mod 2^32 is lossless because decode
-    re-wraps the cumulative sum into int32 — and it keeps the inner
-    codec within the 4-byte width contract)."""
+    """Consecutive deltas with wraparound arithmetic. For width<8 the
+    deltas are wrapped into the width's signed domain (a delta of two
+    int32s needs 33 bits; storing it mod 2^32 is lossless because
+    decode re-wraps the cumulative sum into int32 — and it keeps the
+    inner codec within the width contract)."""
     n = len(vals)
     deltas = np.empty(n - 1, dtype=I64)
     np.subtract(vals[1:].view(U64), vals[:-1].view(U64),
                 out=deltas.view(U64))  # wraparound-safe
-    if width == 4:
-        deltas = deltas.astype(np.int32).astype(I64)
+    if width < 8:
+        deltas = deltas.astype(_WIDTH_NP[width]).astype(I64)
     return deltas
 
 
@@ -473,8 +481,7 @@ def encode_payload(vals: np.ndarray, desc: IntDescriptor) -> bytes:
     if c == NAUGHT:
         return b""  # `oroch/naught.h:31-48`: zero data bytes
     if c == NORMAL:
-        dt = "<i4" if desc.width == 4 else "<i8"
-        return vals.astype(dt).tobytes()  # `oroch/normal.h:31-59`
+        return vals.astype(_WIDTH_DT[desc.width]).tobytes()  # `normal.h:31-59`
     if c == VARINT:
         return varint_encode(zigzag_encode(vals))
     if c == VARFOR:
@@ -513,8 +520,8 @@ def decode_payload(buf: bytes, desc: IntDescriptor) -> np.ndarray:
     if c == NAUGHT:
         return np.full(n, desc.origin, dtype=I64)
     if c == NORMAL:
-        dt = "<i4" if desc.width == 4 else "<i8"
-        return np.frombuffer(buf, dtype=dt, count=n).astype(I64)
+        return np.frombuffer(buf, dtype=_WIDTH_DT[desc.width],
+                             count=n).astype(I64)
     if c == VARINT:
         u, _ = varint_decode(buf, n)
         return zigzag_decode(u)
@@ -545,10 +552,11 @@ def decode_payload(buf: bytes, desc: IntDescriptor) -> np.ndarray:
         np.cumsum(deltas.view(U64), out=out[1:])
         out[1:] += out[0]
         vals64 = out.view(I64)
-        if desc.width == 4:
-            # deltas were stored mod 2^32; re-wrap the running sum into
-            # the int32 domain (exact — true values fit int32)
-            vals64 = vals64.astype(np.int32).astype(I64)
+        if desc.width < 8:
+            # deltas were stored mod 2^(8*width); re-wrap the running
+            # sum into the width's signed domain (exact — true values
+            # fit the declared width)
+            vals64 = vals64.astype(_WIDTH_NP[desc.width]).astype(I64)
         return vals64
     raise ValueError(f"bad codec {c}")
 
@@ -660,8 +668,7 @@ def fetch(blob: bytes, i: int, n: int, width: int = 8) -> int:
         return desc.origin
     if c == NORMAL:
         w = desc.width
-        dt = "<i4" if w == 4 else "<i8"
-        return int(np.frombuffer(payload, dtype=dt, count=1,
+        return int(np.frombuffer(payload, dtype=_WIDTH_DT[w], count=1,
                                  offset=i * w)[0])
     if c == BITPCK:
         return zigzag_decode_scalar(_fetch_bits(payload, i, desc.nbits))

@@ -33,6 +33,12 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf[c] = pdf[c].astype("int64")
         elif pd.api.types.is_float_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("float64")
+        elif pdf[c].dtype == object and len(pdf) and isinstance(
+                pdf[c].iloc[0], (list, np.ndarray)):
+            # array columns: sortable, exactly comparable tuples of
+            # float64 (float32 widens identically in both engines)
+            pdf[c] = pdf[c].map(
+                lambda v: tuple(np.asarray(v, dtype=np.float64)))
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 
