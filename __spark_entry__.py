@@ -163,13 +163,21 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH -> exact-Jaccard verification. Oracle = exhaustive
+    all-pairs Jaccard >= threshold in SQL: the query matches iff the
+    banding recalls every true pair (32 hashes / 16 bands => miss
+    probability ~1e-10 at J>=0.85, where all real dup pairs live)."""
     docs = _read(spark, sf_dir, "documents")
-    cands = dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16,
+                                         max_bucket=None)
     return dedup.jaccard_pairs(docs, cands, threshold=0.5)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_read(spark, sf_dir, "documents"), bits=16)
+    """SimHash with the cross-engine md5 token hash: DuckDB recomputes
+    the exact 16-bit fingerprints (bit votes ported to SQL)."""
+    return dedup.simhash(_read(spark, sf_dir, "documents"), bits=16,
+                         hasher="md5")
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,6 +339,52 @@ def oracle_sql() -> dict[str, str]:
                         string_split(lower(text), ' '), [{stop}])) >= 2
                         THEN 'en' ELSE 'other' END AS lang_pred
             FROM documents
+        """,
+        "minhash_dup_pairs": """
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) <= 5
+                     THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(1, len(toks) - 3),
+                          i -> array_to_string(toks[i:i+4], ' '))
+                END) AS grams
+              FROM tok),
+            ex AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+            sz AS (SELECT doc_id, len(grams) AS n FROM sh),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS i
+              FROM ex a JOIN ex b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   i::DOUBLE / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+        """,
+        "simhash_documents": """
+            WITH tok AS (
+              SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv
+              FROM tok),
+            votes AS (
+              SELECT doc_id, i,
+                     SUM(CASE WHEN (hv >> i) & 1 = 1
+                         THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN (SELECT UNNEST(range(16)) AS i)
+              GROUP BY 1, 2)
+            SELECT doc_id,
+                   SUM(CASE WHEN v > 0 THEN 1 << i ELSE 0 END)::BIGINT
+                       AS simhash
+            FROM votes GROUP BY doc_id
         """,
         "near_dup_pairs_embeddings": """
             WITH pairs AS (

@@ -83,12 +83,21 @@ def minhash_signatures(df: DataFrame, content_col: str = "text",
 
 def minhash_lsh_candidates(df: DataFrame, content_col: str = "text",
                            id_col: str = "doc_id", n: int = 5,
-                           num_hashes: int = 32, bands: int = 8) -> DataFrame:
+                           num_hashes: int = 32, bands: int = 8,
+                           max_bucket: int | None = 10000) -> DataFrame:
     """LSH banding: split each signature into bands, bucket-join on
     (band_idx, band_hash); pairs sharing any band are near-dup
     candidates. Shuffles on band buckets — skew-safe because bucket
     population is bounded by collision rate, and the self-join is
-    id< id de-duplicated."""
+    id< id de-duplicated.
+
+    ``max_bucket`` caps the self-join blow-up: a degenerate band bucket
+    (boilerplate-heavy corpora hash thousands of docs into one bucket)
+    would otherwise go quadratic. Buckets over the cap are skipped for
+    THIS band — members still pair through their other bands, and a
+    bucket that hot means the docs are near-identical boilerplate whose
+    other bands collide too, so recall loss is confined to the
+    pathological cluster. None disables the cap (oracle runs)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, content_col, id_col, n, num_hashes)
     banded = sig.select(
@@ -100,6 +109,12 @@ def minhash_lsh_candidates(df: DataFrame, content_col: str = "text",
             for b in range(bands)
         ])).alias("band", "band_hash"),
     )
+    if max_bucket is not None:
+        sizes = (banded.groupBy("band", "band_hash")
+                 .agg(F.count("*").alias("_bn"))
+                 .filter(F.col("_bn") <= max_bucket))
+        # same join key as the self-join below: the shuffles line up
+        banded = banded.join(sizes, ["band", "band_hash"]).drop("_bn")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (left.join(right,
@@ -131,11 +146,21 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame,
 
 
 def simhash(df: DataFrame, content_col: str = "text",
-            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+            id_col: str = "doc_id", bits: int = 64,
+            hasher: str = "xxhash64") -> DataFrame:
     """SimHash fingerprint: sign-sum of per-token hash bits, packed to a
-    64-bit signature. Pure array ops; one pass, no shuffle."""
+    64-bit signature. Pure array ops; one pass, no shuffle.
+
+    ``hasher='xxhash64'`` (default) is the scale path; ``'md5'`` uses
+    the low 60 bits of md5(token) — bit-identical across engines, so a
+    SQL oracle can recompute the exact fingerprints."""
     toks = F.split(F.col(content_col), " ")
-    h = F.transform(toks, lambda t: F.xxhash64(t))
+    if hasher == "md5":
+        h = F.transform(toks, lambda t: F.conv(
+            F.substring(F.md5(F.encode(t, "UTF-8")), 1, 15), 16, 10
+        ).cast("long"))
+    else:
+        h = F.transform(toks, lambda t: F.xxhash64(t))
 
     def voter(i):
         mask = 1 << i if i < 63 else -(1 << 63)
