@@ -8,6 +8,7 @@ pairwise work at 100 TB happens within buckets instead of n^2.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -66,6 +67,39 @@ def rp_lsh_buckets(df: DataFrame, dim: int, n_planes: int = 16,
     return df.select(id_col, vec_col, bucket.alias("bucket"))
 
 
+def _as_matrix(vecs) -> np.ndarray:
+    """pandas Series of fixed-dim vectors -> (n, dim) float64 matrix."""
+    return np.array([np.asarray(v, dtype=np.float64)
+                     for v in vecs], dtype=np.float64)
+
+
+def lsh_buckets_udf(df: DataFrame, planes: np.ndarray,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> DataFrame:
+    """Multi-table random-hyperplane buckets via ONE Arrow-batched
+    pandas UDF: ``planes`` has shape (tables, planes_per_table, dim);
+    each row gets an array of ``tables`` bucket ids from a single
+    (batch x tables*planes) matmul. This is the scale path the
+    expression-tree variant (:func:`rp_lsh_buckets`) cannot reach: the
+    plane matrix ships once in the UDF closure (O(T*P*dim) — KBs),
+    not as thousands of literals in the plan."""
+    from pyspark.sql.functions import pandas_udf
+
+    t, p, dim = planes.shape
+    flat = planes.reshape(t * p, dim).astype(np.float64)
+    weights = (1 << np.arange(p)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = _as_matrix(vecs)
+        bits = (m @ flat.T > 0).reshape(len(m), t, p)
+        ids = (bits * weights).sum(axis=2)
+        return pd.Series(list(ids))
+
+    return df.select(id_col, vec_col,
+                     buckets(F.col(vec_col)).alias("buckets"))
+
+
 def _kmeans_fit(x: "np.ndarray", k: int, iters: int, seed: int) -> "np.ndarray":
     """Tiny deterministic k-means (numpy, driver-side — centroid table
     is small by construction; the data never leaves the executors)."""
@@ -84,22 +118,40 @@ def _kmeans_fit(x: "np.ndarray", k: int, iters: int, seed: int) -> "np.ndarray":
 def ivf_assign(df: DataFrame, centroids: "np.ndarray",
                id_col: str = "vec_id", vec_col: str = "embedding"
                ) -> DataFrame:
-    """IVF coarse quantizer: nearest-centroid list id per vector,
-    computed JVM-side (argmin over per-centroid squared distances built
-    as array expressions — no UDF, no shuffle)."""
-    dists = F.array(*[
-        F.aggregate(
-            F.zip_with(F.col(vec_col),
-                       F.array(*[F.lit(float(v)).cast("float")
-                                 for v in c]),
-                       lambda x, y: (x.cast("double") - y.cast("double"))
-                       * (x.cast("double") - y.cast("double"))),
-            F.lit(0.0).cast("double"), lambda acc, x: acc + x)
-        for c in centroids
-    ])
-    lst = (F.array_position(dists, F.array_min(dists)) - 1) \
-        .cast("int").alias("ivf_list")
-    return df.select(id_col, vec_col, lst)
+    """IVF coarse quantizer: nearest-centroid list id per vector via an
+    Arrow-batched pandas UDF — the centroid matrix (n_centroids x dim)
+    ships once in the UDF closure and the assignment is one
+    (batch x centroids) matmul per Arrow batch. No shuffle, no literal
+    expression trees: 4k centroids x 1024 dims is a 32 MB closure and a
+    dense GEMM, where the expression-tree formulation would be a
+    4-million-node plan."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c ** 2).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = _as_matrix(vecs)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per
+        # row, drop it from the argmin
+        d = c_sq[None, :] - 2.0 * (m @ c.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return df.select(id_col, vec_col,
+                     assign(F.col(vec_col)).alias("ivf_list"))
+
+
+def ivf_train_sample(df: DataFrame, train_sample: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding"
+                     ) -> np.ndarray:
+    """Deterministic executor-side training sample: TakeOrdered by
+    xxhash64(id) — a pseudo-random but reproducible subset, gathered
+    with per-partition partial top-k (no global sort, no unbounded
+    collect; the driver sees exactly ``train_sample`` rows)."""
+    rows = (df.select(vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
+              .orderBy("_h").limit(train_sample).collect())
+    return np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
 
 
 def ann_topk_ivf(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -108,13 +160,11 @@ def ann_topk_ivf(df: DataFrame, query_vec: list[float], k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding"
                  ) -> DataFrame:
     """IVF approximate top-k: k-means centroids from a deterministic
-    sample, vectors bucketed by nearest centroid, search only the
-    ``n_probe`` lists nearest the query. At scale the assignment is a
-    one-pass narrow map and the search touches n_probe/n_centroids of
-    the data; the centroid table broadcast is O(k*dim)."""
-    sample = np.array(
-        [r[0] for r in df.select(vec_col).orderBy(id_col)
-         .limit(train_sample).collect()], dtype=np.float64)
+    sample, vectors bucketed by nearest centroid (pandas-UDF matmul),
+    search only the ``n_probe`` lists nearest the query. At scale the
+    assignment is a one-pass narrow map and the search touches
+    n_probe/n_centroids of the data."""
+    sample = ivf_train_sample(df, train_sample, id_col, vec_col)
     cent = _kmeans_fit(sample, n_centroids, iters, seed)
     q = np.asarray(query_vec, dtype=np.float64)
     probes = np.argsort(((cent - q) ** 2).sum(axis=1))[:n_probe]
@@ -129,36 +179,91 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                           vec_col: str = "embedding",
                           n_planes: int = 0, seed: int = 42,
                           dim: int | None = None,
-                          round_to: int | None = 6) -> DataFrame:
+                          round_to: int | None = 6,
+                          n_tables: int = 1) -> DataFrame:
     """Embedding near-duplicate pairs: (id_a < id_b) with cosine >=
     threshold.
 
     ``n_planes=0``: exact all-pairs join (oracle-checkable; quadratic —
     small inputs / verification only). ``n_planes>0``: the scale path —
-    random-hyperplane LSH buckets first, the pair join runs only inside
-    buckets, so work is sum of bucket sizes squared, not n^2; near-dups
-    (cosine ~ 1) land in the same bucket with high probability."""
+    ``n_tables`` independent random-hyperplane tables of ``n_planes``
+    bits each (OR-amplification): a pair is a candidate if it collides
+    in ANY table, then candidates are verified with exact cosine.
+    Per-table collision prob for angle t is (1-t/pi)^planes, overall
+    recall 1-(1-p)^tables — tune (planes, tables) to the target
+    threshold: few planes + many tables for moderate thresholds, more
+    planes (tighter buckets) for cosine ~ 1. The pair join runs only
+    inside (table, bucket) groups, so work is sum of bucket sizes
+    squared, not n^2."""
     norm = F.greatest(_norm(F.col(vec_col)), F.lit(1e-30))
     base = df.select(id_col, vec_col, norm.alias("_n"))
+    cos_ab = None
     if n_planes > 0:
         if dim is None:
             raise ValueError("dim is required for the LSH path")
-        b = rp_lsh_buckets(df, dim, n_planes, seed, id_col, vec_col)
-        base = base.join(b.select(id_col, "bucket"), id_col)
-        join_cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) \
-            & (F.col("a.bucket") == F.col("b.bucket"))
-    else:
-        join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, n_planes, dim))
+        banded = (lsh_buckets_udf(df, planes, id_col, vec_col)
+                  .select(id_col, F.posexplode("buckets")
+                          .alias("tbl", "bucket")))
+        left, right = banded.alias("l"), banded.alias("r")
+        cand = (left.join(right,
+                          (F.col("l.tbl") == F.col("r.tbl"))
+                          & (F.col("l.bucket") == F.col("r.bucket"))
+                          & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+                .select(F.col(f"l.{id_col}").alias("id_a"),
+                        F.col(f"r.{id_col}").alias("id_b"))
+                .distinct())
+        a = base.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("_va"),
+                        F.col("_n").alias("_na"))
+        b = base.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("_vb"),
+                        F.col("_n").alias("_nb"))
+        cos = _dot(F.col("_va"), F.col("_vb")) \
+            / (F.col("_na") * F.col("_nb"))
+        if round_to is not None:
+            cos = F.round(cos, round_to)
+        return (cand.join(a, "id_a").join(b, "id_b")
+                .select("id_a", "id_b", cos.alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
     a, b = base.alias("a"), base.alias("b")
     cos = (_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
            / (F.col("a._n") * F.col("b._n")))
     if round_to is not None:
         cos = F.round(cos, round_to)
-    return (a.join(b, join_cond)
+    return (a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
              .select(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"),
                      cos.alias("cosine"))
              .filter(F.col("cosine") >= threshold))
+
+
+def ann_topk_lsh_multi(df: DataFrame, query_vec: list[float], k: int = 10,
+                       n_planes: int = 3, n_tables: int = 10,
+                       seed: int = 42, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k with OR-amplified tables: score vectors that
+    share the query's bucket in ANY of ``n_tables`` independent
+    ``n_planes``-bit tables. Coarse buckets + many tables is the
+    parameterization for moderate-similarity neighborhoods (recall
+    1-(1-p^planes)^tables with p = 1 - angle/pi); tight high-cosine
+    neighborhoods can use more planes and fewer tables. The bucket
+    filter is a constant predicate over the per-row bucket array —
+    one narrow scan, candidates then rank via TakeOrdered."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, len(q)))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    qb = [int((((planes[t] @ q) > 0) * weights).sum())
+          for t in range(n_tables)]
+    bucketed = lsh_buckets_udf(df, planes, id_col, vec_col)
+    cond = None
+    for t in range(n_tables):
+        c = F.element_at("buckets", t + 1) == F.lit(qb[t])
+        cond = c if cond is None else cond | c
+    cand = bucketed.filter(cond)
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
 def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
