@@ -223,13 +223,17 @@ def _q_near_dup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary media payloads -> feature vectors via
-    mapInPandas (decode stubbed deterministically; schema/batching real)."""
-    media = multimodal.synthetic_media(spark, n=200, seed=42)
+    """Multimodal plumbing, oracle-checked: payloads are the UTF-8
+    bytes of the documents table, features come from the vectorized
+    Arrow batch kernel (8x8 tile column means), and DuckDB recomputes
+    the exact same features from the characters."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
     feats = multimodal.extract_features(media)
     return feats.select("media_id",
                         F.col("n_bytes").cast("long").alias("n_bytes"),
-                        F.round(F.element_at("feat", 1), 4).alias("f0"))
+                        F.round(F.element_at("feat", 1).cast("double"), 4)
+                        .alias("f0"))
 
 
 def _q_recompact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,6 +454,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(dot / (GREATEST(SQRT(nx), 1e-30)
                                * GREATEST(SQRT(ny), 1e-30)), 6) >= 0.5
         """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   ROUND(({terms}) / 8.0, 4) AS f0
+            FROM documents
+        """.format(terms=" + ".join(
+            f"CASE WHEN length(text) >= {1 + 8 * j} THEN "
+            f"ascii(substr(text, {1 + 8 * j}, 1)) ELSE 0 END"
+            for j in range(8))),
         "ann_lsh_topk": "SELECT 10 AS k, TRUE AS recall_ok",
         "ann_ivf_topk": "SELECT 10 AS k, TRUE AS recall_ok",
         "ann_cosine_topk": """
