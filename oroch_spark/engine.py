@@ -901,22 +901,118 @@ def checksum_df(df: DataFrame) -> int:
     return int(s) if s is not None else 0
 
 
+def prune_blocks(blocks: DataFrame, value: int) -> DataFrame:
+    """Zone-map block skip: drop blocks whose [key_min, key_max] range
+    cannot contain the key — the analogue of the reference's
+    metadata-pruned ``find`` answering "not here" without touching the
+    payload (`/root/reference/oroch/integer_array.h:71-136`). Single-key
+    blocks store str(int) bounds; the numeric cast compares correctly
+    for negatives too (zero-padded string compare does not)."""
+    v = int(value)
+    return blocks.filter((F.col("key_min").cast("long") <= v)
+                         & (F.col("key_max").cast("long") >= v))
+
+
+_FETCH_WIDTHS = {K_I32: 4, K_I64: 8, K_TS: 8, K_DATE: 4, K_BOOL: 1,
+                 K_I8: 1, K_I16: 2}
+
+
+def _column_at_indices(blob: bytes, kind: str, n: int, arrow_type,
+                       nullable: bool, idxs: np.ndarray) -> "pa.Array":
+    """Values of one encoded column at row indices ``idxs`` — O(1)
+    value-level ``fetch`` per index for fetchable integer codecs
+    (`integers.py` fetch, mirroring `/root/reference/oroch/
+    bitpck.h:203-225`), full-decode + take otherwise."""
+    import pyarrow as pa
+
+    if kind in _FETCH_WIDTHS and not nullable:
+        w = _FETCH_WIDTHS[kind]
+        vals = np.array([ic.fetch(blob, int(i), n, width=w)
+                         for i in idxs], dtype=np.int64)
+        if kind == K_TS:
+            return pa.array(vals, type=pa.int64()).cast(arrow_type)
+        if kind == K_DATE:
+            return pa.array(vals.astype(np.int32),
+                            type=pa.int32()).cast(arrow_type)
+        if kind == K_BOOL:
+            return pa.array(vals.astype(bool), type=arrow_type)
+        return pa.array(vals.astype(
+            {K_I32: np.int32, K_I8: np.int8, K_I16: np.int16}
+            .get(kind, np.int64)), type=arrow_type)
+    full = _decode_column(blob, kind, n, arrow_type, nullable=nullable)
+    return full.take(pa.array(idxs, type=pa.int64()))
+
+
+def make_lookup_fn(kinds: list[tuple[str, str]], key_col: str, value: int,
+                   arrow_schema_bytes: bytes):
+    """mapInArrow kernel: per surviving block, decode ONLY the key
+    column, locate matching row indices, then materialize the other
+    columns at just those indices (value-level fetch for O(1)-codecs,
+    decode+take otherwise). Blocks without a match emit nothing."""
+    kind_of = dict(kinds)
+
+    def lookup_blocks(batches) -> "Iterator[pa.RecordBatch]":
+        import pyarrow as pa
+
+        out_schema = pa.ipc.read_schema(pa.py_buffer(arrow_schema_bytes))
+        key_kind = kind_of[key_col]
+        for batch in batches:
+            descs = batch.column("desc").to_pylist()
+            payloads = batch.column("payload")
+            ns = batch.column("n").to_pylist()
+            for i in range(batch.num_rows):
+                desc = json.loads(descs[i])
+                payload = payloads[i].as_py()
+                n = int(ns[i])
+                key_d = next(d for d in desc["cols"]
+                             if d["n"] == key_col)
+                kb = payload[key_d["o"]:key_d["o"] + key_d["l"]]
+                keys = _decode_column(kb, key_kind, n,
+                                      pa.int64(),
+                                      nullable=bool(key_d.get("z")))
+                kv = keys.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                idxs = np.flatnonzero(kv == value)
+                if not len(idxs):
+                    continue
+                cols = []
+                for d, field in zip(desc["cols"], out_schema):
+                    blob = payload[d["o"]:d["o"] + d["l"]]
+                    cols.append(_column_at_indices(
+                        blob, d["k"], n, field.type,
+                        bool(d.get("z")), idxs))
+                yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
+    return lookup_blocks
+
+
+def lookup(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+           key_col: str, value: int) -> DataFrame:
+    """Point lookup against the PERSISTED blocks table (no re-encode):
+    metadata pruning first (:func:`prune_blocks`), then the surviving
+    blocks decode only the key column and fetch matched rows — the
+    full Spark analogue of ``integer_array::find`` / ``at``
+    (`/root/reference/oroch/integer_array.h:166-208`)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    out_schema = T.StructType(
+        [T.StructField(n, spark_type_of(k)) for n, k in schema_kinds])
+    arrow_schema = to_arrow_schema(out_schema)
+    fn = make_lookup_fn(schema_kinds, key_col, int(value),
+                        arrow_schema.serialize().to_pybytes())
+    return prune_blocks(blocks, value).mapInArrow(fn, schema=out_schema)
+
+
 def pruned_lookup(df: DataFrame, key_col: str, value: int,
                   n_buckets: int = 8, block_rows: int = 4096) -> DataFrame:
-    """Metadata-pruned point lookup: encode, skip blocks whose
-    [key_min, key_max] range cannot contain the key, decode only the
-    survivors. The Spark analogue of the reference's pruned ``find``
-    (`/root/reference/oroch/integer_array.h:71-136`): answer "not here"
-    from block metadata without touching payloads."""
+    """Metadata-pruned point lookup over a source DataFrame: encode,
+    then :func:`lookup` against the blocks. (For repeated lookups,
+    persist the blocks table once and call :func:`lookup` directly —
+    see the pruned_lookup_events query.)"""
     kinds = column_kinds(df.schema)
     blocks = encode_df(df, [key_col], n_buckets=n_buckets,
                        block_rows=block_rows)
-    v = int(value)
-    # single-key blocks store str(int) bounds; numeric cast compares
-    # correctly for negatives too (zero-padded string compare does not)
-    pruned = blocks.filter((F.col("key_min").cast("long") <= v)
-                           & (F.col("key_max").cast("long") >= v))
-    return decode_df(pruned, kinds).filter(F.col(key_col) == value)
+    return lookup(blocks, kinds, key_col, value)
 
 
 def manifest_rows(blocks: DataFrame, snapshot_id: str, run_id: str) -> DataFrame:

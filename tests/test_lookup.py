@@ -1,0 +1,63 @@
+"""Persisted-table point lookup: metadata pruning must skip most
+blocks, the kernel must touch only the key column plus matched rows,
+and results must equal a plain filter on the source."""
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from oroch_spark import engine
+
+
+def _blocks(spark, tmp_path):
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "blocks")
+    engine.encode_df(src, ["event_id"], n_buckets=4, block_rows=512) \
+        .write.mode("overwrite").parquet(path)
+    return src, spark.read.parquet(path)
+
+
+def test_lookup_matches_source_filter(spark, tmp_path):
+    src, blocks = _blocks(spark, tmp_path)
+    kinds = engine.column_kinds(src.schema)
+    got = engine.lookup(blocks, kinds, "event_id", 777).collect()
+    exp = src.filter(F.col("event_id") == 777).collect()
+    assert len(got) == len(exp) == 1
+    assert got[0].asDict() == exp[0].asDict()
+
+
+def test_lookup_miss_returns_empty(spark, tmp_path):
+    src, blocks = _blocks(spark, tmp_path)
+    kinds = engine.column_kinds(src.schema)
+    assert engine.lookup(blocks, kinds, "event_id", -1).count() == 0
+
+
+def test_metadata_pruning_skips_most_blocks(spark):
+    # sf0.01 events: 10k dense ids, 4 buckets x ~5 range-ordered blocks
+    # per bucket; a point key can survive in at most one block per
+    # bucket -- everything else is answered from metadata alone
+    src = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    blocks = engine.encode_df(src, ["event_id"], n_buckets=4,
+                              block_rows=512).cache()
+    total = blocks.count()
+    survivors = engine.prune_blocks(blocks, 777).count()
+    assert total >= 16
+    assert survivors <= 4 < total
+    kinds = engine.column_kinds(src.schema)
+    got = engine.lookup(blocks, kinds, "event_id", 777).collect()
+    assert len(got) == 1 and got[0].event_id == 777
+    blocks.unpersist()
+
+
+def test_fetch_path_equals_decode_path():
+    # _column_at_indices O(1)-fetch vs full-decode agreement
+    import pyarrow as pa
+    from oroch_spark.kernels import integers as ic
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(-10**9, 10**9, 1000)
+    arr = pa.array(vals, type=pa.int64())
+    blob, d, _, _ = engine._encode_column(arr, engine.K_I64, False)
+    idxs = np.array([0, 5, 999, 123])
+    fetched = engine._column_at_indices(blob, engine.K_I64, 1000,
+                                        pa.int64(), False, idxs)
+    assert fetched.to_pylist() == [int(vals[i]) for i in idxs]
