@@ -93,7 +93,7 @@ def _q_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     kinds = engine.column_kinds(src.schema)
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(tempfile.gettempdir(),
-                        f"oroch_blocks_events_{tag}")
+                        f"oroch_blocks_events_v2_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         engine.encode_df(src, ["event_id"], n_buckets=8,
                          block_rows=4096) \

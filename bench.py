@@ -172,6 +172,17 @@ def main() -> None:
     timed("ann_cosine_topk",
           lambda: similarity.cosine_topk(emb, qv, k=10).collect(),
           required=False)
+    # embedding-table round-trip: the byte-plane array<float> codec
+    timed("rt_embeddings",
+          lambda: engine.roundtrip_df(emb, ["vec_id"],
+                                      n_buckets=N_BUCKETS).count(),
+          required=False)
+    # multimodal: vectorized Arrow feature kernel over document bytes
+    from oroch_spark.operators import multimodal
+    timed("media_features",
+          lambda: multimodal.extract_features(
+              multimodal.media_from_documents(docs)).count(),
+          required=False)
 
     result = {
         "metric": "encode_turns_per_sec",

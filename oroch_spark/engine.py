@@ -57,6 +57,12 @@ BLOCK_SCHEMA = T.StructType([
     T.StructField("n", T.LongType()),
     T.StructField("key_min", T.StringType()),
     T.StructField("key_max", T.StringType()),
+    # numeric bounds of the LEADING key column (null for non-numeric
+    # keys): plain long columns so a lookup's range predicate is a
+    # parquet PushedFilter and row-group min/max stats skip whole
+    # groups of blocks before any payload bytes are read
+    T.StructField("key_lo", T.LongType()),
+    T.StructField("key_hi", T.LongType()),
     T.StructField("payload", T.BinaryType()),
     T.StructField("desc", T.StringType()),
     T.StructField("bytes_in", T.LongType()),
@@ -494,7 +500,8 @@ def _block_arrow_schema():
     return pa.schema([
         ("bucket", pa.int32()), ("block_idx", pa.int64()),
         ("n", pa.int64()), ("key_min", pa.string()),
-        ("key_max", pa.string()), ("payload", pa.binary()),
+        ("key_max", pa.string()), ("key_lo", pa.int64()),
+        ("key_hi", pa.int64()), ("payload", pa.binary()),
         ("desc", pa.string()), ("bytes_in", pa.int64()),
         ("bytes_out", pa.int64()), ("ref_bytes", pa.int64()),
         ("wall_ms", pa.float64()),
@@ -523,9 +530,20 @@ def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
     payload = b"".join(pieces)
     key = lambda i: "|".join(str(table.column(k)[i].as_py())
                              for k in key_cols)
+    # numeric bounds of the leading key (enables parquet row-group
+    # pruning on lookups); None when the lead key is not integral
+    import pyarrow as pa
+    lead = table.column(key_cols[0])
+    if pa.types.is_integer(lead.type.storage_type
+                           if hasattr(lead.type, "storage_type")
+                           else lead.type):
+        key_lo, key_hi = int(lead[0].as_py()), int(lead[n - 1].as_py())
+    else:
+        key_lo = key_hi = None
     return {
         "bucket": bucket, "block_idx": block_idx, "n": n,
         "key_min": key(0), "key_max": key(n - 1),
+        "key_lo": key_lo, "key_hi": key_hi,
         "payload": payload,
         "desc": json.dumps({"cols": desc_cols}),
         "bytes_in": bytes_in,
@@ -902,13 +920,17 @@ def checksum_df(df: DataFrame) -> int:
 
 
 def prune_blocks(blocks: DataFrame, value: int) -> DataFrame:
-    """Zone-map block skip: drop blocks whose [key_min, key_max] range
+    """Zone-map block skip: drop blocks whose [key_lo, key_hi] range
     cannot contain the key — the analogue of the reference's
     metadata-pruned ``find`` answering "not here" without touching the
-    payload (`/root/reference/oroch/integer_array.h:71-136`). Single-key
-    blocks store str(int) bounds; the numeric cast compares correctly
-    for negatives too (zero-padded string compare does not)."""
+    payload (`/root/reference/oroch/integer_array.h:71-136`). The
+    bounds are plain long columns, so against a persisted blocks table
+    this is a parquet PushedFilter: row-group min/max stats skip whole
+    groups of blocks before any payload bytes leave disk."""
     v = int(value)
+    if "key_lo" in blocks.columns:
+        return blocks.filter((F.col("key_lo") <= v)
+                             & (F.col("key_hi") >= v))
     return blocks.filter((F.col("key_min").cast("long") <= v)
                          & (F.col("key_max").cast("long") >= v))
 
