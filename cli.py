@@ -173,6 +173,28 @@ def cmd_verify(args) -> None:
         sys.exit(1)
 
 
+def cmd_lookup(args) -> None:
+    """Point lookup against the persisted blocks table: metadata-pruned
+    (parquet row-group stats on key_lo/key_hi), key-column-only decode,
+    matched rows fetched by index — no source re-encode."""
+    from oroch_spark import engine
+
+    spark, own = build_session(args)
+    blocks = spark.read.parquet(os.path.join(args.out, "blocks"))
+    import glob
+
+    import pyarrow.parquet as pq
+    src_file = args.src if args.src.endswith(".parquet") else \
+        sorted(glob.glob(os.path.join(args.src, "*.parquet")))[0]
+    kinds = engine.arrow_column_kinds(pq.read_schema(src_file))
+    rows = engine.lookup(blocks, kinds, args.key, args.value).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    print(json.dumps({"matches": len(rows)}))
+    if own:
+        spark.stop()
+
+
 def cmd_metrics(args) -> None:
     spark, own = build_session(args)
     m = spark.read.parquet(os.path.join(args.out, "manifest"))
@@ -206,6 +228,13 @@ def main() -> None:
     e.add_argument("--buckets-per-stage", type=int, default=None)
     e.add_argument("--snapshot-id", default=None)
 
+    lk = sub.add_parser("lookup")
+    common(lk)
+    lk.add_argument("--src", required=True,
+                    help="source parquet dir (schema only)")
+    lk.add_argument("--key", required=True)
+    lk.add_argument("--value", type=int, required=True)
+
     d = sub.add_parser("decode")
     common(d)
     d.add_argument("--src", required=True)
@@ -229,6 +258,8 @@ def main() -> None:
         cmd_verify(args)
     elif args.cmd == "metrics":
         cmd_metrics(args)
+    elif args.cmd == "lookup":
+        cmd_lookup(args)
 
 
 if __name__ == "__main__":
