@@ -232,6 +232,19 @@ def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "lang_pred")
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints with the cross-engine md5
+    gram hash; the oracle recomputes the exact sets and compares their
+    size and min/max (int64-exact, unlike a float-summed checksum)."""
+    df = textstats.winnow_fingerprint(_read(spark, sf_dir, "documents"),
+                                      hasher="md5")
+    return df.select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fps"),
+        F.array_min("fingerprints").alias("fp_min"),
+        F.array_max("fingerprints").alias("fp_max"))
+
+
 def _q_near_dup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs(emb, threshold=0.5)
@@ -305,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": _q_minhash_pairs,
         "simhash_documents": _q_simhash,
         "fingerprint_documents": _q_fingerprint,
+        "winnow_fingerprints": _q_winnow,
         "langid_documents": _q_langid,
         "near_dup_pairs_embeddings": _q_near_dup_emb,
         "near_dup_pairs_lsh": _q_near_dup_emb_lsh,
@@ -378,6 +392,34 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
                        AS fingerprint
             FROM documents
+        """,
+        "winnow_fingerprints": """
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) <= 5
+                     THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(1, len(toks) - 3),
+                          i -> array_to_string(toks[i:i+4], ' '))
+                END AS grams
+              FROM tok),
+            h AS (
+              SELECT doc_id, list_transform(grams,
+                s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+              FROM g),
+            w AS (
+              SELECT doc_id,
+                CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                     ELSE list_transform(range(1, len(hs) - 2),
+                          i -> list_min(hs[i:i+3]))
+                END AS wins
+              FROM h),
+            fp AS (SELECT doc_id, list_distinct(wins) AS fps FROM w)
+            SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+                   list_min(fps) AS fp_min, list_max(fps) AS fp_max
+            FROM fp
         """,
         "langid_documents": f"""
             SELECT doc_id,

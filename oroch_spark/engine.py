@@ -48,6 +48,7 @@ from .kernels import strings as sc
 # normalizes into the int64 codec domain with a declared byte width.
 K_I32, K_I64, K_F64, K_TS, K_STR = "i32", "i64", "f64", "ts", "str"
 K_BOOL, K_I8, K_I16, K_DATE, K_F32 = "bool", "i8", "i16", "date", "f32"
+K_BIN = "bin"
 # decimal kinds carry their params: "dec(p,s)" with p <= 18 (unscaled
 # value fits int64, Spark's own compact representation for that range)
 
@@ -98,6 +99,8 @@ def column_kinds(schema: T.StructType) -> list[tuple[str, str]]:
             out.append((f.name, K_DATE))
         elif isinstance(dt, T.FloatType):
             out.append((f.name, K_F32))
+        elif isinstance(dt, T.BinaryType):
+            out.append((f.name, K_BIN))
         elif isinstance(dt, T.DecimalType):
             if dt.precision > 18:
                 raise ValueError(
@@ -125,7 +128,7 @@ def spark_type_of(kind: str) -> T.DataType:
         K_I32: T.IntegerType(), K_I64: T.LongType(), K_F64: T.DoubleType(),
         K_TS: T.TimestampType(), K_STR: T.StringType(),
         K_BOOL: T.BooleanType(), K_I8: T.ByteType(), K_I16: T.ShortType(),
-        K_DATE: T.DateType(), K_F32: T.FloatType(),
+        K_DATE: T.DateType(), K_F32: T.FloatType(), K_BIN: T.BinaryType(),
     }[kind]
 
 
@@ -338,6 +341,100 @@ def _decode_float_array(blob: bytes, kind: str, n: int, arrow_type,
     return pa.ListArray.from_arrays(oarr, values).cast(arrow_type)
 
 
+def _bin_lens_and_bytes(arr: "pa.Array") -> tuple[np.ndarray, bytes]:
+    """(per-row byte lengths, contiguous logical bytes) of a binary
+    array, straight from the Arrow offsets/data buffers."""
+    n = len(arr)
+    bufs = arr.buffers()
+    import pyarrow as pa
+    off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dt)[
+        arr.offset: arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.zeros(0, dtype=np.uint8)
+    return np.diff(offs), data[offs[0]:offs[n]].tobytes()
+
+
+def _encode_binary(arr: "pa.Array", nullable: bool, vblob: bytes):
+    """Opaque binary (media payload) column codec.
+
+    Layout: mode(1B) ‖ body
+      mode 0 (raw):  varint(len) + lengths_block ‖ concatenated bytes
+      mode 1 (dict): varint(n_dict) + varint(len) + dict_lengths_block
+                     ‖ varint(len) + index_block ‖ dict bytes
+    Lengths and dictionary indices are Oroch-selected integer
+    sequences; duplicate detection runs C++-side via Arrow
+    ``dictionary_encode`` (media tables repeat thumbnails / empty
+    payloads heavily). The payload bytes themselves stay opaque — the
+    engine's job is structure, dedup, and lossless round-trip, not
+    transcoding. Reference budget = 4 bytes/row (offsets) + raw bytes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    lens, raw = _bin_lens_and_bytes(arr)
+    if len(raw) >= 2 ** 31:
+        raise ValueError("binary block exceeds int32 offset range; "
+                         "lower block_rows for this table")
+    len_desc = ic.select(lens.astype(np.int64), width=4)
+    len_blob = ic.encode_block(lens.astype(np.int64), desc=len_desc,
+                               width=4)
+    raw_body = (ic.varint_encode_scalar(len(len_blob)) + len_blob + raw)
+    blob = bytes([0]) + raw_body
+    codec = "binraw"
+    if n:
+        denc = pc.dictionary_encode(arr)
+        dvals = denc.dictionary
+        if len(dvals) <= n // 2:  # real duplication: try the dict form
+            didx = denc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            dlens, draw = _bin_lens_and_bytes(dvals)
+            dl_blob = ic.encode_block(dlens.astype(np.int64), width=4)
+            di_blob = ic.encode_block(didx, width=4)
+            dict_body = (ic.varint_encode_scalar(len(dvals))
+                         + ic.varint_encode_scalar(len(dl_blob)) + dl_blob
+                         + ic.varint_encode_scalar(len(di_blob)) + di_blob
+                         + draw)
+            if len(dict_body) < len(raw_body):
+                blob = bytes([1]) + dict_body
+                codec = "bindict"
+    d = {"k": K_BIN, "c": codec}
+    if nullable:
+        d["z"] = 1
+    ref = 4 * n + len(raw) + len(vblob) + 1
+    return (vblob + blob, d, 4 * n + len(raw), ref)
+
+
+def _decode_binary(blob: bytes, n: int) -> "pa.Array":
+    import pyarrow as pa
+
+    mode = blob[0]
+    pos = 1
+    if mode == 0:
+        ln, pos = ic.varint_decode_scalar(blob, pos)
+        lens = ic.decode_block(blob[pos:pos + ln], n, width=4)
+        pos += ln
+        offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lens, out=offs[1:])
+        return pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offs.tobytes()),
+             pa.py_buffer(blob[pos:])])
+    n_dict, pos = ic.varint_decode_scalar(blob, pos)
+    ln, pos = ic.varint_decode_scalar(blob, pos)
+    dlens = ic.decode_block(blob[pos:pos + ln], n_dict, width=4)
+    pos += ln
+    ln, pos = ic.varint_decode_scalar(blob, pos)
+    didx = ic.decode_block(blob[pos:pos + ln], n, width=4)
+    pos += ln
+    offs = np.zeros(n_dict + 1, dtype=np.int32)
+    np.cumsum(dlens, out=offs[1:])
+    dvals = pa.Array.from_buffers(
+        pa.binary(), n_dict,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob[pos:])])
+    return dvals.take(pa.array(didx, type=pa.int64()))
+
+
 def _encode_column(arr: "pa.Array", kind: str, text_hint: bool,
                    name: str = ""):
     """-> (blob bytes, desc dict, bytes_in, ref_bytes). ``arr`` is a
@@ -403,6 +500,9 @@ def _encode_column(arr: "pa.Array", kind: str, text_hint: bool,
         # restores them); element-level nulls are unsupported
         return _encode_float_array(arr, kind, nullable, vblob,
                                    valid if nullable else None)
+    elif kind == K_BIN:
+        a = pc.fill_null(arr, b"") if nullable else arr
+        return _encode_binary(a, nullable, vblob)
     elif kind == K_BOOL:
         a = pc.fill_null(arr, False) if nullable else arr
         ints = a.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -467,6 +567,8 @@ def _decode_column(blob: bytes, kind: str, n: int, arrow_type,
         # validity is restored structurally (nullable list offsets)
         return _decode_float_array(blob, kind, n, arrow_type,
                                    valid if nullable else None)
+    elif kind == K_BIN:
+        out = _decode_binary(blob, n).cast(arrow_type)
     elif kind.startswith("dec("):
         out = _decimal_rebuild(ic.decode_block(blob, n, width=8),
                                arrow_type)
@@ -746,6 +848,8 @@ def arrow_column_kinds(schema: "pa.Schema") -> list[tuple[str, str]]:
             out.append((field.name, K_DATE))
         elif pa.types.is_float32(t):
             out.append((field.name, K_F32))
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            out.append((field.name, K_BIN))
         elif pa.types.is_decimal(t):
             if t.precision > 18:
                 raise ValueError(

@@ -69,6 +69,42 @@ def lang_id_ngram(df: DataFrame, content_col: str = "text",
                      pred.alias("lang_pred"))
 
 
+def winnow_fingerprint(df: DataFrame, content_col: str = "text",
+                       id_col: str = "doc_id", k: int = 5,
+                       window: int = 4,
+                       hasher: str = "xxhash64") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every word k-gram, slide a ``window`` over the hash sequence,
+    keep each window's minimum — the classic rolling-hash fingerprint
+    set for partial-overlap / plagiarism-style matching (robust to
+    insertions: any shared run of >= k+window-1 words shares a
+    fingerprint). All JVM-side array expressions, one narrow pass.
+
+    ``hasher='md5'`` uses the low 60 bits of md5(gram), bit-identical
+    in DuckDB, so a SQL oracle can recompute the exact sets."""
+    toks = F.split(F.col(content_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    if hasher == "md5":
+        hs = F.transform(grams, lambda g: F.conv(
+            F.substring(F.md5(F.encode(g, "UTF-8")), 1, 15), 16, 10
+        ).cast("long"))
+    else:
+        hs = F.transform(grams, lambda g: F.xxhash64(g))
+    hs_col = F.col("_hs")
+    wins = F.transform(
+        F.sequence(F.lit(0),
+                   F.greatest(F.size(hs_col) - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(hs_col, i + 1, window)),
+    )
+    return (df.select(id_col, hs.alias("_hs"))
+              .select(id_col,
+                      F.array_sort(F.array_distinct(wins))
+                      .alias("fingerprints")))
+
+
 def fingerprint(df: DataFrame, content_col: str = "text",
                 id_col: str = "doc_id", algo: str = "xxhash64") -> DataFrame:
     """Content fingerprint of the normalized text — the cheap exact-dup

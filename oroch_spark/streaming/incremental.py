@@ -7,6 +7,17 @@ table as a new snapshot increment. Because blocks are self-contained
 (bucket, block_idx scoped by batch), readers never need cross-batch
 state; compaction (re-blocking small increments) is a batch job reusing
 ``engine.encode_df``.
+
+Append-only contract (the manifest contract for the reference's
+``integer_array::insert`` analogue, `/root/reference/oroch/
+integer_array.h:216-245`): increments land as NEW snapshot blocks —
+there is no merge-on-read or upsert. Rows re-sent for an existing
+(conv_id, turn_idx) appear in BOTH the base snapshot and the increment
+until ``engine.recompact`` rewrites them; readers that need
+latest-wins semantics must dedup on the stable key (max batch_id wins)
+or read post-compaction snapshots. This is the standard
+immutable-table trade: the reference pays a ripple re-encode per
+insert, this engine pays a periodic compaction batch instead.
 """
 from __future__ import annotations
 
