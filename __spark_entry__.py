@@ -44,9 +44,31 @@ def _rt(table: str, key_cols: list[str]):
     return q
 
 
+RT_TRANSCRIPTS_PATH = "/tmp/oroch_rt_transcripts_200.parquet"
+
+
+def _ensure_transcripts_parquet() -> str:
+    """Materialize the deterministic 200-conversation transcript table
+    once (pure-pandas generator, no Spark) so BOTH the Spark round-trip
+    and the DuckDB oracle read the same bytes — this upgrades the
+    flagship transcript round-trip from rows-only to hash-checked."""
+    import os
+    import tempfile
+
+    if not os.path.exists(RT_TRANSCRIPTS_PATH):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pdf = transcripts.generate_pandas(200, seed=42)
+        tmp = tempfile.mktemp(dir="/tmp", suffix=".parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       tmp)
+        os.replace(tmp, RT_TRANSCRIPTS_PATH)
+    return RT_TRANSCRIPTS_PATH
+
+
 def _q_rt_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = transcripts.generate(spark, n_conv=200, seed=42)
-    return engine.roundtrip_df(df, ["conv_id", "turn_idx"], n_buckets=8,
+    src = spark.read.parquet(_ensure_transcripts_parquet())
+    return engine.roundtrip_df(src, ["conv_id", "turn_idx"], n_buckets=8,
                                text_cols=["text"])
 
 
@@ -329,7 +351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     stop = ",".join(f"'{s}'" for s in textstats.STOPWORDS)
+    tpath = _ensure_transcripts_parquet()
     return {
+        "rt_transcripts": f"SELECT * FROM read_parquet('{tpath}')",
         "rt_events": "SELECT * FROM events",
         "rt_lineitem": "SELECT * FROM lineitem",
         "rt_orders": "SELECT * FROM orders",
