@@ -56,6 +56,24 @@ def test_ivf_plan_has_no_centroid_literals(emb):
     assert plan.count("2016.0") == 0  # no centroid values inlined
 
 
+def test_ivf_runs_at_real_sizes(spark):
+    # VERDICT acceptance: 256 centroids x 1024 dims with a plan free of
+    # thousand-literal arrays (old formulation: 262k literals; dead)
+    rng = np.random.default_rng(21)
+    dim, n_cent = 1024, 256
+    vecs = rng.standard_normal((400, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    out = similarity.ann_topk_ivf(df, q, k=5, n_centroids=n_cent,
+                                  n_probe=64, train_sample=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 200_000, len(plan)
+    got = out.collect()
+    assert len(got) == 5
+    assert got[0].vec_id == 0  # the query vector itself ranks first
+
+
 def test_ivf_assign_correctness(emb):
     cent = np.array([[1.0] + [0.0] * (DIM - 1),
                      [-1.0] + [0.0] * (DIM - 1)])
