@@ -147,6 +147,24 @@ def test_float64_array_roundtrip():
                               np.asarray(e).view(np.int64))
 
 
+@pytest.mark.parametrize("arr,kind,t", [
+    (pa.array([], type=pa.float32()), engine.K_F32, pa.float32()),
+    (pa.array([], type=pa.bool_()), engine.K_BOOL, pa.bool_()),
+    (pa.array([], type=pa.int8()), engine.K_I8, pa.int8()),
+    (pa.array([], type=pa.date32()), engine.K_DATE, pa.date32()),
+    (pa.array([], type=pa.decimal128(12, 2)), "dec(12,2)",
+     pa.decimal128(12, 2)),
+    (pa.array([], type=pa.list_(pa.float32())), "arr(f32)",
+     pa.list_(pa.float32())),
+    (pa.array([], type=pa.binary()), engine.K_BIN, pa.binary()),
+])
+def test_zero_row_blocks_roundtrip(arr, kind, t):
+    blob, d, _, ref = engine._encode_column(arr, kind, False)
+    out = engine._decode_column(blob, kind, 0, t)
+    assert len(out) == 0
+    assert len(blob) <= max(ref, 4)  # headers only
+
+
 def test_embedding_compression_within_budget_and_gains():
     import pyarrow.parquet as pq
     t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
