@@ -124,6 +124,16 @@ def _q_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.lookup(blocks, kinds, "event_id", 4242)
 
 
+def _q_rt_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection pushdown into the block format: decode only 2 of the
+    6 event columns (unrequested payload bytes are never touched)."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["event_id"], n_buckets=8)
+    return engine.decode_df(blocks, kinds,
+                            columns=["event_id", "value"])
+
+
 def _q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = transcripts.generate(spark, n_conv=200, seed=42)
     blocks = engine.encode_df(df, ["conv_id", "turn_idx"], n_buckets=8,
@@ -327,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_transcripts": _q_rt_transcripts,            # rows-only
         # container/access ops (SURVEY.md §2.5)
         "pruned_lookup_events": _q_pruned_lookup,
+        "rt_projection_events": _q_rt_projection,
         "codec_histogram": _q_codec_histogram,          # rows-only
         "compression_summary": _q_compression_summary,  # rows-only
         # training-data pipeline operators
@@ -379,6 +390,7 @@ def oracle_sql() -> dict[str, str]:
         "recompact_nation": "SELECT * FROM nation",
         "pruned_lookup_events":
             "SELECT * FROM events WHERE event_id = 4242",
+        "rt_projection_events": "SELECT event_id, value FROM events",
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id, text,
                    count(*) AS dup_cnt

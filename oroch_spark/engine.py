@@ -723,12 +723,19 @@ def make_decode_fn(kinds: list[tuple[str, str]], arrow_schema_bytes: bytes):
     """mapInArrow kernel: each encoded block row expands to its rows.
     No shuffle — blocks decode independently (SURVEY.md §3.2). The
     target arrow schema (incl. Spark's timestamp tz convention) is
-    serialized on the driver and rebuilt in the worker."""
+    serialized on the driver and rebuilt in the worker.
+
+    Projection pushdown: the kernel decodes ONLY the columns named in
+    the target schema — each column's blob is located by its (offset,
+    length) in the block descriptor, so unrequested columns' bytes are
+    never touched (the block-format analogue of parquet column
+    pruning)."""
 
     def decode_blocks(batches) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
 
         out_schema = pa.ipc.read_schema(pa.py_buffer(arrow_schema_bytes))
+        wanted = set(out_schema.names)
         for batch in batches:
             descs = batch.column("desc").to_pylist()
             payloads = batch.column("payload")
@@ -737,8 +744,11 @@ def make_decode_fn(kinds: list[tuple[str, str]], arrow_schema_bytes: bytes):
                 desc = json.loads(descs[i])
                 payload = payloads[i].as_py()
                 n = int(ns[i])
+                by_name = {d["n"]: d for d in desc["cols"]
+                           if d["n"] in wanted}
                 cols = []
-                for d, field in zip(desc["cols"], out_schema):
+                for field in out_schema:
+                    d = by_name[field.name]
                     blob = payload[d["o"]:d["o"] + d["l"]]
                     cols.append(_decode_column(blob, d["k"], n, field.type,
                                                nullable=bool(d.get("z"))))
@@ -979,10 +989,18 @@ def encode_df_staged(df: DataFrame, key_cols: list[str], staging_dir: str,
     return fdf.mapInArrow(fn, schema=BLOCK_SCHEMA)
 
 
-def decode_df(blocks: DataFrame, schema_kinds: list[tuple[str, str]]) -> DataFrame:
+def decode_df(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+              columns: Optional[list[str]] = None) -> DataFrame:
+    """Decode the blocks table back to rows. ``columns`` selects a
+    projection: only those columns' blobs are decoded (located by the
+    descriptor offsets — the rest of each payload is never touched),
+    so a 2-column read of a 50-column table pays for 2 columns."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    if columns is not None:
+        by_name = dict(schema_kinds)
+        schema_kinds = [(c, by_name[c]) for c in columns]
     out_schema = T.StructType(
         [T.StructField(n, spark_type_of(k)) for n, k in schema_kinds])
     arrow_schema = to_arrow_schema(out_schema)
