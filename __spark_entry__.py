@@ -104,23 +104,29 @@ def _q_rt_alltypes(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("ship_date", F.col("ship_date").cast("timestamp"))
 
 
-def _q_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point lookup against the PERSISTED blocks table: encode+write
-    once (cached across calls), then prune on block metadata and fetch
-    matched rows — no re-encode of the source per lookup."""
+def _events_blocks_path(spark: SparkSession, sf_dir: str) -> str:
+    """Encode+persist the events blocks table once per sf (cached
+    across queries); lookups/scans run against the stored table."""
     import os
     import tempfile
 
-    src = _read(spark, sf_dir, "events")
-    kinds = engine.column_kinds(src.schema)
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(tempfile.gettempdir(),
                         f"oroch_blocks_events_v2_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src = _read(spark, sf_dir, "events")
         engine.encode_df(src, ["event_id"], n_buckets=8,
                          block_rows=4096) \
             .write.mode("overwrite").parquet(path)
-    blocks = spark.read.parquet(path)
+    return path
+
+
+def _q_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup against the PERSISTED blocks table: prune on block
+    metadata and fetch matched rows — no re-encode of the source."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
     return engine.lookup(blocks, kinds, "event_id", 4242)
 
 
@@ -132,6 +138,15 @@ def _q_rt_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = engine.encode_df(src, ["event_id"], n_buckets=8)
     return engine.decode_df(blocks, kinds,
                             columns=["event_id", "value"])
+
+
+def _q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range scan on the persisted blocks table: zone-map pruning
+    to overlapping blocks, then decode + exact filter."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    return engine.range_scan(blocks, kinds, "event_id", 1000, 1100)
 
 
 def _q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # container/access ops (SURVEY.md §2.5)
         "pruned_lookup_events": _q_pruned_lookup,
         "rt_projection_events": _q_rt_projection,
+        "range_scan_events": _q_range_scan,
         "codec_histogram": _q_codec_histogram,          # rows-only
         "compression_summary": _q_compression_summary,  # rows-only
         # training-data pipeline operators
@@ -391,6 +407,8 @@ def oracle_sql() -> dict[str, str]:
         "pruned_lookup_events":
             "SELECT * FROM events WHERE event_id = 4242",
         "rt_projection_events": "SELECT event_id, value FROM events",
+        "range_scan_events":
+            "SELECT * FROM events WHERE event_id BETWEEN 1000 AND 1100",
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id, text,
                    count(*) AS dup_cnt

@@ -1057,6 +1057,39 @@ def prune_blocks(blocks: DataFrame, value: int) -> DataFrame:
                          & (F.col("key_max").cast("long") >= v))
 
 
+def prune_blocks_range(blocks: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Range variant of :func:`prune_blocks`: keep blocks whose
+    [key_lo, key_hi] overlaps [lo, hi] — pushed to the parquet scan of
+    a persisted blocks table just like the point predicate."""
+    lo, hi = int(lo), int(hi)
+    if "key_lo" in blocks.columns:
+        return blocks.filter((F.col("key_lo") <= hi)
+                             & (F.col("key_hi") >= lo))
+    return blocks.filter((F.col("key_min").cast("long") <= hi)
+                         & (F.col("key_max").cast("long") >= lo))
+
+
+def range_scan(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+               key_col: str, lo: int, hi: int,
+               columns: Optional[list[str]] = None) -> DataFrame:
+    """Key-range scan against the blocks table: zone-map prune to
+    overlapping blocks, decode (optionally a projection — the key
+    column is added to the decode set and trimmed from the output if
+    not requested), filter to the exact range. At scale this reads
+    only the row groups whose key ranges overlap — the blocks-table
+    analogue of partition pruning + parquet predicate pushdown."""
+    decode_cols = columns
+    if columns is not None and key_col not in columns:
+        decode_cols = [key_col] + columns
+    dec = decode_df(prune_blocks_range(blocks, lo, hi), schema_kinds,
+                    columns=decode_cols)
+    dec = dec.filter((F.col(key_col) >= int(lo))
+                     & (F.col(key_col) <= int(hi)))
+    if columns is not None and key_col not in columns:
+        dec = dec.select(*columns)
+    return dec
+
+
 _FETCH_WIDTHS = {K_I32: 4, K_I64: 8, K_TS: 8, K_DATE: 4, K_BOOL: 1,
                  K_I8: 1, K_I16: 2}
 
