@@ -149,6 +149,16 @@ def _q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.range_scan(blocks, kinds, "event_id", 1000, 1100)
 
 
+def _q_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown: COUNT over a key range answered from block
+    metadata for interior blocks, key-column-only decode for the two
+    boundary blocks."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    return engine.range_count(blocks, kinds, "event_id", 500, 7500)
+
+
 def _q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = transcripts.generate(spark, n_conv=200, seed=42)
     blocks = engine.encode_df(df, ["conv_id", "turn_idx"], n_buckets=8,
@@ -354,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_lookup_events": _q_pruned_lookup,
         "rt_projection_events": _q_rt_projection,
         "range_scan_events": _q_range_scan,
+        "range_count_events": _q_range_count,
         "codec_histogram": _q_codec_histogram,          # rows-only
         "compression_summary": _q_compression_summary,  # rows-only
         # training-data pipeline operators
@@ -409,6 +420,10 @@ def oracle_sql() -> dict[str, str]:
         "rt_projection_events": "SELECT event_id, value FROM events",
         "range_scan_events":
             "SELECT * FROM events WHERE event_id BETWEEN 1000 AND 1100",
+        "range_count_events": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events
+            WHERE event_id BETWEEN 500 AND 7500
+        """,
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id, text,
                    count(*) AS dup_cnt

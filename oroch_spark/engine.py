@@ -1090,6 +1090,28 @@ def range_scan(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
     return dec
 
 
+def range_count(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+                key_col: str, lo: int, hi: int) -> DataFrame:
+    """COUNT(*) over a key range with aggregate pushdown to block
+    metadata: blocks fully inside [lo, hi] contribute their stored row
+    count ``n`` without ANY payload decode; only boundary blocks
+    (range straddles key_lo/key_hi) decode — and then only the key
+    column, via the projection path. For a wide range over a big
+    table, almost every surviving block is interior, so the count is
+    answered from the manifest-grade metadata at parquet-scan speed."""
+    lo, hi = int(lo), int(hi)
+    ov = prune_blocks_range(blocks, lo, hi)
+    inside = (F.col("key_lo") >= lo) & (F.col("key_hi") <= hi)
+    contained = ov.filter(inside).select(F.col("n").alias("_c"))
+    partial = ov.filter(~inside)
+    boundary = (decode_df(partial, schema_kinds, columns=[key_col])
+                .filter((F.col(key_col) >= lo) & (F.col(key_col) <= hi))
+                .select(F.lit(1).cast("long").alias("_c")))
+    return (contained.unionByName(boundary)
+            .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long")
+                 .alias("n_rows")))
+
+
 _FETCH_WIDTHS = {K_I32: 4, K_I64: 8, K_TS: 8, K_DATE: 4, K_BOOL: 1,
                  K_I8: 1, K_I16: 2}
 

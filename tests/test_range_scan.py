@@ -34,6 +34,28 @@ def test_range_prune_skips_blocks(spark, tmp_path):
     assert survivors <= 2 * 4
 
 
+def test_range_count_metadata_pushdown(spark, tmp_path):
+    src, kinds, blocks = _setup(spark, tmp_path)
+    lo, hi = 1000, 8000
+    got = engine.range_count(blocks, kinds, "event_id", lo, hi) \
+        .collect()[0].n_rows
+    exp = src.filter(F.col("event_id").between(lo, hi)).count()
+    assert got == exp
+    # most surviving blocks are interior: counted from metadata alone
+    ov = engine.prune_blocks_range(blocks, lo, hi)
+    interior = ov.filter((F.col("key_lo") >= lo)
+                         & (F.col("key_hi") <= hi)).count()
+    assert interior >= ov.count() - 2 * 4  # <= 2 boundary blocks/bucket
+    assert interior > 0
+
+
+def test_range_count_empty_range(spark, tmp_path):
+    src, kinds, blocks = _setup(spark, tmp_path)
+    got = engine.range_count(blocks, kinds, "event_id",
+                             10**9, 2 * 10**9).collect()[0].n_rows
+    assert got == 0
+
+
 def test_range_scan_with_projection(spark, tmp_path):
     src, kinds, blocks = _setup(spark, tmp_path)
     got = engine.range_scan(blocks, kinds, "event_id", 100, 200,
