@@ -59,8 +59,13 @@ def pack_bits(u: np.ndarray, nbits: int) -> bytes:
     u = np.ascontiguousarray(u, dtype="<u8")
     # little-endian byte view -> per-value bit rows (C-side unpackbits),
     # keep the low nbits of each row, repack densely. Avoids the
-    # (n x nbits) uint64 shift matrix entirely.
-    byte_rows = u.view(np.uint8).reshape(n, 8)
+    # (n x nbits) uint64 shift matrix entirely; only the ceil(nbits/8)
+    # low bytes per value are unpacked (8x less work at plane widths).
+    nb = (nbits + 7) // 8
+    byte_rows = u.view(np.uint8).reshape(n, 8)[:, :nb]
+    if nbits == 8 * nb:
+        # byte-aligned widths: plain byte slice, no bit ops at all
+        return np.ascontiguousarray(byte_rows).tobytes()
     bits = np.unpackbits(byte_rows, axis=1, bitorder="little")[:, :nbits]
     return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 
@@ -69,14 +74,20 @@ def unpack_bits(buf: bytes, n: int, nbits: int) -> np.ndarray:
     """Inverse of :func:`pack_bits`; returns uint64 array of length n."""
     if n == 0 or nbits == 0:
         return np.zeros(n, dtype=U64)
+    nb = (nbits + 7) // 8
+    out_bytes = np.zeros((n, 8), dtype=np.uint8)
     raw = np.frombuffer(buf, dtype=np.uint8)
-    bits = np.unpackbits(raw, count=n * nbits, bitorder="little")
-    # pad each value's bit row to 64, repack C-side, view as uint64 —
-    # no uint64 shift/sum expansion
-    padded = np.zeros((n, 64), dtype=np.uint8)
-    padded[:, :nbits] = bits.reshape(n, nbits)
-    return np.packbits(padded, axis=1, bitorder="little") \
-             .view("<u8").reshape(n).astype(U64, copy=False)
+    if nbits == 8 * nb:
+        out_bytes[:, :nb] = raw[:n * nb].reshape(n, nb)
+    else:
+        bits = np.unpackbits(raw, count=n * nbits, bitorder="little")
+        # pad each value's bit row to the byte width, repack C-side —
+        # no uint64 shift/sum expansion
+        padded = np.zeros((n, 8 * nb), dtype=np.uint8)
+        padded[:, :nbits] = bits.reshape(n, nbits)
+        out_bytes[:, :nb] = np.packbits(padded, axis=1,
+                                        bitorder="little")
+    return out_bytes.reshape(-1).view("<u8").astype(U64, copy=False)
 
 
 def packed_size(n: int, nbits: int) -> int:
