@@ -75,9 +75,27 @@ def _q_rt_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_rt_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-table round-trip: array<float> via the byte-plane codec
     (sign-rotated MSB plane + per-plane Oroch selection), vec_id/label
-    via the integer codecs. Bit-identical decode is the oracle."""
+    via the integer codecs. The raw array column can't be canonicalized
+    by the driver harness (pandas can't sort/hash list cells), so the
+    oracle surface projects it to deterministic scalars BOTH engines
+    compute identically: dim, the left-fold double sum of squares, and
+    an index-weighted left-fold sum (catches element-level corruption
+    and reordering; verified fold-order-identical vs DuckDB
+    list_reduce). Bitwise equality stays asserted in pytest
+    (tests/test_type_coverage.py)."""
     src = _read(spark, sf_dir, "embeddings")
-    return engine.roundtrip_df(src, ["vec_id"], n_buckets=8)
+    rt = engine.roundtrip_df(src, ["vec_id"], n_buckets=8)
+    x2 = lambda x: x.cast("double") * x.cast("double")
+    wseq = F.sequence(F.lit(1), F.size("embedding"))
+    return rt.select(
+        "vec_id", "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate(F.transform("embedding", x2), F.lit(0.0),
+                            lambda a, b: a + b), 6).alias("sq_sum"),
+        F.round(F.aggregate(
+            F.zip_with("embedding", wseq,
+                       lambda x, i: x.cast("double") * i.cast("double")),
+            F.lit(0.0), lambda a, b: a + b), 6).alias("wsum"))
 
 
 def _q_rt_alltypes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +130,7 @@ def _events_blocks_path(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(tempfile.gettempdir(),
-                        f"oroch_blocks_events_v2_{tag}")
+                        f"oroch_blocks_events_v3_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         src = _read(spark, sf_dir, "events")
         engine.encode_df(src, ["event_id"], n_buckets=8,
@@ -157,6 +175,45 @@ def _q_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     kinds = engine.column_kinds(src.schema)
     blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
     return engine.range_count(blocks, kinds, "event_id", 500, 7500)
+
+
+def _q_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown beyond COUNT: SUM/MIN/MAX of user_id over a
+    key range — interior blocks answer from the per-column (lo, hi, s)
+    descriptor stats without any payload decode; boundary blocks decode
+    only (event_id, user_id)."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    return engine.range_agg(blocks, kinds, "event_id", 500, 7500,
+                            "user_id")
+
+
+def _transcripts_blocks_path(spark: SparkSession) -> str:
+    """Encode+persist the 200-conversation transcript table keyed by
+    (conv_id, turn_idx) once; string-keyed lookups run against it."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(),
+                        "oroch_blocks_transcripts_v3_200")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src = spark.read.parquet(_ensure_transcripts_parquet())
+        engine.encode_df(src, ["conv_id", "turn_idx"], n_buckets=8,
+                         block_rows=2048, text_cols=["text"]) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def _q_lookup_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-keyed point lookup (the reference's ``find`` is generic
+    over T, `integer_array.h:192-208`): lexicographic zone-map pruning
+    on (key_slo, key_shi), then key-column-only decode and row fetch
+    of one conversation out of 200."""
+    src = spark.read.parquet(_ensure_transcripts_parquet())
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_transcripts_blocks_path(spark))
+    return engine.lookup(blocks, kinds, "conv_id", "conv-00000042")
 
 
 def _q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,6 +422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_projection_events": _q_rt_projection,
         "range_scan_events": _q_range_scan,
         "range_count_events": _q_range_count,
+        "range_agg_events": _q_range_agg,
+        "lookup_conv_transcripts": _q_lookup_conv,
         "codec_histogram": _q_codec_histogram,          # rows-only
         "compression_summary": _q_compression_summary,  # rows-only
         # training-data pipeline operators
@@ -401,7 +460,17 @@ def oracle_sql() -> dict[str, str]:
         "rt_part": "SELECT * FROM part",
         "rt_nation": "SELECT * FROM nation",
         "rt_region": "SELECT * FROM region",
-        "rt_embeddings": "SELECT * FROM embeddings",
+        "rt_embeddings": """
+            SELECT vec_id, label,
+                   CAST(len(embedding) AS INTEGER) AS dim,
+                   ROUND(list_reduce(list_transform(embedding,
+                        x -> x::DOUBLE * x::DOUBLE), (a,b) -> a + b), 6)
+                       AS sq_sum,
+                   ROUND(list_reduce(list_transform(embedding,
+                        (x, i) -> x::DOUBLE * i), (a,b) -> a + b), 6)
+                       AS wsum
+            FROM embeddings
+        """,
         "rt_alltypes": """
             SELECT l_orderkey, l_linenumber,
                    CAST(l_linenumber AS TINYINT) AS lin_i8,
@@ -423,6 +492,17 @@ def oracle_sql() -> dict[str, str]:
         "range_count_events": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events
             WHERE event_id BETWEEN 500 AND 7500
+        """,
+        "range_agg_events": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(user_id) AS BIGINT) AS sum_v,
+                   CAST(min(user_id) AS BIGINT) AS min_v,
+                   CAST(max(user_id) AS BIGINT) AS max_v
+            FROM events WHERE event_id BETWEEN 500 AND 7500
+        """,
+        "lookup_conv_transcripts": f"""
+            SELECT * FROM read_parquet('{tpath}')
+            WHERE conv_id = 'conv-00000042'
         """,
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id, text,

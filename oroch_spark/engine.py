@@ -58,12 +58,16 @@ BLOCK_SCHEMA = T.StructType([
     T.StructField("n", T.LongType()),
     T.StructField("key_min", T.StringType()),
     T.StructField("key_max", T.StringType()),
-    # numeric bounds of the LEADING key column (null for non-numeric
-    # keys): plain long columns so a lookup's range predicate is a
-    # parquet PushedFilter and row-group min/max stats skip whole
-    # groups of blocks before any payload bytes are read
+    # TRUE min/max of the LEADING key column (null when the key has no
+    # pruning domain or is all-null): plain long columns so a lookup's
+    # range predicate is a parquet PushedFilter and row-group min/max
+    # stats skip whole groups of blocks before any payload bytes are
+    # read. Integral-domain keys (ints, date, bool, ts-as-micros) fill
+    # key_lo/key_hi; string keys fill key_slo/key_shi (lexicographic).
     T.StructField("key_lo", T.LongType()),
     T.StructField("key_hi", T.LongType()),
+    T.StructField("key_slo", T.StringType()),
+    T.StructField("key_shi", T.StringType()),
     T.StructField("payload", T.BinaryType()),
     T.StructField("desc", T.StringType()),
     T.StructField("bytes_in", T.LongType()),
@@ -544,6 +548,18 @@ def _encode_column(arr: "pa.Array", kind: str, text_hint: bool,
     d = {"k": kind, "c": desc.codec_name}
     if nullable:
         d["z"] = 1
+    elif n:
+        # per-column zone stats (min/max/sum in the int64 codec domain)
+        # for metadata-answered range aggregates (range_agg): near-free
+        # here, saves a full decode per interior block later. Nullable
+        # columns skip stats (fill values would corrupt them) and
+        # degrade to the decode path.
+        lo_v, hi_v = int(ints.min()), int(ints.max())
+        if max(abs(lo_v), abs(hi_v)) < (1 << 62) // max(n, 1):
+            s_v = int(ints.sum(dtype=np.int64))
+        else:  # int64 sum could wrap: exact object-domain sum
+            s_v = int(sum(int(x) for x in ints))
+        d["lo"], d["hi"], d["s"] = lo_v, hi_v, s_v
     return (vblob + blob, d, width * n, desc.ref_total + len(vblob))
 
 
@@ -603,11 +619,48 @@ def _block_arrow_schema():
         ("bucket", pa.int32()), ("block_idx", pa.int64()),
         ("n", pa.int64()), ("key_min", pa.string()),
         ("key_max", pa.string()), ("key_lo", pa.int64()),
-        ("key_hi", pa.int64()), ("payload", pa.binary()),
+        ("key_hi", pa.int64()), ("key_slo", pa.string()),
+        ("key_shi", pa.string()), ("payload", pa.binary()),
         ("desc", pa.string()), ("bytes_in", pa.int64()),
         ("bytes_out", pa.int64()), ("ref_bytes", pa.int64()),
         ("wall_ms", pa.float64()),
     ])
+
+
+def _lead_bounds(lead: "pa.Array"):
+    """TRUE (min, max) of the leading key column for the block's zone
+    map — (key_lo, key_hi, key_slo, key_shi). The reference prunes its
+    ``find`` on real group bounds for any key type
+    (`/root/reference/oroch/integer_array.h:71-136`); first/last-row
+    bounds would only be correct for key-sorted input, and
+    ``encode_parquet_maponly`` explicitly supports unsorted files.
+    Integral-domain keys (ints, date32 as days, bool, timestamp as
+    epoch-micros) fill the int64 pair; string keys fill the
+    lexicographic pair; anything else — or an all-null key — yields
+    all-None, which every prune path treats as "cannot prune, keep the
+    block" (never silently drop)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(lead) == 0 or lead.null_count == len(lead):
+        return None, None, None, None
+    t = lead.type
+    try:
+        if pa.types.is_timestamp(t):
+            lead = lead.cast(pa.timestamp("us", tz=t.tz)).cast(pa.int64())
+        elif pa.types.is_date32(t):
+            lead = lead.cast(pa.int32())
+        elif pa.types.is_boolean(t):
+            lead = lead.cast(pa.int8())
+    except pa.lib.ArrowInvalid:
+        return None, None, None, None  # encode raises its own clear error
+    if pa.types.is_integer(lead.type):
+        mm = pc.min_max(lead)  # null-skipping
+        return int(mm["min"].as_py()), int(mm["max"].as_py()), None, None
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        mm = pc.min_max(lead)
+        return None, None, mm["min"].as_py(), mm["max"].as_py()
+    return None, None, None, None
 
 
 def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
@@ -632,20 +685,13 @@ def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
     payload = b"".join(pieces)
     key = lambda i: "|".join(str(table.column(k)[i].as_py())
                              for k in key_cols)
-    # numeric bounds of the leading key (enables parquet row-group
-    # pruning on lookups); None when the lead key is not integral
-    import pyarrow as pa
-    lead = table.column(key_cols[0])
-    if pa.types.is_integer(lead.type.storage_type
-                           if hasattr(lead.type, "storage_type")
-                           else lead.type):
-        key_lo, key_hi = int(lead[0].as_py()), int(lead[n - 1].as_py())
-    else:
-        key_lo = key_hi = None
+    key_lo, key_hi, key_slo, key_shi = _lead_bounds(
+        table.column(key_cols[0]).combine_chunks())
     return {
         "bucket": bucket, "block_idx": block_idx, "n": n,
         "key_min": key(0), "key_max": key(n - 1),
         "key_lo": key_lo, "key_hi": key_hi,
+        "key_slo": key_slo, "key_shi": key_shi,
         "payload": payload,
         "desc": json.dumps({"cols": desc_cols}),
         "bytes_in": bytes_in,
@@ -1041,36 +1087,68 @@ def checksum_df(df: DataFrame) -> int:
     return int(s) if s is not None else 0
 
 
-def prune_blocks(blocks: DataFrame, value: int) -> DataFrame:
-    """Zone-map block skip: drop blocks whose [key_lo, key_hi] range
-    cannot contain the key — the analogue of the reference's
-    metadata-pruned ``find`` answering "not here" without touching the
-    payload (`/root/reference/oroch/integer_array.h:71-136`). The
-    bounds are plain long columns, so against a persisted blocks table
-    this is a parquet PushedFilter: row-group min/max stats skip whole
-    groups of blocks before any payload bytes leave disk."""
-    v = int(value)
-    if "key_lo" in blocks.columns:
-        return blocks.filter((F.col("key_lo") <= v)
-                             & (F.col("key_hi") >= v))
-    return blocks.filter((F.col("key_min").cast("long") <= v)
-                         & (F.col("key_max").cast("long") >= v))
-
-
-def prune_blocks_range(blocks: DataFrame, lo: int, hi: int) -> DataFrame:
-    """Range variant of :func:`prune_blocks`: keep blocks whose
-    [key_lo, key_hi] overlaps [lo, hi] — pushed to the parquet scan of
-    a persisted blocks table just like the point predicate."""
+def _overlap_cond(blocks: DataFrame, lo, hi):
+    """Zone-map overlap predicate for [lo, hi] against the block bounds
+    columns. NULL bounds mean "cannot prune" (a key type with no
+    pruning domain, an all-null key block, or a legacy table whose
+    fallback cast nulls out) and always KEEP the block — pruning is an
+    optimization, never a correctness filter. String endpoints compare
+    against the lexicographic key_slo/key_shi pair; integral endpoints
+    against key_lo/key_hi (with the legacy key_min/key_max cast
+    fallback)."""
+    if isinstance(lo, str):
+        if "key_slo" not in blocks.columns:
+            return F.lit(True)  # legacy table: no string bounds
+        cond = (F.col("key_slo") <= hi) & (F.col("key_shi") >= lo)
+        return F.col("key_slo").isNull() | cond
     lo, hi = int(lo), int(hi)
     if "key_lo" in blocks.columns:
-        return blocks.filter((F.col("key_lo") <= hi)
-                             & (F.col("key_hi") >= lo))
-    return blocks.filter((F.col("key_min").cast("long") <= hi)
-                         & (F.col("key_max").cast("long") >= lo))
+        cond = (F.col("key_lo") <= hi) & (F.col("key_hi") >= lo)
+        return F.col("key_lo").isNull() | cond
+    blo = F.col("key_min").try_cast("long")  # null (not error) if non-numeric
+    bhi = F.col("key_max").try_cast("long")
+    return blo.isNull() | bhi.isNull() | ((blo <= hi) & (bhi >= lo))
+
+
+def _key_lit(schema_kinds: list[tuple[str, str]], key_col: str, v):
+    """Row-level literal for a key bound: the prune domain is int64
+    (epoch-micros for ts, days for date), but the decoded column keeps
+    its logical type — convert the bound to match so the exact filter
+    resolves."""
+    kind = dict(schema_kinds)[key_col]
+    if isinstance(v, str):
+        return F.lit(v)
+    if kind == K_TS:
+        return F.timestamp_micros(F.lit(int(v)))
+    if kind == K_DATE:
+        return F.date_from_unix_date(F.lit(int(v)))
+    if kind == K_BOOL:
+        return F.lit(bool(v))
+    return F.lit(int(v))
+
+
+def prune_blocks(blocks: DataFrame, value) -> DataFrame:
+    """Zone-map block skip: drop blocks whose key bounds cannot contain
+    the key — the analogue of the reference's metadata-pruned ``find``
+    answering "not here" without touching the payload
+    (`/root/reference/oroch/integer_array.h:71-136`, which prunes for
+    any key type T). The bounds are plain long/string columns, so
+    against a persisted blocks table this is a parquet PushedFilter:
+    row-group min/max stats skip whole groups of blocks before any
+    payload bytes leave disk. NULL bounds keep the block (see
+    :func:`_overlap_cond`)."""
+    return blocks.filter(_overlap_cond(blocks, value, value))
+
+
+def prune_blocks_range(blocks: DataFrame, lo, hi) -> DataFrame:
+    """Range variant of :func:`prune_blocks`: keep blocks whose bounds
+    overlap [lo, hi] — pushed to the parquet scan of a persisted
+    blocks table just like the point predicate."""
+    return blocks.filter(_overlap_cond(blocks, lo, hi))
 
 
 def range_scan(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
-               key_col: str, lo: int, hi: int,
+               key_col: str, lo, hi,
                columns: Optional[list[str]] = None) -> DataFrame:
     """Key-range scan against the blocks table: zone-map prune to
     overlapping blocks, decode (optionally a projection — the key
@@ -1083,33 +1161,101 @@ def range_scan(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
         decode_cols = [key_col] + columns
     dec = decode_df(prune_blocks_range(blocks, lo, hi), schema_kinds,
                     columns=decode_cols)
-    dec = dec.filter((F.col(key_col) >= int(lo))
-                     & (F.col(key_col) <= int(hi)))
+    dec = dec.filter((F.col(key_col) >= _key_lit(schema_kinds, key_col, lo))
+                     & (F.col(key_col) <= _key_lit(schema_kinds, key_col, hi)))
     if columns is not None and key_col not in columns:
         dec = dec.select(*columns)
     return dec
 
 
+def _contained_cond(blocks: DataFrame, lo, hi):
+    """True iff the block's key bounds are PROVABLY inside [lo, hi]
+    (every row matches, metadata alone can answer aggregates). NULL or
+    missing bounds coalesce to False — the block degrades to the
+    boundary (decode) path, never to a wrong answer. Legacy tables
+    without bounds columns treat every block as boundary."""
+    if isinstance(lo, str):
+        if "key_slo" not in blocks.columns:
+            return F.lit(False)
+        return F.coalesce((F.col("key_slo") >= lo)
+                          & (F.col("key_shi") <= hi), F.lit(False))
+    if "key_lo" not in blocks.columns:
+        return F.lit(False)
+    return F.coalesce((F.col("key_lo") >= int(lo))
+                      & (F.col("key_hi") <= int(hi)), F.lit(False))
+
+
 def range_count(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
-                key_col: str, lo: int, hi: int) -> DataFrame:
+                key_col: str, lo, hi) -> DataFrame:
     """COUNT(*) over a key range with aggregate pushdown to block
     metadata: blocks fully inside [lo, hi] contribute their stored row
     count ``n`` without ANY payload decode; only boundary blocks
-    (range straddles key_lo/key_hi) decode — and then only the key
-    column, via the projection path. For a wide range over a big
-    table, almost every surviving block is interior, so the count is
-    answered from the manifest-grade metadata at parquet-scan speed."""
-    lo, hi = int(lo), int(hi)
+    (range straddles the block bounds, or bounds are unknown) decode —
+    and then only the key column, via the projection path. For a wide
+    range over a big table, almost every surviving block is interior,
+    so the count is answered from the manifest-grade metadata at
+    parquet-scan speed."""
+    if not isinstance(lo, str):
+        lo, hi = int(lo), int(hi)
     ov = prune_blocks_range(blocks, lo, hi)
-    inside = (F.col("key_lo") >= lo) & (F.col("key_hi") <= hi)
+    inside = _contained_cond(ov, lo, hi)
     contained = ov.filter(inside).select(F.col("n").alias("_c"))
     partial = ov.filter(~inside)
     boundary = (decode_df(partial, schema_kinds, columns=[key_col])
-                .filter((F.col(key_col) >= lo) & (F.col(key_col) <= hi))
+                .filter((F.col(key_col) >= _key_lit(schema_kinds, key_col, lo))
+                        & (F.col(key_col) <= _key_lit(schema_kinds, key_col, hi)))
                 .select(F.lit(1).cast("long").alias("_c")))
     return (contained.unionByName(boundary)
             .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long")
                  .alias("n_rows")))
+
+
+_STATS_JSON_SCHEMA = T.StructType([T.StructField("cols", T.ArrayType(
+    T.StructType([
+        T.StructField("n", T.StringType()),
+        T.StructField("lo", T.LongType()),
+        T.StructField("hi", T.LongType()),
+        T.StructField("s", T.LongType()),
+    ])))])
+
+
+def range_agg(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+              key_col: str, lo, hi, agg_col: str) -> DataFrame:
+    """SUM/MIN/MAX/COUNT of ``agg_col`` over a key range with aggregate
+    pushdown to block metadata — the zone-map design extended from
+    :func:`range_count` to value aggregates. Blocks PROVABLY inside
+    [lo, hi] answer from the per-column (lo, hi, s) stats stored in the
+    descriptor at encode time — no payload decode at all; boundary
+    blocks (or blocks whose stats are absent: nullable column, legacy
+    table, out-of-long sum) decode only (key_col, agg_col) via the
+    projection path. One row out: (n_rows, sum_v, min_v, max_v), all
+    in the int64 codec domain. At 100 TB a wide range is almost all
+    interior blocks, so the answer streams from the parquet metadata
+    columns at scan speed."""
+    if not isinstance(lo, str):
+        lo, hi = int(lo), int(hi)
+    ov = prune_blocks_range(blocks, lo, hi)
+    stats = F.filter(F.from_json(F.col("desc"), _STATS_JSON_SCHEMA)["cols"],
+                     lambda c: c["n"] == F.lit(agg_col))[0]
+    has_stats = (stats["lo"].isNotNull() & stats["hi"].isNotNull()
+                 & stats["s"].isNotNull())
+    inside = _contained_cond(ov, lo, hi) & has_stats
+    interior = ov.filter(inside).select(
+        F.col("n").alias("_c"), stats["s"].alias("_s"),
+        stats["lo"].alias("_lo"), stats["hi"].alias("_hi"))
+    partial = ov.filter(~inside)
+    v = F.col(agg_col).cast("long")
+    dec_cols = [key_col] if agg_col == key_col else [key_col, agg_col]
+    boundary = (decode_df(partial, schema_kinds, columns=dec_cols)
+                .filter((F.col(key_col) >= _key_lit(schema_kinds, key_col, lo))
+                        & (F.col(key_col) <= _key_lit(schema_kinds, key_col, hi)))
+                .select(F.lit(1).cast("long").alias("_c"), v.alias("_s"),
+                        v.alias("_lo"), v.alias("_hi")))
+    return (interior.unionByName(boundary).agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_rows"),
+        F.sum("_s").cast("long").alias("sum_v"),
+        F.min("_lo").cast("long").alias("min_v"),
+        F.max("_hi").cast("long").alias("max_v")))
 
 
 _FETCH_WIDTHS = {K_I32: 4, K_I64: 8, K_TS: 8, K_DATE: 4, K_BOOL: 1,
@@ -1126,8 +1272,7 @@ def _column_at_indices(blob: bytes, kind: str, n: int, arrow_type,
 
     if kind in _FETCH_WIDTHS and not nullable:
         w = _FETCH_WIDTHS[kind]
-        vals = np.array([ic.fetch(blob, int(i), n, width=w)
-                         for i in idxs], dtype=np.int64)
+        vals = ic.fetch_many(blob, idxs, n, width=w)
         if kind == K_TS:
             return pa.array(vals, type=pa.int64()).cast(arrow_type)
         if kind == K_DATE:
@@ -1142,16 +1287,19 @@ def _column_at_indices(blob: bytes, kind: str, n: int, arrow_type,
     return full.take(pa.array(idxs, type=pa.int64()))
 
 
-def make_lookup_fn(kinds: list[tuple[str, str]], key_col: str, value: int,
+def make_lookup_fn(kinds: list[tuple[str, str]], key_col: str, value,
                    arrow_schema_bytes: bytes):
     """mapInArrow kernel: per surviving block, decode ONLY the key
     column, locate matching row indices, then materialize the other
     columns at just those indices (value-level fetch for O(1)-codecs,
-    decode+take otherwise). Blocks without a match emit nothing."""
+    one decode+take otherwise). Blocks without a match emit nothing.
+    Integer-domain and string keys both supported (the reference's
+    ``find`` is generic over T, `integer_array.h:192-208`)."""
     kind_of = dict(kinds)
 
     def lookup_blocks(batches) -> "Iterator[pa.RecordBatch]":
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         out_schema = pa.ipc.read_schema(pa.py_buffer(arrow_schema_bytes))
         key_kind = kind_of[key_col]
@@ -1166,11 +1314,19 @@ def make_lookup_fn(kinds: list[tuple[str, str]], key_col: str, value: int,
                 key_d = next(d for d in desc["cols"]
                              if d["n"] == key_col)
                 kb = payload[key_d["o"]:key_d["o"] + key_d["l"]]
-                keys = _decode_column(kb, key_kind, n,
-                                      pa.int64(),
-                                      nullable=bool(key_d.get("z")))
-                kv = keys.cast(pa.int64()).to_numpy(zero_copy_only=False)
-                idxs = np.flatnonzero(kv == value)
+                if key_kind == K_STR:
+                    keys = _decode_column(kb, key_kind, n, pa.string(),
+                                          nullable=bool(key_d.get("z")))
+                    eq = pc.fill_null(pc.equal(keys, str(value)), False)
+                    idxs = np.flatnonzero(
+                        eq.to_numpy(zero_copy_only=False))
+                else:
+                    keys = _decode_column(kb, key_kind, n,
+                                          pa.int64(),
+                                          nullable=bool(key_d.get("z")))
+                    kv = keys.cast(pa.int64()) \
+                             .to_numpy(zero_copy_only=False)
+                    idxs = np.flatnonzero(kv == value)
                 if not len(idxs):
                     continue
                 cols = []
@@ -1185,19 +1341,23 @@ def make_lookup_fn(kinds: list[tuple[str, str]], key_col: str, value: int,
 
 
 def lookup(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
-           key_col: str, value: int) -> DataFrame:
+           key_col: str, value) -> DataFrame:
     """Point lookup against the PERSISTED blocks table (no re-encode):
     metadata pruning first (:func:`prune_blocks`), then the surviving
     blocks decode only the key column and fetch matched rows — the
     full Spark analogue of ``integer_array::find`` / ``at``
-    (`/root/reference/oroch/integer_array.h:166-208`)."""
+    (`/root/reference/oroch/integer_array.h:166-208`). ``value`` may be
+    an int (integer-domain keys, incl. ts-as-micros/date-as-days) or a
+    str (string keys, pruned lexicographically)."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    if not isinstance(value, str):
+        value = int(value)
     out_schema = T.StructType(
         [T.StructField(n, spark_type_of(k)) for n, k in schema_kinds])
     arrow_schema = to_arrow_schema(out_schema)
-    fn = make_lookup_fn(schema_kinds, key_col, int(value),
+    fn = make_lookup_fn(schema_kinds, key_col, value,
                         arrow_schema.serialize().to_pybytes())
     return prune_blocks(blocks, value).mapInArrow(fn, schema=out_schema)
 

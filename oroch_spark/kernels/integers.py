@@ -677,3 +677,55 @@ def fetch(blob: bytes, i: int, n: int, width: int = 8) -> int:
             & 0xFFFFFFFFFFFFFFFF
         return u - (1 << 64) if u >= (1 << 63) else u
     return int(decode_block(blob, n, width)[i])
+
+
+def _fetch_bits_many(payload: bytes, idxs: np.ndarray, nbits: int
+                     ) -> np.ndarray:
+    """Vectorized :func:`_fetch_bits`: the ``nbits``-bit values at the
+    given indices from the dense little-endian bitstream, as uint64 —
+    one numpy pass, no per-index Python."""
+    bitpos = idxs.astype(np.uint64) * np.uint64(nbits)
+    byte0 = (bitpos >> np.uint64(3)).astype(np.int64)
+    shift = (bitpos & np.uint64(7)).astype(np.uint64)
+    buf = np.frombuffer(payload + b"\0" * 9, dtype=np.uint8)
+    chunks = buf[byte0[:, None] + np.arange(9)[None, :]]
+    lo = np.ascontiguousarray(chunks[:, :8]).view("<u8").reshape(-1)
+    hi = chunks[:, 8].astype(np.uint64)
+    # (lo >> shift) | (hi << (64-shift)); shift==0 keeps lo alone (a
+    # 64-bit left shift is UB-ish in numpy, mask it out explicitly)
+    out = lo >> shift
+    nz = shift > 0
+    out[nz] |= hi[nz] << (np.uint64(64) - shift[nz])
+    if nbits < 64:
+        out &= np.uint64((1 << nbits) - 1)
+    return out
+
+
+def fetch_many(blob: bytes, idxs: np.ndarray, n: int, width: int = 8
+               ) -> np.ndarray:
+    """Batched :func:`fetch`: values at ``idxs`` (int64 out). O(k) for
+    the O(1)-fetchable codecs (naught/normal/bitpck/bitfor) via one
+    vectorized bit-gather; stream codecs (varint/bitpfr/delta) pay ONE
+    full block decode + take — never k decodes (a k-match range lookup
+    is O(n + k), not O(k*n))."""
+    idxs = np.asarray(idxs, dtype=np.int64)
+    if len(idxs) == 0:
+        return np.zeros(0, dtype=I64)
+    if idxs.min() < 0 or idxs.max() >= n:
+        raise IndexError("fetch_many index out of range")
+    desc, pos = read_header(blob, 0, n, width)
+    payload = blob[pos:]
+    c = desc.codec
+    if c == NAUGHT:
+        return np.full(len(idxs), desc.origin, dtype=I64)
+    if c == NORMAL:
+        w = desc.width
+        arr = np.frombuffer(payload, dtype=_WIDTH_DT[w], count=n)
+        return arr[idxs].astype(I64)
+    if c == BITPCK:
+        return zigzag_decode(_fetch_bits_many(payload, idxs, desc.nbits))
+    if c == BITFOR:
+        u = (np.uint64(desc.origin & 0xFFFFFFFFFFFFFFFF)
+             + _fetch_bits_many(payload, idxs, desc.nbits))
+        return u.view(I64)
+    return decode_payload(payload, desc)[idxs]

@@ -100,18 +100,32 @@ def lsh_buckets_udf(df: DataFrame, planes: np.ndarray,
                      buckets(F.col(vec_col)).alias("buckets"))
 
 
-def _kmeans_fit(x: "np.ndarray", k: int, iters: int, seed: int) -> "np.ndarray":
-    """Tiny deterministic k-means (numpy, driver-side — centroid table
-    is small by construction; the data never leaves the executors)."""
+def _kmeans_fit(x: "np.ndarray", k: int, iters: int, seed: int,
+                chunk: int = 1024) -> "np.ndarray":
+    """Deterministic k-means (numpy, driver-side — the centroid table
+    is small by construction; the data never leaves the executors).
+
+    Distances use the same matmul expansion as :func:`ivf_assign`
+    (||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, the row-constant term
+    dropped from the argmin) computed in ``chunk``-row slices, so peak
+    memory is O(chunk * k) — never the O(sample * k * dim) broadcast
+    tensor that made 4k-centroid/1k-dim fits a ~17 GB driver
+    allocation. Centroid updates are one vectorized scatter-add."""
     rng = np.random.default_rng(seed)
-    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    cent = np.ascontiguousarray(
+        x[rng.choice(len(x), size=min(k, len(x)), replace=False)])
     for _ in range(iters):
-        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        lab = d.argmin(axis=1)
-        for j in range(len(cent)):
-            m = lab == j
-            if m.any():
-                cent[j] = x[m].mean(axis=0)
+        c_sq = (cent ** 2).sum(axis=1)
+        lab = np.empty(len(x), dtype=np.int64)
+        for s in range(0, len(x), chunk):
+            xc = x[s:s + chunk]
+            d = c_sq[None, :] - 2.0 * (xc @ cent.T)
+            lab[s:s + len(xc)] = d.argmin(axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, lab, x)
+        counts = np.bincount(lab, minlength=len(cent))
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
     return cent
 
 

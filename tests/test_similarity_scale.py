@@ -91,3 +91,29 @@ def test_ivf_train_sample_deterministic(emb):
     b = similarity.ivf_train_sample(emb, 64)
     assert np.array_equal(a, b)
     assert a.shape == (64, DIM)
+
+
+def test_kmeans_fit_scale_memory():
+    """4096 centroids x 1024 dims fits driver memory: the chunked
+    matmul form peaks at O(chunk*k) (~32 MB), not the old
+    O(sample*k*dim) broadcast tensor (~17 GB at this size)."""
+    import resource
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((8192, 1024))
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    cent = similarity._kmeans_fit(x, 4096, iters=2, seed=1)
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert cent.shape == (4096, 1024)
+    assert np.isfinite(cent).all()
+    # linux ru_maxrss is KiB; allow 2 GiB of slack, far below the 17 GiB
+    # the dense tensor would need
+    assert (after - before) < 2 * 1024 * 1024
+
+
+def test_kmeans_fit_deterministic():
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((500, 32))
+    a = similarity._kmeans_fit(x, 16, iters=5, seed=42)
+    b = similarity._kmeans_fit(x, 16, iters=5, seed=42)
+    assert np.array_equal(a, b)

@@ -1,0 +1,200 @@
+"""Round-3 zone-map hardening: TRUE min/max block bounds (not
+first/last row), NULL-safe pruning for keys without a pruning domain,
+string-keyed lexicographic pruning, timestamp keys in the epoch-micros
+domain, metadata-answered range aggregates, and the batched fetch
+kernel. Mirrors the reference's type-generic metadata-pruned ``find``
+(`/root/reference/oroch/integer_array.h:71-136`)."""
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from oroch_spark import engine
+from oroch_spark.kernels import integers as ic
+
+
+def test_maponly_unsorted_bounds_are_true_minmax(spark, tmp_path):
+    # the ADVICE-high scenario: an UNSORTED file encoded map-only must
+    # store real min/max — first/last bounds ([500..300]) would make
+    # the lookup of 42 silently skip the block
+    d = tmp_path / "src"
+    d.mkdir()
+    vals = np.array([500, 100, 900, 300, 700, 42, 650, 11],
+                    dtype=np.int64)
+    pq.write_table(pa.table({"event_id": vals, "v": vals * 2}),
+                   str(d / "f.parquet"))
+    blocks = engine.encode_parquet_maponly(spark, str(d), ["event_id"],
+                                           block_rows=4)
+    bp = str(tmp_path / "blocks")
+    blocks.write.parquet(bp)
+    bdf = spark.read.parquet(bp)
+    rows = {r.block_idx: r for r in
+            bdf.select("block_idx", "key_lo", "key_hi").collect()}
+    assert rows[0].key_lo == 100 and rows[0].key_hi == 900
+    assert rows[1].key_lo == 11 and rows[1].key_hi == 700
+    kinds = [("event_id", "i64"), ("v", "i64")]
+    got = engine.lookup(bdf, kinds, "event_id", 42).collect()
+    assert len(got) == 1 and got[0].v == 84
+
+
+def test_null_in_lead_key_encodes_and_keeps_block(spark, tmp_path):
+    # nullable key with nulls at the block edges: encode must not
+    # crash (ADVICE-low int(None)) and pruning must keep the block
+    d = tmp_path / "src"
+    d.mkdir()
+    vals = pa.array([None, 5, 7, None], type=pa.int64())
+    pq.write_table(pa.table({"k": vals, "v": [1, 2, 3, 4]}),
+                   str(d / "f.parquet"))
+    blocks = engine.encode_parquet_maponly(spark, str(d), ["k"],
+                                           block_rows=4)
+    row = blocks.select("key_lo", "key_hi").first()
+    assert row.key_lo == 5 and row.key_hi == 7  # null-skipping min/max
+    kinds = [("k", "i64"), ("v", "i64")]
+    got = engine.lookup(blocks, kinds, "k", 7).collect()
+    assert len(got) == 1 and got[0].v == 3
+
+
+def test_all_null_lead_key_bounds_null_and_unpruned(spark, tmp_path):
+    d = tmp_path / "src"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"k": pa.array([None, None], type=pa.int64()),
+                  "v": [1, 2]}), str(d / "f.parquet"))
+    blocks = engine.encode_parquet_maponly(spark, str(d), ["k"],
+                                           block_rows=4)
+    row = blocks.select("key_lo", "key_hi").first()
+    assert row.key_lo is None and row.key_hi is None
+    # NULL bounds mean "cannot prune": block survives, lookup of any
+    # value returns empty (no key matches), never errors
+    assert engine.prune_blocks(blocks, 123).count() == 1
+
+
+def test_string_key_lookup_and_pruning(spark, tmp_path):
+    src = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+           .withColumn("name", F.concat(F.lit("ev"),
+                                        F.format_string("%06d",
+                                                        "event_id"))))
+    kinds = engine.column_kinds(src.schema)
+    bp = str(tmp_path / "blocks")
+    engine.encode_df(src, ["name"], n_buckets=4, block_rows=128) \
+        .write.parquet(bp)
+    blocks = spark.read.parquet(bp)
+    row = blocks.select("key_slo", "key_shi", "key_lo").first()
+    assert row.key_slo is not None and row.key_lo is None
+    total = blocks.count()
+    surv = engine.prune_blocks(blocks, "ev000777").count()
+    assert surv < total  # lexicographic zone maps actually prune
+    got = engine.lookup(blocks, kinds, "name", "ev000777").collect()
+    assert len(got) == 1 and got[0].event_id == 777
+    # string range scan
+    rs = engine.range_scan(blocks, kinds, "name",
+                           "ev000100", "ev000109")
+    assert rs.count() == 10
+    rc = engine.range_count(blocks, kinds, "name",
+                            "ev000100", "ev000109").first().n_rows
+    assert rc == 10
+
+
+def test_ts_key_bounds_and_range(spark, tmp_path):
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    kinds = engine.column_kinds(src.schema)
+    bp = str(tmp_path / "blocks")
+    engine.encode_df(src, ["ts"], n_buckets=4, block_rows=256) \
+        .write.parquet(bp)
+    blocks = spark.read.parquet(bp)
+    assert blocks.select("key_lo").first().key_lo is not None
+    lo_us = int(src.agg(F.min("ts")).collect()[0][0]
+                .timestamp() * 1e6)
+    hi_us = lo_us + 3600_000_000
+    exp = src.filter(
+        (F.col("ts") >= F.timestamp_micros(F.lit(lo_us)))
+        & (F.col("ts") <= F.timestamp_micros(F.lit(hi_us)))).count()
+    assert exp > 0
+    assert engine.range_scan(blocks, kinds, "ts",
+                             lo_us, hi_us).count() == exp
+    assert engine.range_count(blocks, kinds, "ts",
+                              lo_us, hi_us).first().n_rows == exp
+    # legacy blocks table (no bounds columns): degrades, same answer
+    legacy = blocks.drop("key_lo", "key_hi", "key_slo", "key_shi")
+    assert engine.range_count(legacy, kinds, "ts",
+                              lo_us, hi_us).first().n_rows == exp
+
+
+def test_range_agg_matches_source(spark):
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    kinds = engine.column_kinds(src.schema)
+    # one bucket => blocks are contiguous key runs, so the wide range
+    # provably contains interior blocks (the pushdown path is hit)
+    blocks = engine.encode_df(src, ["event_id"], n_buckets=1,
+                              block_rows=128).cache()
+    got = engine.range_agg(blocks, kinds, "event_id", 100, 900,
+                           "user_id").first()
+    exp = src.filter((F.col("event_id") >= 100)
+                     & (F.col("event_id") <= 900)).agg(
+        F.count("*").alias("c"), F.sum("user_id").alias("s"),
+        F.min("user_id").alias("lo"),
+        F.max("user_id").alias("hi")).first()
+    assert (got.n_rows, got.sum_v, got.min_v, got.max_v) \
+        == (exp.c, exp.s, exp.lo, exp.hi)
+    # the pushdown is real: interior blocks carry usable stats
+    ov = engine.prune_blocks_range(blocks, 100, 900)
+    interior = ov.filter(engine._contained_cond(ov, 100, 900)).count()
+    assert interior > 0
+    blocks.unpersist()
+
+
+def test_range_agg_key_equals_agg_col(spark):
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["event_id"], n_buckets=4,
+                              block_rows=128)
+    got = engine.range_agg(blocks, kinds, "event_id", 10, 20,
+                           "event_id").first()
+    assert (got.n_rows, got.sum_v, got.min_v, got.max_v) \
+        == (11, sum(range(10, 21)), 10, 20)
+
+
+def test_block_stats_skip_nullable_columns():
+    arr = pa.array([1, None, 3], type=pa.int64())
+    _, d, _, _ = engine._encode_column(arr, engine.K_I64, False)
+    assert "s" not in d and "lo" not in d  # fill values never leak
+    arr2 = pa.array([1, 2, 3], type=pa.int64())
+    _, d2, _, _ = engine._encode_column(arr2, engine.K_I64, False)
+    assert (d2["lo"], d2["hi"], d2["s"]) == (1, 3, 6)
+
+
+@pytest.mark.parametrize("gen", [
+    lambda rng: np.full(1000, 7, dtype=np.int64),          # naught
+    lambda rng: rng.integers(-2**62, 2**62, 1000),         # normal
+    lambda rng: rng.integers(-100, 100, 1000),             # bitpck-ish
+    lambda rng: rng.integers(10**6, 10**6 + 5000, 1000),   # bitfor-ish
+    lambda rng: np.sort(rng.integers(0, 10**9, 1000)),     # delta
+    lambda rng: np.where(rng.random(1000) < 0.02,
+                         rng.integers(0, 2**60, 1000),
+                         rng.integers(0, 64, 1000)),       # bitpfr
+])
+def test_fetch_many_equals_decode(gen):
+    rng = np.random.default_rng(17)
+    vals = np.asarray(gen(rng), dtype=np.int64)
+    blob = ic.encode_block(vals, width=8, try_delta=True)
+    idxs = np.array([0, 1, 13, 500, 998, 999, 250, 250])
+    got = ic.fetch_many(blob, idxs, len(vals), width=8)
+    np.testing.assert_array_equal(got, vals[idxs])
+    # scalar fetch agreement on the same codec
+    assert ic.fetch(blob, 13, len(vals), width=8) == vals[13]
+
+
+def test_fetch_many_64bit_width_edge():
+    rng = np.random.default_rng(3)
+    # values spanning the full signed-64 domain at every bit position
+    vals = np.array([0, 1, -1, 2**62, -2**62, 2**63 - 1, -2**63,
+                     *rng.integers(-2**63, 2**63 - 1, 100,
+                                   dtype=np.int64)], dtype=np.int64)
+    blob = ic.encode_block(vals, width=8)
+    idxs = np.arange(len(vals))
+    np.testing.assert_array_equal(
+        ic.fetch_many(blob, idxs, len(vals), width=8), vals)
