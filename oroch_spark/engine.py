@@ -765,7 +765,8 @@ def make_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
     return encode_stream
 
 
-def make_decode_fn(kinds: list[tuple[str, str]], arrow_schema_bytes: bytes):
+def make_decode_fn(kinds: list[tuple[str, str]], arrow_schema_bytes: bytes,
+                   passthrough: tuple[str, ...] = ()):
     """mapInArrow kernel: each encoded block row expands to its rows.
     No shuffle — blocks decode independently (SURVEY.md §3.2). The
     target arrow schema (incl. Spark's timestamp tz convention) is
@@ -775,13 +776,17 @@ def make_decode_fn(kinds: list[tuple[str, str]], arrow_schema_bytes: bytes):
     the target schema — each column's blob is located by its (offset,
     length) in the block descriptor, so unrequested columns' bytes are
     never touched (the block-format analogue of parquet column
-    pruning)."""
+    pruning).
+
+    ``passthrough`` names BLOCK-level metadata columns (e.g. the
+    streaming ``batch_id``) replicated onto every decoded row — the
+    mechanism the merge-on-read reader uses to rank row versions."""
 
     def decode_blocks(batches) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
 
         out_schema = pa.ipc.read_schema(pa.py_buffer(arrow_schema_bytes))
-        wanted = set(out_schema.names)
+        wanted = set(out_schema.names) - set(passthrough)
         for batch in batches:
             descs = batch.column("desc").to_pylist()
             payloads = batch.column("payload")
@@ -794,10 +799,16 @@ def make_decode_fn(kinds: list[tuple[str, str]], arrow_schema_bytes: bytes):
                            if d["n"] in wanted}
                 cols = []
                 for field in out_schema:
-                    d = by_name[field.name]
-                    blob = payload[d["o"]:d["o"] + d["l"]]
-                    cols.append(_decode_column(blob, d["k"], n, field.type,
-                                               nullable=bool(d.get("z"))))
+                    if field.name in by_name:
+                        d = by_name[field.name]
+                        blob = payload[d["o"]:d["o"] + d["l"]]
+                        cols.append(_decode_column(
+                            blob, d["k"], n, field.type,
+                            nullable=bool(d.get("z"))))
+                    else:  # block-level passthrough, replicated n times
+                        cols.append(pa.repeat(
+                            batch.column(field.name)[i], n)
+                            .cast(field.type))
                 yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
     return decode_blocks
@@ -1036,21 +1047,28 @@ def encode_df_staged(df: DataFrame, key_cols: list[str], staging_dir: str,
 
 
 def decode_df(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
-              columns: Optional[list[str]] = None) -> DataFrame:
+              columns: Optional[list[str]] = None,
+              passthrough: Optional[list[str]] = None) -> DataFrame:
     """Decode the blocks table back to rows. ``columns`` selects a
     projection: only those columns' blobs are decoded (located by the
     descriptor offsets — the rest of each payload is never touched),
-    so a 2-column read of a 50-column table pays for 2 columns."""
+    so a 2-column read of a 50-column table pays for 2 columns.
+    ``passthrough`` appends block-level metadata columns of the blocks
+    table (e.g. ``batch_id``), replicated onto every decoded row."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
     if columns is not None:
         by_name = dict(schema_kinds)
         schema_kinds = [(c, by_name[c]) for c in columns]
-    out_schema = T.StructType(
-        [T.StructField(n, spark_type_of(k)) for n, k in schema_kinds])
+    fields = [T.StructField(n, spark_type_of(k)) for n, k in schema_kinds]
+    passthrough = tuple(passthrough or ())
+    for p in passthrough:
+        fields.append(T.StructField(p, blocks.schema[p].dataType))
+    out_schema = T.StructType(fields)
     arrow_schema = to_arrow_schema(out_schema)
-    fn = make_decode_fn(schema_kinds, arrow_schema.serialize().to_pybytes())
+    fn = make_decode_fn(schema_kinds, arrow_schema.serialize().to_pybytes(),
+                        passthrough=passthrough)
     return blocks.mapInArrow(fn, schema=out_schema)
 
 

@@ -62,3 +62,35 @@ def encode_stream(stream_df: DataFrame, out_dir: str,
 
 def read_stream_blocks(spark, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "blocks_stream"))
+
+
+def read_latest(spark, out_dir: str,
+                schema_kinds: list[tuple[str, str]],
+                key_cols: list[str],
+                base_blocks: Optional[DataFrame] = None) -> DataFrame:
+    """Merge-on-read / latest-wins reader: the append-only contract
+    above, made executable. Decodes the streaming increments (each row
+    tagged with its micro-batch id via decode passthrough) plus an
+    optional base snapshot (rank -1, i.e. older than every increment)
+    and keeps exactly one row per stable key — the one from the
+    highest batch_id. Within a single batch the key is unique by the
+    encode contract (a micro-batch is one consistent snapshot of its
+    keys), so the ranking is total.
+
+    Scale shape: one hash shuffle on the stable key (the same key the
+    blocks are bucketed by) + a per-key top-1 — the standard
+    merge-on-read cost, paid only until ``engine.recompact`` folds the
+    increments into right-sized base blocks."""
+    from pyspark.sql import Window
+
+    inc = engine.decode_df(read_stream_blocks(spark, out_dir),
+                           schema_kinds, passthrough=["batch_id"])
+    rows = inc
+    if base_blocks is not None:
+        base = engine.decode_df(base_blocks, schema_kinds) \
+            .withColumn("batch_id", F.lit(-1).cast("long"))
+        rows = base.unionByName(inc)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
+    return (rows.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "batch_id"))

@@ -36,3 +36,92 @@ def test_stream_encode_availablenow(spark, tmp_path):
     assert dec.count() == df.count()
     assert engine.checksum_df(dec) == engine.checksum_df(df)
     df.unpersist()
+
+
+def test_read_latest_upsert_wins(spark, tmp_path):
+    """An upserted turn (same stable key re-sent in a later batch)
+    reads back exactly once with the LATEST text, pre-compaction —
+    the documented latest-wins contract made executable."""
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(src_dir)
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    df = transcripts.generate(spark, 10, seed=5).persist()
+    kinds = engine.column_kinds(df.schema)
+
+    # batch 0: the original table; batch 1: one conversation's turn 0
+    # re-sent with corrected text
+    df.write.mode("overwrite").parquet(os.path.join(src_dir, "b0"))
+    upd = (df.filter((F.col("conv_id") == "conv-00000003")
+                     & (F.col("turn_idx") == 0))
+             .withColumn("text", F.lit("corrected text")))
+    assert upd.count() == 1
+    upd.write.mode("overwrite").parquet(os.path.join(src_dir, "b1"))
+
+    stream = (spark.readStream.schema(transcripts.SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src_dir + "/*"))
+    q = incremental.encode_stream(
+        stream, out_dir, ["conv_id", "turn_idx"], n_buckets=2,
+        block_rows=256, text_cols=["text"], trigger_once=True)
+    q.awaitTermination(120)
+
+    blocks = incremental.read_stream_blocks(spark, out_dir)
+    n_batches = blocks.select("batch_id").distinct().count()
+    assert n_batches >= 2
+
+    latest = incremental.read_latest(spark, out_dir, kinds,
+                                     ["conv_id", "turn_idx"])
+    # both versions exist in the raw union; exactly one survives
+    raw = engine.decode_df(blocks, kinds)
+    key = (F.col("conv_id") == "conv-00000003") & (F.col("turn_idx") == 0)
+    assert raw.filter(key).count() == 2
+    got = latest.filter(key).collect()
+    assert len(got) == 1 and got[0].text == "corrected text"
+    assert latest.count() == df.count()
+    df.unpersist()
+
+
+def test_read_latest_with_base_snapshot(spark, tmp_path):
+    """Base snapshot blocks rank below every increment: rows only in
+    the base survive, rows re-sent on the stream take the stream
+    version."""
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "out")
+    base_dir = str(tmp_path / "base")
+    os.makedirs(src_dir)
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    df = transcripts.generate(spark, 8, seed=9).persist()
+    kinds = engine.column_kinds(df.schema)
+    engine.encode_df(df, ["conv_id", "turn_idx"], n_buckets=2,
+                     block_rows=256, text_cols=["text"]) \
+        .write.mode("overwrite").parquet(base_dir)
+
+    upd = (df.filter((F.col("conv_id") == "conv-00000001")
+                     & (F.col("turn_idx") == 0))
+             .withColumn("text", F.lit("v2")))
+    upd.write.mode("overwrite").parquet(os.path.join(src_dir, "b0"))
+    stream = (spark.readStream.schema(transcripts.SCHEMA)
+              .parquet(src_dir + "/*"))
+    q = incremental.encode_stream(
+        stream, out_dir, ["conv_id", "turn_idx"], n_buckets=2,
+        block_rows=256, text_cols=["text"], trigger_once=True)
+    q.awaitTermination(120)
+
+    latest = incremental.read_latest(
+        spark, out_dir, kinds, ["conv_id", "turn_idx"],
+        base_blocks=spark.read.parquet(base_dir))
+    assert latest.count() == df.count()
+    key = (F.col("conv_id") == "conv-00000001") & (F.col("turn_idx") == 0)
+    assert latest.filter(key).first().text == "v2"
+    # an untouched row reads back from the base, bit-identical
+    other = (F.col("conv_id") == "conv-00000002") & (F.col("turn_idx") == 0)
+    assert (latest.filter(other).first().text
+            == df.filter(other).first().text)
+    df.unpersist()
