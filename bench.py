@@ -191,6 +191,13 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "cores": args.cores,
+        # noise control on this overcommitted host (32 vCPU ~ 8-11 real
+        # cores, minute-scale load swings — BENCH/BASELINE.md probe):
+        # every per-query time is the BEST of `reps` warm runs, so a
+        # transient load spike cannot masquerade as a regression
+        "method": f"best-of-{max(1, args.reps)}-warm",
+        "reps": max(1, args.reps),
+        "encode_mode": MODE,
         **extra,
     }
     line = json.dumps(result)

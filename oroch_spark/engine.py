@@ -555,10 +555,13 @@ def _encode_column(arr: "pa.Array", kind: str, text_hint: bool,
         # columns skip stats (fill values would corrupt them) and
         # degrade to the decode path.
         lo_v, hi_v = int(ints.min()), int(ints.max())
-        if max(abs(lo_v), abs(hi_v)) < (1 << 62) // max(n, 1):
-            s_v = int(ints.sum(dtype=np.int64))
-        else:  # int64 sum could wrap: exact object-domain sum
-            s_v = int(sum(int(x) for x in ints))
+        # exact overflow-free sum, fully vectorized: split each value
+        # into (v >> 32) and (v & 0xFFFFFFFF); each partial int64 sum
+        # is safe for any block under 2^31 rows, and
+        # (hi_sum << 32) + lo_sum reassembles the true sum in Python's
+        # unbounded-int domain (two's-complement split identity)
+        s_v = ((int((ints >> 32).sum(dtype=np.int64)) << 32)
+               + int((ints & 0xFFFFFFFF).sum(dtype=np.int64)))
         d["lo"], d["hi"], d["s"] = lo_v, hi_v, s_v
     return (vblob + blob, d, width * n, desc.ref_total + len(vblob))
 

@@ -274,8 +274,10 @@ def encode_str_block(values, text_hint: bool = False
     total_bytes = int(lengths.sum())
 
     # Reference baseline: plain with lengths at the Oroch model cost.
+    # One selection serves both the budget math and the actual encode
+    # (encode_block would re-run the identical select otherwise).
     len_desc = ic.select(lengths.astype(np.int64), width=4, try_delta=True)
-    len_blob = ic.encode_block(lengths, desc=None, width=4, try_delta=True)
+    len_blob = ic.encode_block(lengths, desc=len_desc, width=4)
     plain_size = 1 + ic.varint_size_scalar(len(len_blob)) \
         + len(len_blob) + total_bytes
     ref_total = (1 + ic.varint_size_scalar(len_desc.ref_total)

@@ -63,18 +63,30 @@ def main() -> None:
         .write.mode("overwrite").parquet(bdir)
     sections.append((
         "lookup (persisted blocks: metadata prune -> key-only decode)",
-        "Zone-map filter on the numeric (key_lo, key_hi) bounds is "
-        "PushedFilters at the blocks-table scan — parquet row-group "
-        "min/max stats skip whole groups of blocks on disk; survivors "
-        "reach the mapInArrow kernel, which decodes only the key "
-        "column and fetches matched rows.",
+        "Zone-map filter on the TRUE min/max (key_lo, key_hi) bounds "
+        "is PushedFilters at the blocks-table scan — parquet row-group "
+        "stats skip whole groups of blocks on disk (string keys use "
+        "the lexicographic key_slo/key_shi pair; NULL bounds keep the "
+        "block); survivors reach the mapInArrow kernel, which decodes "
+        "only the key column and batch-fetches matched rows.",
         plan_of(engine.lookup(
             spark.read.parquet(bdir),
             engine.column_kinds(events.schema), "event_id", 777))))
 
     sections.append((
+        "range_agg (SUM/MIN/MAX/COUNT answered from block metadata)",
+        "Interior blocks read only the stats JSON column — no payload "
+        "bytes; boundary blocks decode two columns; the final agg is a "
+        "2-row-ish partial aggregate. NULL/absent stats degrade to the "
+        "decode path, never to a wrong answer.",
+        plan_of(engine.range_agg(
+            spark.read.parquet(bdir),
+            engine.column_kinds(events.schema), "event_id", 1000, 9000,
+            "user_id"))))
+
+    sections.append((
         "range_scan with projection (pruned scan -> 2-column decode)",
-        "Range predicate on (key_lo, key_hi) pushes to the blocks "
+        "Range predicate on the true-min/max (key_lo, key_hi) pushes to the blocks "
         "parquet scan; the decode kernel touches only the requested "
         "columns' payload slices (projection pushdown into the block "
         "format).",
