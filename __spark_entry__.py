@@ -189,6 +189,18 @@ def _q_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "user_id")
 
 
+def _q_scan_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary zone map: range predicate on user_id — NOT the lead
+    key — answered by pruning on the per-column (lo, hi) stats stored
+    in every block descriptor, then decoding only candidate blocks
+    (projection: event_id, user_id, value)."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    return engine.scan_where(blocks, kinds, "user_id", 3, 5,
+                             columns=["event_id", "user_id", "value"])
+
+
 def _transcripts_blocks_path(spark: SparkSession) -> str:
     """Encode+persist the 200-conversation transcript table keyed by
     (conv_id, turn_idx) once; string-keyed lookups run against it."""
@@ -423,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_scan_events": _q_range_scan,
         "range_count_events": _q_range_count,
         "range_agg_events": _q_range_agg,
+        "scan_where_events": _q_scan_where,
         "lookup_conv_transcripts": _q_lookup_conv,
         "codec_histogram": _q_codec_histogram,          # rows-only
         "compression_summary": _q_compression_summary,  # rows-only
@@ -503,6 +516,10 @@ def oracle_sql() -> dict[str, str]:
         "lookup_conv_transcripts": f"""
             SELECT * FROM read_parquet('{tpath}')
             WHERE conv_id = 'conv-00000042'
+        """,
+        "scan_where_events": """
+            SELECT event_id, user_id, value FROM events
+            WHERE user_id BETWEEN 3 AND 5
         """,
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id, text,

@@ -13,6 +13,11 @@ on multi-executor clusters):
         --src /path/to/transcripts_parquet --out /path/to/encoded
     spark-submit --py-files dist/oroch_spark.zip cli.py metrics \
         --out /path/to/encoded
+    spark-submit --py-files dist/oroch_spark.zip cli.py lookup \
+        --src ... --out ... --key conv_id --value conv-00000042
+    spark-submit --py-files dist/oroch_spark.zip cli.py range-agg \
+        --src ... --out ... --key event_id --lo 500 --hi 7500 \
+        --agg-col user_id
 
 ``encode`` is checkpointed: rerunning after an interruption resumes
 from the per-bucket manifest (shuffle/staged modes via
@@ -187,10 +192,41 @@ def cmd_lookup(args) -> None:
     src_file = args.src if args.src.endswith(".parquet") else \
         sorted(glob.glob(os.path.join(args.src, "*.parquet")))[0]
     kinds = engine.arrow_column_kinds(pq.read_schema(src_file))
-    rows = engine.lookup(blocks, kinds, args.key, args.value).collect()
+    value = _key_value(args.value, dict(kinds)[args.key])
+    rows = engine.lookup(blocks, kinds, args.key, value).collect()
     for r in rows:
         print(json.dumps(r.asDict(), default=str))
     print(json.dumps({"matches": len(rows)}))
+    if own:
+        spark.stop()
+
+
+def _key_value(raw: str, kind: str):
+    """CLI key literal: string keys stay strings, everything else is
+    the engine's int64 domain (ts = epoch-micros, date = days)."""
+    return raw if kind == "str" else int(raw)
+
+
+def cmd_range_agg(args) -> None:
+    """SUM/MIN/MAX/COUNT of --agg-col over a key range, answered from
+    block metadata for interior blocks (aggregate pushdown; boundary
+    blocks decode only the key and agg columns)."""
+    from oroch_spark import engine
+
+    spark, own = build_session(args)
+    blocks = spark.read.parquet(os.path.join(args.out, "blocks"))
+    import glob
+
+    import pyarrow.parquet as pq
+    src_file = args.src if args.src.endswith(".parquet") else \
+        sorted(glob.glob(os.path.join(args.src, "*.parquet")))[0]
+    kinds = engine.arrow_column_kinds(pq.read_schema(src_file))
+    kind = dict(kinds)[args.key]
+    lo = _key_value(args.lo, kind)
+    hi = _key_value(args.hi, kind)
+    row = engine.range_agg(blocks, kinds, args.key, lo, hi,
+                           args.agg_col).collect()[0]
+    print(json.dumps(row.asDict(), default=str))
     if own:
         spark.stop()
 
@@ -233,7 +269,19 @@ def main() -> None:
     lk.add_argument("--src", required=True,
                     help="source parquet dir (schema only)")
     lk.add_argument("--key", required=True)
-    lk.add_argument("--value", type=int, required=True)
+    lk.add_argument("--value", required=True,
+                    help="key value; int for integer-domain keys "
+                         "(ts=epoch-micros, date=days), raw string for "
+                         "string keys")
+
+    ra = sub.add_parser("range-agg")
+    common(ra)
+    ra.add_argument("--src", required=True,
+                    help="source parquet dir (schema only)")
+    ra.add_argument("--key", required=True)
+    ra.add_argument("--lo", required=True)
+    ra.add_argument("--hi", required=True)
+    ra.add_argument("--agg-col", required=True)
 
     d = sub.add_parser("decode")
     common(d)
@@ -260,6 +308,8 @@ def main() -> None:
         cmd_metrics(args)
     elif args.cmd == "lookup":
         cmd_lookup(args)
+    elif args.cmd == "range-agg":
+        cmd_range_agg(args)
 
 
 if __name__ == "__main__":

@@ -1256,8 +1256,7 @@ def range_agg(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
     if not isinstance(lo, str):
         lo, hi = int(lo), int(hi)
     ov = prune_blocks_range(blocks, lo, hi)
-    stats = F.filter(F.from_json(F.col("desc"), _STATS_JSON_SCHEMA)["cols"],
-                     lambda c: c["n"] == F.lit(agg_col))[0]
+    stats = _col_stats(agg_col)
     has_stats = (stats["lo"].isNotNull() & stats["hi"].isNotNull()
                  & stats["s"].isNotNull())
     inside = _contained_cond(ov, lo, hi) & has_stats
@@ -1277,6 +1276,61 @@ def range_agg(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
         F.sum("_s").cast("long").alias("sum_v"),
         F.min("_lo").cast("long").alias("min_v"),
         F.max("_hi").cast("long").alias("max_v")))
+
+
+def _col_stats(agg_col: str):
+    """(lo, hi, s) struct of ``agg_col`` from the desc JSON, null when
+    the column has no stored stats (nullable column / legacy block)."""
+    return F.filter(F.from_json(F.col("desc"), _STATS_JSON_SCHEMA)["cols"],
+                    lambda c: c["n"] == F.lit(agg_col))[0]
+
+
+def with_stat_columns(blocks: DataFrame, cols: list[str]) -> DataFrame:
+    """Materialize per-column (lo, hi) descriptor stats as top-level
+    columns ``<c>__lo`` / ``<c>__hi`` — call before persisting a blocks
+    table that will serve :func:`scan_where` predicates on those
+    columns. Against the persisted table the secondary zone map then
+    pushes to the parquet scan (row-group min/max stats skip whole
+    groups of blocks on disk), exactly like the lead-key bounds."""
+    for c in cols:
+        st = _col_stats(c)
+        blocks = (blocks.withColumn(f"{c}__lo", st["lo"])
+                        .withColumn(f"{c}__hi", st["hi"]))
+    return blocks
+
+
+def scan_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+               col: str, lo: int, hi: int,
+               columns: Optional[list[str]] = None) -> DataFrame:
+    """Scan with a SECONDARY zone map: filter rows by a range predicate
+    on ANY integer-domain column — not just the lead key — skipping
+    every block whose stored per-column (lo, hi) stats prove no row can
+    match. The reference can only prune on the container's sort key
+    (`integer_array.h:71-136`); this engine stores min/max for every
+    non-nullable integer-domain column in the block descriptor, so a
+    predicate on e.g. ``user_id`` over an ``event_id``-keyed table
+    still decodes only candidate blocks. Blocks without stats (nullable
+    column, legacy table) are kept — pruning never drops a correct row.
+    The stats filter runs JVM-side on the small ``desc`` column before
+    any payload reaches the Python decode kernel."""
+    lo, hi = int(lo), int(hi)
+    if f"{col}__lo" in blocks.columns:  # materialized: parquet-pushable
+        slo, shi = F.col(f"{col}__lo"), F.col(f"{col}__hi")
+    else:  # JVM-side filter on the small desc column
+        st = _col_stats(col)
+        slo, shi = st["lo"], st["hi"]
+    keep = (slo.isNull() | shi.isNull()
+            | ((slo <= hi) & (shi >= lo)))
+    decode_cols = columns
+    if columns is not None and col not in columns:
+        decode_cols = [col] + columns
+    dec = decode_df(blocks.filter(keep), schema_kinds,
+                    columns=decode_cols)
+    dec = dec.filter((F.col(col) >= _key_lit(schema_kinds, col, lo))
+                     & (F.col(col) <= _key_lit(schema_kinds, col, hi)))
+    if columns is not None and col not in columns:
+        dec = dec.select(*columns)
+    return dec
 
 
 _FETCH_WIDTHS = {K_I32: 4, K_I64: 8, K_TS: 8, K_DATE: 4, K_BOOL: 1,

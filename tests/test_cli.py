@@ -79,3 +79,37 @@ def test_maponly_resume_skips_done_files(spark, src_dir, tmp_path,
     assert lines[0]["resumed"] is True
     assert lines[0]["encoded_files"] == 0
     assert lines[0]["skipped_files"] == 4
+
+
+def test_cli_lookup_string_key_and_range_agg(spark, src_dir, tmp_path,
+                                             capsys):
+    out = str(tmp_path / "enc2")
+    cli.cmd_encode(_ns(spark, src=src_dir, out=out,
+                       keys="conv_id,turn_idx",
+                       text_cols="text", mode="maponly", buckets=8,
+                       block_rows=512, buckets_per_stage=None,
+                       snapshot_id=None))
+    capsys.readouterr()
+
+    # string-keyed lookup straight from the CLI surface
+    cli.cmd_lookup(_ns(spark, src=src_dir, out=out, key="conv_id",
+                       value="conv-00000007"))
+    lines = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(lines[-1])
+    src = spark.read.parquet(src_dir)
+    from pyspark.sql import functions as F
+    exp = src.filter(F.col("conv_id") == "conv-00000007").count()
+    assert summary["matches"] == exp > 0
+
+    # range-agg over turn_idx with SUM of turn_idx itself
+    cli.cmd_range_agg(_ns(spark, src=src_dir, out=out, key="conv_id",
+                          lo="conv-00000000", hi="conv-00000009",
+                          agg_col="turn_idx"))
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    exp_row = (src.filter(F.col("conv_id") <= "conv-00000009")
+                  .agg(F.count("*").alias("c"),
+                       F.sum("turn_idx").alias("s"),
+                       F.min("turn_idx").alias("lo"),
+                       F.max("turn_idx").alias("hi")).collect()[0])
+    assert (row["n_rows"], row["sum_v"], row["min_v"], row["max_v"]) \
+        == (exp_row.c, exp_row.s, exp_row.lo, exp_row.hi)

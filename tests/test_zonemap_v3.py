@@ -198,3 +198,50 @@ def test_fetch_many_64bit_width_edge():
     idxs = np.arange(len(vals))
     np.testing.assert_array_equal(
         ic.fetch_many(blob, idxs, len(vals), width=8), vals)
+
+
+def test_scan_where_secondary_zone_map(spark):
+    """Range predicate on a NON-key column answered via the per-column
+    (lo, hi) descriptor stats: same rows as a plain source filter, and
+    at least one block provably pruned on this data layout."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    kinds = engine.column_kinds(src.schema)
+    # key = ts, predicate on event_id: within a bucket the blocks are
+    # ts-ordered and event_id correlates with ts, so stats prune
+    blocks = engine.encode_df(src, ["ts"], n_buckets=1,
+                              block_rows=128).cache()
+    got = engine.scan_where(blocks, kinds, "event_id", 100, 160)
+    exp = src.filter((F.col("event_id") >= 100)
+                     & (F.col("event_id") <= 160))
+    assert sorted(r.event_id for r in got.collect()) \
+        == sorted(r.event_id for r in exp.collect())
+    st = engine._col_stats("event_id")
+    keep = (st["lo"].isNull() | st["hi"].isNull()
+            | ((st["lo"] <= 160) & (st["hi"] >= 100)))
+    assert blocks.filter(keep).count() < blocks.count()
+    # projection path
+    got2 = engine.scan_where(blocks, kinds, "event_id", 100, 160,
+                             columns=["value"])
+    assert got2.columns == ["value"]
+    assert got2.count() == exp.count()
+    blocks.unpersist()
+
+
+def test_scan_where_materialized_stats_pushdown(spark, tmp_path):
+    """with_stat_columns persists (lo, hi) as real columns; against the
+    stored table the secondary zone map is a parquet PushedFilter and
+    the results still match the source."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.with_stat_columns(
+        engine.encode_df(src, ["ts"], n_buckets=1, block_rows=128),
+        ["event_id"])
+    bp = str(tmp_path / "blocks")
+    blocks.write.parquet(bp)
+    stored = spark.read.parquet(bp)
+    got = engine.scan_where(stored, kinds, "event_id", 100, 160)
+    exp = src.filter((F.col("event_id") >= 100)
+                     & (F.col("event_id") <= 160))
+    assert got.count() == exp.count() > 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "event_id__lo" in plan
