@@ -328,6 +328,20 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_row(approx, exact, 10, 9)
 
 
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ (product quantization) top-k: corpus compressed to 8-byte
+    codes (32x vs float32), ADC lookup-table scoring over the codes,
+    exact rescoring of the 150-row shortlist. Recall-asserted against
+    the exact scan (gaussian test embeddings are PQ's distortion worst
+    case — clustered real corpora use far smaller shortlists)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = _query_vec(sf_dir)
+    approx = similarity.ann_topk_pq(emb, qv, k=10, ksub=64,
+                                    shortlist=150)
+    exact = similarity.cosine_topk(emb, qv, k=10, round_to=6)
+    return _recall_row(approx, exact, 10, 9)
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH -> exact-Jaccard verification. Oracle = exhaustive
     all-pairs Jaccard >= threshold in SQL: the query matches iff the
@@ -447,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_topk": _q_ann_pq,
         "minhash_dup_pairs": _q_minhash_pairs,
         "simhash_documents": _q_simhash,
         "fingerprint_documents": _q_fingerprint,
@@ -688,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
             for j in range(8))),
         "ann_lsh_topk": "SELECT 10 AS k, TRUE AS recall_ok",
         "ann_ivf_topk": "SELECT 10 AS k, TRUE AS recall_ok",
+        "ann_pq_topk": "SELECT 10 AS k, TRUE AS recall_ok",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings
                        WHERE vec_id = 0),
