@@ -130,11 +130,11 @@ def _events_blocks_path(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(tempfile.gettempdir(),
-                        f"oroch_blocks_events_v3_{tag}")
+                        f"oroch_blocks_events_v4_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         src = _read(spark, sf_dir, "events")
         engine.encode_df(src, ["event_id"], n_buckets=8,
-                         block_rows=4096) \
+                         block_rows=4096, bloom_cols=["props"]) \
             .write.mode("overwrite").parquet(path)
     return path
 
@@ -146,6 +146,19 @@ def _q_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     kinds = engine.column_kinds(src.schema)
     blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
     return engine.lookup(blocks, kinds, "event_id", 4242)
+
+
+def _q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a NON-key high-cardinality column (props) via
+    the per-block Bloom filter stored in the descriptor: blocks whose
+    filter proves the value absent are skipped JVM-side before any
+    payload decode. Zone maps can't prune this shape (props is
+    uncorrelated with the event_id block order, so every block's
+    [lo, hi] spans the domain)."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    return engine.lookup_where(blocks, kinds, "props", '{"k": 42}')
 
 
 def _q_rt_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_transcripts": _q_rt_transcripts,            # rows-only
         # container/access ops (SURVEY.md §2.5)
         "pruned_lookup_events": _q_pruned_lookup,
+        "bloom_lookup_events": _q_bloom_lookup,
         "rt_projection_events": _q_rt_projection,
         "range_scan_events": _q_range_scan,
         "range_count_events": _q_range_count,
@@ -514,6 +528,8 @@ def oracle_sql() -> dict[str, str]:
         "recompact_nation": "SELECT * FROM nation",
         "pruned_lookup_events":
             "SELECT * FROM events WHERE event_id = 4242",
+        "bloom_lookup_events":
+            "SELECT * FROM events WHERE props = '{\"k\": 42}'",
         "rt_projection_events": "SELECT event_id, value FROM events",
         "range_scan_events":
             "SELECT * FROM events WHERE event_id BETWEEN 1000 AND 1100",

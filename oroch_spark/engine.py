@@ -29,6 +29,7 @@ Scale design (the 10^12-turn story):
 """
 from __future__ import annotations
 
+import base64
 import json
 import os
 import time
@@ -666,8 +667,95 @@ def _lead_bounds(lead: "pa.Array"):
     return None, None, None, None
 
 
+# --- per-block Bloom filters ----------------------------------------------
+# Zone maps (key_lo/key_hi, per-column lo/hi stats) prune range
+# predicates but are useless for point lookups on a high-cardinality
+# column UNCORRELATED with the block order (every block's [lo, hi]
+# spans the whole domain). A small per-block Bloom filter answers
+# "value definitely not in this block" for exactly that shape. The
+# filter is stored base64 in the block descriptor ("bm" per column)
+# and probed JVM-side (substring/conv/getbit expressions over the
+# small desc column) — no payload bytes and no Python before the
+# surviving blocks decode. False positives only cost a wasted decode;
+# false negatives cannot happen (every value, nulls filled, is hashed).
+
+_BLOOM_K = 6          # probes per value
+_BLOOM_MIN_BYTES = 128    # 1 Kib
+_BLOOM_MAX_BYTES = 65536  # 512 Kib; ~8 bits/row at 64k-row blocks
+
+
+def _mix64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized splitmix64 finalizer (public-domain constants) — the
+    independent second hash for Kirsch-Mitzenmacher double hashing."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _bloom_hash_vals(arr_or_value, kind: str) -> "np.ndarray":
+    """Deterministic uint64 hash of values in the canonical domain:
+    int-domain kinds hash their int64 codec representation (ts =
+    epoch-micros, date = days, bool = 0/1; nulls fill 0 — extra bits
+    only, never a false negative), strings hash their text (nulls
+    fill ""). Both sides of the filter — block build (Arrow array) and
+    probe (single value) — go through this one function, so the probe
+    positions always match the built bits."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pandas.util import hash_array
+
+    if isinstance(arr_or_value, (pa.Array, pa.ChunkedArray)):
+        arr = arr_or_value
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if kind == K_STR:
+            vals = pc.fill_null(arr, "").to_numpy(zero_copy_only=False)
+        else:
+            t = arr.type
+            if pa.types.is_timestamp(t):
+                arr = arr.cast(pa.timestamp("us", tz=t.tz)) \
+                         .cast(pa.int64())
+            elif pa.types.is_date32(t):
+                arr = arr.cast(pa.int32())
+            elif pa.types.is_boolean(t):
+                arr = arr.cast(pa.int8())
+            if not pa.types.is_integer(arr.type):
+                raise ValueError(
+                    f"bloom filters support string/integer-domain "
+                    f"columns only, not kind {kind!r}")
+            vals = pc.fill_null(arr, 0).to_numpy(zero_copy_only=False) \
+                     .astype(np.int64, copy=False)
+    elif kind == K_STR:
+        vals = np.array([arr_or_value], dtype=object)
+    else:
+        vals = np.array([int(arr_or_value)], dtype=np.int64)
+    return hash_array(vals)  # pandas' fixed default key: deterministic
+
+
+def _bloom_build(arr, kind: str) -> bytes:
+    """Blocked Bloom filter bytes for one column of one block: size is
+    the power of two nearest 8 bits/row (clamped), so the JVM probe's
+    signed pmod trick is exact (2^64 == 0 mod m for power-of-two m)."""
+    n = len(arr)
+    m_bytes = 1 << min(max((max(n, 1) - 1).bit_length(),
+                           _BLOOM_MIN_BYTES.bit_length() - 1),
+                       _BLOOM_MAX_BYTES.bit_length() - 1)
+    m_bits = np.uint64(m_bytes * 8)
+    h1 = _bloom_hash_vals(arr, kind)
+    h2 = _mix64(h1)
+    bloom = np.zeros(m_bytes, dtype=np.uint8)
+    for i in range(_BLOOM_K):
+        pos = ((h1 + np.uint64(i) * h2) % m_bits).astype(np.int64)
+        np.bitwise_or.at(bloom, pos >> 3,
+                         np.left_shift(np.uint8(1),
+                                       (pos & 7).astype(np.uint8)))
+    return bloom.tobytes()
+
+
 def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
-                  kinds, key_cols, text_cols) -> dict:
+                  kinds, key_cols, text_cols,
+                  bloom_cols: frozenset = frozenset()) -> dict:
     t0 = time.time()
     n = table.num_rows
     pieces = []
@@ -681,6 +769,9 @@ def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
         d["o"] = sum(len(p) for p in pieces)
         d["l"] = len(blob)
         d["n"] = name
+        if name in bloom_cols:
+            d["bm"] = base64.b64encode(_bloom_build(table.column(name),
+                                                    kind)).decode("ascii")
         pieces.append(blob)
         desc_cols.append(d)
         bytes_in += b_in
@@ -705,7 +796,8 @@ def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
 
 
 def make_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
-                   block_rows: int, text_cols: frozenset[str]):
+                   block_rows: int, text_cols: frozenset[str],
+                   bloom_cols: frozenset = frozenset()):
     """Streaming mapInArrow encode kernel.
 
     Input partitions are hash-distributed by ``_bucket`` and sorted by
@@ -731,7 +823,8 @@ def make_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
                 return
             table = pa.Table.from_batches(buf)
             out_rows.append(_encode_chunk(table, cur_bucket, block_idx,
-                                          kinds, key_cols, text_cols))
+                                          kinds, key_cols, text_cols,
+                                          bloom_cols))
             block_idx += 1
             buf = []
             buffered = 0
@@ -837,7 +930,8 @@ def with_bucket(df: DataFrame, conv_col: str, order_col: Optional[str],
 def encode_df(df: DataFrame, key_cols: list[str], n_buckets: int = 32,
               block_rows: int = 65536, chunk_rows: int = 8192,
               text_cols: Optional[list[str]] = None,
-              bucket_filter: Optional[list[int]] = None) -> DataFrame:
+              bucket_filter: Optional[list[int]] = None,
+              bloom_cols: Optional[list[str]] = None) -> DataFrame:
     """Encode a DataFrame into the blocks table. Lazy — returns the
     blocks DataFrame; callers write/aggregate it."""
     kinds = column_kinds(df.schema)
@@ -847,7 +941,8 @@ def encode_df(df: DataFrame, key_cols: list[str], n_buckets: int = 32,
     df = with_bucket(df, conv_col, order_col, n_buckets, chunk_rows)
     if bucket_filter is not None:
         df = df.filter(F.col("_bucket").isin([int(b) for b in bucket_filter]))
-    fn = make_encode_fn(kinds, key_cols, block_rows, text_cols)
+    fn = make_encode_fn(kinds, key_cols, block_rows, text_cols,
+                        frozenset(bloom_cols or []))
     # One shuffle (repartition by bucket) + in-partition sort; the encode
     # kernel then streams Arrow batches with O(block_rows) memory.
     df = (df.repartition(n_buckets, F.col("_bucket"))
@@ -857,7 +952,8 @@ def encode_df(df: DataFrame, key_cols: list[str], n_buckets: int = 32,
 
 def make_file_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
                         block_rows: int, text_cols: frozenset[str],
-                        arrow_batch_rows: int = 16384):
+                        arrow_batch_rows: int = 16384,
+                        bloom_cols: frozenset = frozenset()):
     """Encode kernel that PULLS its input: each task row names a staged
     parquet file (one bucket) which the worker reads directly via
     pyarrow's C++ reader. The bulk bytes never cross the JVM<->Python
@@ -866,7 +962,8 @@ def make_file_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
     real cluster this is still the cheaper path: arrow IPC
     serialization is skipped and the columnar decode happens where the
     data is consumed.)"""
-    inner = make_encode_fn(kinds, key_cols, block_rows, text_cols)
+    inner = make_encode_fn(kinds, key_cols, block_rows, text_cols,
+                           bloom_cols)
 
     def encode_files(batches) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
@@ -940,7 +1037,9 @@ def encode_parquet_maponly(spark, source: str, key_cols: list[str],
                            block_rows: int = 65536,
                            text_cols: Optional[list[str]] = None,
                            file_filter=None,
-                           tasks: Optional[int] = None) -> DataFrame:
+                           tasks: Optional[int] = None,
+                           bloom_cols: Optional[list[str]] = None
+                           ) -> DataFrame:
     """Shuffle-free (map-only) encode for conv-clustered input.
 
     An Iceberg transcript table is normally written clustered by
@@ -996,7 +1095,8 @@ def encode_parquet_maponly(spark, source: str, key_cols: list[str],
         spark.sparkContext.parallelize(rows, tasks),
         "path string, bucket int")
     fn = make_file_encode_fn(kinds, key_cols, block_rows,
-                             frozenset(text_cols or []))
+                             frozenset(text_cols or []),
+                             bloom_cols=frozenset(bloom_cols or []))
     return fdf.mapInArrow(fn, schema=BLOCK_SCHEMA)
 
 
@@ -1237,6 +1337,7 @@ _STATS_JSON_SCHEMA = T.StructType([T.StructField("cols", T.ArrayType(
         T.StructField("lo", T.LongType()),
         T.StructField("hi", T.LongType()),
         T.StructField("s", T.LongType()),
+        T.StructField("bm", T.StringType()),  # base64 Bloom bytes
     ])))])
 
 
@@ -1328,6 +1429,73 @@ def scan_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
                     columns=decode_cols)
     dec = dec.filter((F.col(col) >= _key_lit(schema_kinds, col, lo))
                      & (F.col(col) <= _key_lit(schema_kinds, col, hi)))
+    if columns is not None and col not in columns:
+        dec = dec.select(*columns)
+    return dec
+
+
+def bloom_keep_cond(col: str, value, kind: str):
+    """JVM predicate: keep a block unless its stored Bloom filter for
+    ``col`` PROVES ``value`` absent. The k probe hashes are computed
+    once on the driver (same `_bloom_hash_vals` path as the build);
+    each probe is pmod into the block's own filter size — exact for
+    the power-of-two sizes `_bloom_build` emits, because the int64
+    wrap (2^64) is 0 mod m — then a byte extract + bit test on the
+    unbase64'd filter. Pure JVM expressions over the small desc
+    column: no payload bytes move, no Python runs, blocks without a
+    filter (legacy / not a bloom_col) are kept."""
+    h1 = int(_bloom_hash_vals(value, kind)[0])
+    h2 = int(_mix64(np.array([h1], dtype=np.uint64))[0])
+    bm = _col_stats(col)["bm"]
+    bloom = F.unbase64(bm)
+    m_bits = (F.length(bloom) * F.lit(8)).cast("long")
+    hit = None
+    for i in range(_BLOOM_K):
+        full = (h1 + i * h2) % (1 << 64)
+        signed = full - (1 << 64) if full >= (1 << 63) else full
+        pos = F.pmod(F.lit(signed), m_bits)
+        byte_v = F.conv(
+            F.hex(F.substring(bloom,
+                              (F.shiftright(pos, 3) + F.lit(1)).cast("int"),
+                              F.lit(1))), 16, 10).cast("int")
+        bit = pos.bitwiseAND(F.lit(7)).cast("int")
+        c = F.getbit(byte_v.cast("long"), bit) == F.lit(1)
+        hit = c if hit is None else hit & c
+    return bm.isNull() | hit
+
+
+def lookup_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+                 col: str, value,
+                 columns: Optional[list[str]] = None) -> DataFrame:
+    """Point lookup on ANY column — not just the lead key — pruned by
+    the per-block Bloom filter (:func:`bloom_keep_cond`) plus, for
+    integer-domain columns, the per-column (lo, hi) zone stats. This
+    is the missing third leg of the pruning stack: zone maps handle
+    the sorted lead key (:func:`lookup`) and correlated secondary
+    ranges (:func:`scan_where`); Blooms handle equality on
+    high-cardinality columns uncorrelated with block order, where
+    every block's [lo, hi] spans the domain and zone maps prune
+    nothing. Surviving blocks decode only the probe + requested
+    columns. ~2% false-positive decodes at the default sizing; never
+    a false negative."""
+    kind = dict(schema_kinds)[col]
+    if kind not in (K_STR, K_I8, K_I16, K_I32, K_I64, K_TS, K_DATE,
+                    K_BOOL):
+        raise ValueError(f"lookup_where: column {col!r} kind {kind!r} "
+                         "has no equality-probe domain (use a "
+                         "string/integer-domain column)")
+    keep = bloom_keep_cond(col, value, kind)
+    if kind != K_STR:
+        st = _col_stats(col)
+        v = int(value)
+        keep = keep & (st["lo"].isNull()
+                       | ((st["lo"] <= v) & (st["hi"] >= v)))
+    decode_cols = columns
+    if columns is not None and col not in columns:
+        decode_cols = [col] + columns
+    dec = decode_df(blocks.filter(keep), schema_kinds,
+                    columns=decode_cols)
+    dec = dec.filter(F.col(col) == _key_lit(schema_kinds, col, value))
     if columns is not None and col not in columns:
         dec = dec.select(*columns)
     return dec
