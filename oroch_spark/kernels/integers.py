@@ -316,15 +316,18 @@ def select(vals: np.ndarray, width: int = 8, try_delta: bool = False) -> IntDesc
 
     # One pass each for the two value transforms + their bit-length
     # histograms; every varint/bitpfr cost below derives from these.
+    # bit_length runs ONCE per transform; the bitpfr sweep reuses
+    # bl_for for its outlier masks instead of re-shifting the data.
     u_zig = zigzag_encode(vals)
     u_for = vals.view(U64) - U64(vmin & 0xFFFFFFFFFFFFFFFF)
+    bl_for = bit_length(u_for)
     hist_zig = np.bincount(bit_length(u_zig), minlength=65)
-    hist_for = np.bincount(bit_length(u_for), minlength=65)
+    hist_for = np.bincount(bl_for, minlength=65)
     _select_basic(desc, vals, u_zig, vmin, vmax, n, width,
                   hist_zig, hist_for)
 
     if n >= 5:  # small-input cutoff (`integer_codec.h:271-272`)
-        _select_bitpfr(desc, u_for, hist_for, vmin, vmax, n)
+        _select_bitpfr(desc, u_for, hist_for, vmin, vmax, n, bl_for)
 
     if try_delta:
         _try_delta(desc, vals, width)
@@ -333,10 +336,13 @@ def select(vals: np.ndarray, width: int = 8, try_delta: bool = False) -> IntDesc
 
 
 def _select_bitpfr(desc: IntDescriptor, u: np.ndarray, hist: np.ndarray,
-                   vmin: int, vmax: int, n: int) -> None:
+                   vmin: int, vmax: int, n: int,
+                   bl: np.ndarray) -> None:
     """The patched-bit-packing histogram sweep (`integer_codec.h:275-383`).
     ``u`` is the FOR-transformed array, ``hist`` its bit-length
-    histogram (computed once in :func:`select`)."""
+    histogram and ``bl`` the per-value bit lengths (both computed once
+    in :func:`select` — the sweep's exact passes derive outlier masks
+    from ``bl`` instead of re-shifting the data)."""
     basic_metaspace = 1 + varint_size_scalar(zigzag_encode_scalar(vmin))
     nbits_max = (vmax - vmin).bit_length()
 
@@ -361,8 +367,11 @@ def _select_bitpfr(desc: IntDescriptor, u: np.ndarray, hist: np.ndarray,
         else:
             value_codec, value_dataspace = VARINT, valvar
 
-        # Early skip via index lower bound (`integer_codec.h:325-335`).
-        indmin = min(ref_bitpck_space(noutliers, 1), n)
+        # Early skip via index lower bound (`integer_codec.h:325-335`):
+        # packed indices need >= 1 bit each, varint gaps >= 1 byte each
+        # — both true lower bounds, so skipping on their min never
+        # skips a winning candidate.
+        indmin = min(ref_bitpck_space(noutliers, 1), max(noutliers, 1))
         selected = desc.ref_data + desc.ref_meta
         estimate = (basic_metaspace + extra_metaspace + basic_dataspace
                     + value_dataspace + indmin)
@@ -371,14 +380,14 @@ def _select_bitpfr(desc: IntDescriptor, u: np.ndarray, hist: np.ndarray,
 
         # Exact outlier-index costs (`integer_codec.h:337-363`): indices are
         # delta-1 gaps (offset_codec<size_t,1>, `oroch/bitpfr.h:75-83`).
-        outmask = (u >> U64(nbits)) != 0
-        oidx = np.flatnonzero(outmask).astype(U64)
+        oidx = np.flatnonzero(bl > nbits).astype(U64)
         if len(oidx):
             gaps = np.empty(len(oidx), dtype=U64)
             gaps[0] = oidx[0]
             gaps[1:] = oidx[1:] - oidx[:-1] - U64(1)
-            indnbits = max(1, int(bit_length(gaps).max()))
-            indvar = int(varint_size(gaps).sum())
+            blg = bit_length(gaps)
+            indnbits = max(1, int(blg.max()))
+            indvar = int(np.maximum((blg + 6) // 7, 1).sum())
         else:
             indnbits, indvar = 1, 0
         indpck = ref_bitpck_space(noutliers, indnbits)
@@ -418,6 +427,38 @@ def _delta_transform(vals: np.ndarray, width: int) -> np.ndarray:
     return deltas
 
 
+def _delta_lower_bound(hist: np.ndarray, n: int) -> int:
+    """TRUE lower bound on the inner selection's ref_total for a delta
+    array with zigzag bit-length histogram ``hist`` — every term
+    under-estimates its codec, so a skip decision based on this bound
+    never changes which codec the full computation would pick:
+
+    - varint: exact from the histogram;
+    - bitpck: exact data bytes at the max bit length;
+    - bitfor: max |delta| >= 2^(maxbits-2), so range bits >= maxbits-2;
+    - bitpfr: per split point, exact basic bytes + >= 1 bit (packed) or
+      >= 1 byte (varint) per outlier value and index, zero metadata;
+    - naught/constant: 0 (the caller proceeds when the bound is tiny).
+    """
+    nz = np.flatnonzero(hist)
+    maxbits = int(nz[-1]) if len(nz) else 0
+    if maxbits <= 2:
+        # tiny/constant deltas: the inner selection is exactly where
+        # delta wins (naught/1-2-bit pack) — never gate it
+        return 0
+    lb = min(_varint_total_from_hist(hist),
+             ref_bitpck_space(n, maxbits),
+             ref_bitpck_space(n, maxbits - 2))
+    nout = n - int(hist[0])
+    for nbits in range(1, maxbits):
+        cnt = int(hist[nbits])
+        if cnt:
+            nout -= cnt
+        per_out = 2 * min(ref_bitpck_space(nout, 1), max(nout, 1))
+        lb = min(lb, ref_bitpck_space(n, nbits) + per_out)
+    return lb
+
+
 def _try_delta(desc: IntDescriptor, vals: np.ndarray, width: int) -> None:
     """Extension: try (first value + inner selection on consecutive deltas).
 
@@ -426,15 +467,24 @@ def _try_delta(desc: IntDescriptor, vals: np.ndarray, width: int) -> None:
     turn_idx) that the reference's selector cannot exploit.
 
     Cost compared at reference-model sizes so selection stays deterministic:
-    delta ref cost = varint(zigzag(first)) + inner.ref_total.
+    delta ref cost = varint(zigzag(first)) + inner.ref_total. A cheap
+    histogram lower bound gates the full inner selection: when even the
+    bound cannot beat the already-selected codec (the common case for
+    non-monotone data like word-dictionary ids), the sweep is skipped —
+    the selected codec is bit-identical either way.
     """
     n = len(vals)
     if n < 5:
         return
     deltas = _delta_transform(vals, width)
-    inner = select(deltas, width=width, try_delta=False)
     first = int(vals[0])
-    meta = varint_size_scalar(zigzag_encode_scalar(first))
+    meta_lb = varint_size_scalar(zigzag_encode_scalar(first))
+    hist = np.bincount(bit_length(zigzag_encode(deltas)), minlength=65)
+    if meta_lb + _delta_lower_bound(hist, n - 1) >= \
+            desc.ref_meta + desc.ref_data:
+        return
+    inner = select(deltas, width=width, try_delta=False)
+    meta = meta_lb
     total = meta + inner.ref_total
     if total < desc.ref_meta + desc.ref_data:
         desc.codec = DELTA

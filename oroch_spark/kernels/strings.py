@@ -154,7 +154,10 @@ def _read_sized(buf: bytes, pos: int) -> tuple[bytes, int]:
 
 
 def _int_blob(vals: np.ndarray, width: int = 4) -> bytes:
-    return ic.encode_block(vals.astype(np.int64), width=width, try_delta=True)
+    # asarray, not astype: the callers already hold int64 arrays and
+    # astype would copy megabytes per block for nothing
+    return ic.encode_block(np.asarray(vals, dtype=np.int64), width=width,
+                           try_delta=True)
 
 
 # ---------------------------------------------------------------------------

@@ -254,3 +254,37 @@ class TestFetch:
                 for i in [0, 1, len(a) // 2, len(a) - 1]:
                     assert ic.fetch(blob, i, len(a)) == dec[i], \
                         (ic.describe_block(blob, len(a)).codec_name, i)
+
+
+def test_delta_gate_never_changes_selection():
+    """The histogram lower-bound gate in _try_delta may only SKIP work,
+    never change which codec full computation would pick."""
+    import numpy as np
+    from oroch_spark.kernels import integers as ic
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for n in (5, 100, 3000):
+        cases += [
+            rng.integers(-1000, 1000, n),
+            rng.integers(0, 2**40, n),
+            np.cumsum(rng.integers(0, 5, n)),
+            np.tile(np.arange(50), n // 50 + 1)[:n],     # sawtooth
+            np.sort(rng.integers(0, 2**30, n)),
+            np.full(n, 42) + (rng.random(n) < 0.01) * 10**9,
+            rng.integers(0, 30000, n),                   # dict-id-like
+        ]
+    orig = ic._delta_lower_bound
+    fields = ("codec", "origin", "nbits", "noutliers",
+              "ref_meta", "ref_data")
+    try:
+        for c in cases:
+            vals = np.asarray(c, dtype=np.int64)
+            d1 = ic.select(vals, width=8, try_delta=True)
+            ic._delta_lower_bound = lambda h, n: 0   # force full path
+            d2 = ic.select(vals, width=8, try_delta=True)
+            ic._delta_lower_bound = orig
+            assert tuple(getattr(d1, f) for f in fields) \
+                == tuple(getattr(d2, f) for f in fields)
+    finally:
+        ic._delta_lower_bound = orig
