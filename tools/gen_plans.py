@@ -59,7 +59,8 @@ def main() -> None:
 
     import tempfile
     bdir = os.path.join(tempfile.gettempdir(), "oroch_plans_blocks")
-    engine.encode_df(events, ["event_id"], n_buckets=4) \
+    engine.encode_df(events, ["event_id"], n_buckets=4,
+                     bloom_cols=["props"]) \
         .write.mode("overwrite").parquet(bdir)
     sections.append((
         "lookup (persisted blocks: metadata prune -> key-only decode)",
@@ -94,6 +95,38 @@ def main() -> None:
             spark.read.parquet(bdir),
             engine.column_kinds(events.schema), "event_id", 1000, 1100,
             columns=["user_id", "value"]))))
+
+    sections.append((
+        "scan_where (secondary zone map on a NON-key column)",
+        "Range predicate on user_id — not the lead key — prunes via "
+        "the per-column (lo, hi) stats in the desc JSON, JVM-side "
+        "before any payload reaches the Python decode kernel; with "
+        "with_stat_columns-materialized bounds the predicate becomes "
+        "a parquet PushedFilter.",
+        plan_of(engine.scan_where(
+            spark.read.parquet(bdir),
+            engine.column_kinds(events.schema), "user_id", 3, 5,
+            columns=["event_id", "user_id"]))))
+
+    sections.append((
+        "lookup_where (per-block Bloom filter probe)",
+        "Equality on a high-cardinality column UNCORRELATED with block "
+        "order: the k Bloom probes are pure JVM expressions "
+        "(unbase64/substring/getbit) over the small desc column — "
+        "blocks whose filter proves the value absent never decode; "
+        "null/missing filters keep the block.",
+        plan_of(engine.lookup_where(
+            spark.read.parquet(bdir),
+            engine.column_kinds(events.schema), "props", '{"k": 42}'))))
+
+    sections.append((
+        "pq_adc_scores (ANN scoring over 8-byte PQ codes)",
+        "One narrow ArrowEvalPython stage over the code column only — "
+        "the corpus float vectors are never read; lookup tables ship "
+        "in the UDF closure (m x ksub doubles).",
+        (lambda books: plan_of(similarity.pq_adc_scores(
+            similarity.pq_encode(emb, books), books, qv)))(
+            similarity.pq_train(emb, m=8, ksub=32))))
 
     sections.append((
         "ivf_assign (pandas-UDF centroid assignment)",
