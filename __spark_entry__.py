@@ -130,7 +130,7 @@ def _events_blocks_path(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(tempfile.gettempdir(),
-                        f"oroch_blocks_events_v4_{tag}")
+                        f"oroch_blocks_events_v5_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         src = _read(spark, sf_dir, "events")
         engine.encode_df(src, ["event_id"], n_buckets=8,
@@ -212,6 +212,17 @@ def _q_scan_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
     return engine.scan_where(blocks, kinds, "user_id", 3, 5,
                              columns=["event_id", "user_id", "value"])
+
+
+def _q_scan_where_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary zone map on a STRING column: lexicographic per-column
+    (slo, shi) descriptor stats prune a range predicate on event_type
+    over the event_id-keyed table."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    return engine.scan_where(blocks, kinds, "event_type",
+                             "click", "error")
 
 
 def _transcripts_blocks_path(spark: SparkSession) -> str:
@@ -464,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_count_events": _q_range_count,
         "range_agg_events": _q_range_agg,
         "scan_where_events": _q_scan_where,
+        "scan_where_events_type": _q_scan_where_str,
         "lookup_conv_transcripts": _q_lookup_conv,
         "codec_histogram": _q_codec_histogram,          # rows-only
         "compression_summary": _q_compression_summary,  # rows-only
@@ -551,6 +563,10 @@ def oracle_sql() -> dict[str, str]:
         "scan_where_events": """
             SELECT event_id, user_id, value FROM events
             WHERE user_id BETWEEN 3 AND 5
+        """,
+        "scan_where_events_type": """
+            SELECT * FROM events
+            WHERE event_type BETWEEN 'click' AND 'error'
         """,
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id, text,

@@ -466,6 +466,16 @@ def _encode_column(arr: "pa.Array", kind: str, text_hint: bool,
         desc = {"k": kind, "c": d.codec_name}
         if nullable:
             desc["z"] = 1
+        elif n and not text_hint:
+            # lexicographic per-column zone stats (like the numeric
+            # lo/hi/s) so scan_where/lookup_where prune string
+            # predicates too; declared text (payload) columns skip —
+            # min/max of prose isn't a useful pruning domain and the
+            # strings would bloat the descriptor
+            mm = pc.min_max(arr)
+            slo, shi = mm["min"].as_py(), mm["max"].as_py()
+            if len(slo) <= 256 and len(shi) <= 256:  # keep desc small
+                desc["slo"], desc["shi"] = slo, shi
         return (vblob + blob, desc, nbytes + 4 * n,
                 d.ref_total + len(vblob))
     if kind == K_TS:
@@ -1338,6 +1348,8 @@ _STATS_JSON_SCHEMA = T.StructType([T.StructField("cols", T.ArrayType(
         T.StructField("hi", T.LongType()),
         T.StructField("s", T.LongType()),
         T.StructField("bm", T.StringType()),  # base64 Bloom bytes
+        T.StructField("slo", T.StringType()),  # lexicographic bounds
+        T.StructField("shi", T.StringType()),
     ])))])
 
 
@@ -1401,7 +1413,7 @@ def with_stat_columns(blocks: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def scan_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
-               col: str, lo: int, hi: int,
+               col: str, lo, hi,
                columns: Optional[list[str]] = None) -> DataFrame:
     """Scan with a SECONDARY zone map: filter rows by a range predicate
     on ANY integer-domain column — not just the lead key — skipping
@@ -1413,15 +1425,23 @@ def scan_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
     still decodes only candidate blocks. Blocks without stats (nullable
     column, legacy table) are kept — pruning never drops a correct row.
     The stats filter runs JVM-side on the small ``desc`` column before
-    any payload reaches the Python decode kernel."""
-    lo, hi = int(lo), int(hi)
-    if f"{col}__lo" in blocks.columns:  # materialized: parquet-pushable
-        slo, shi = F.col(f"{col}__lo"), F.col(f"{col}__hi")
-    else:  # JVM-side filter on the small desc column
+    any payload reaches the Python decode kernel.
+
+    String columns prune the same way via the lexicographic
+    (slo, shi) per-column bounds (pass string ``lo``/``hi``); declared
+    text/payload columns carry no bounds and degrade to a full scan."""
+    if isinstance(lo, str):
         st = _col_stats(col)
-        slo, shi = st["lo"], st["hi"]
-    keep = (slo.isNull() | shi.isNull()
-            | ((slo <= hi) & (shi >= lo)))
+        blo, bhi = st["slo"], st["shi"]
+    else:
+        lo, hi = int(lo), int(hi)
+        if f"{col}__lo" in blocks.columns:  # materialized: pushable
+            blo, bhi = F.col(f"{col}__lo"), F.col(f"{col}__hi")
+        else:  # JVM-side filter on the small desc column
+            st = _col_stats(col)
+            blo, bhi = st["lo"], st["hi"]
+    keep = (blo.isNull() | bhi.isNull()
+            | ((blo <= hi) & (bhi >= lo)))
     decode_cols = columns
     if columns is not None and col not in columns:
         decode_cols = [col] + columns
@@ -1485,8 +1505,11 @@ def lookup_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
                          "has no equality-probe domain (use a "
                          "string/integer-domain column)")
     keep = bloom_keep_cond(col, value, kind)
-    if kind != K_STR:
-        st = _col_stats(col)
+    st = _col_stats(col)
+    if kind == K_STR:
+        keep = keep & (st["slo"].isNull()
+                       | ((st["slo"] <= value) & (st["shi"] >= value)))
+    else:
         v = int(value)
         keep = keep & (st["lo"].isNull()
                        | ((st["lo"] <= v) & (st["hi"] >= v)))

@@ -245,3 +245,50 @@ def test_scan_where_materialized_stats_pushdown(spark, tmp_path):
     assert got.count() == exp.count() > 0
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "event_id__lo" in plan
+
+
+def test_scan_where_string_column(spark):
+    """Lexicographic per-column (slo, shi) stats prune string range
+    predicates on a NON-key column, same rows as the source filter."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["ts"], n_buckets=1,
+                              block_rows=128).cache()
+    got = engine.scan_where(blocks, kinds, "event_type",
+                            "click", "error")
+    exp = src.filter((F.col("event_type") >= "click")
+                     & (F.col("event_type") <= "error"))
+    assert sorted(r.event_id for r in got.collect()) \
+        == sorted(r.event_id for r in exp.collect())
+    assert got.count() > 0
+    # a range below every value prunes all blocks
+    st = engine._col_stats("event_type")
+    keep = (st["slo"].isNull() | st["shi"].isNull()
+            | ((st["slo"] <= "aaa") & (st["shi"] >= "a")))
+    assert blocks.filter(keep).count() == 0
+    blocks.unpersist()
+
+
+def test_lookup_where_string_stats_prune(spark):
+    """String equality probes combine Bloom + lexicographic stats; text
+    payload columns carry no stats and still answer correctly."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["ts"], n_buckets=2, block_rows=256)
+    p = src.select("event_type").first()[0]
+    got = engine.lookup_where(blocks, kinds, "event_type", p).count()
+    assert got == src.filter(F.col("event_type") == p).count() > 0
+
+
+def test_text_columns_skip_string_stats(spark):
+    """Declared text columns must NOT store slo/shi (payload, not a
+    pruning domain)."""
+    import json as _json
+    from oroch_spark import transcripts
+    df = transcripts.generate(spark, n_conv=5, seed=1)
+    blocks = engine.encode_df(df, ["conv_id", "turn_idx"], n_buckets=1,
+                              text_cols=["text"])
+    desc = _json.loads(blocks.select("desc").first()[0])
+    by = {d["n"]: d for d in desc["cols"]}
+    assert "slo" not in by["text"]
+    assert "slo" in by["role"] and by["role"]["slo"] <= by["role"]["shi"]
