@@ -427,35 +427,47 @@ def _delta_transform(vals: np.ndarray, width: int) -> np.ndarray:
     return deltas
 
 
-def _delta_lower_bound(hist: np.ndarray, n: int) -> int:
+def _delta_lower_bound(hist: np.ndarray, n: int, dmin: int,
+                       dmax: int) -> int:
     """TRUE lower bound on the inner selection's ref_total for a delta
-    array with zigzag bit-length histogram ``hist`` — every term
-    under-estimates its codec, so a skip decision based on this bound
-    never changes which codec the full computation would pick:
+    array with zigzag bit-length histogram ``hist`` and value range
+    [dmin, dmax] — every term under-estimates (or equals) its codec's
+    exact cost, so a skip decision based on this bound never changes
+    which codec the full computation would pick:
 
-    - varint: exact from the histogram;
-    - bitpck: exact data bytes at the max bit length;
-    - bitfor: max |delta| >= 2^(maxbits-2), so range bits >= maxbits-2;
-    - bitpfr: per split point, exact basic bytes + >= 1 bit (packed) or
-      >= 1 byte (varint) per outlier value and index, zero metadata;
-    - naught/constant: 0 (the caller proceeds when the bound is tiny).
+    - varint: exact data bytes from the histogram;
+    - bitpck: exact data bytes at the max zigzag bit length;
+    - bitfor: exact data bytes at the true range width;
+    - varfor: >= 1 byte per value;
+    - bitpfr: per split point, exact basic + exact outlier-value bytes
+      (both packed and varint options derive exactly from the
+      histogram — the same arithmetic `_select_bitpfr` runs), with the
+      outlier-INDEX cost replaced by its lower bound and metadata by
+      zero. This mirrors the sweep's own early-skip estimate, taken
+      over every split point;
+    - naught/constant: a single occupied histogram bin may mean
+      constant deltas — return 0 (never gate the case delta wins).
     """
     nz = np.flatnonzero(hist)
     maxbits = int(nz[-1]) if len(nz) else 0
-    if maxbits <= 2:
-        # tiny/constant deltas: the inner selection is exactly where
-        # delta wins (naught/1-2-bit pack) — never gate it
+    if maxbits <= 2 or len(nz) == 1:
         return 0
     lb = min(_varint_total_from_hist(hist),
              ref_bitpck_space(n, maxbits),
-             ref_bitpck_space(n, maxbits - 2))
+             ref_bitpck_space(n, (dmax - dmin).bit_length()),
+             n)  # varfor floor
     nout = n - int(hist[0])
     for nbits in range(1, maxbits):
         cnt = int(hist[nbits])
         if cnt:
             nout -= cnt
-        per_out = 2 * min(ref_bitpck_space(nout, 1), max(nout, 1))
-        lb = min(lb, ref_bitpck_space(n, nbits) + per_out)
+        valpck = ref_bitpck_space(nout, maxbits - nbits)
+        valvar = 0
+        for nb in range(nbits + 1, maxbits + 1):
+            valvar += varint_nbits_space(nb - nbits) * int(hist[nb])
+        indmin = min(ref_bitpck_space(nout, 1), max(nout, 1))
+        lb = min(lb, ref_bitpck_space(n, nbits)
+                 + min(valpck, valvar) + indmin)
     return lb
 
 
@@ -480,7 +492,8 @@ def _try_delta(desc: IntDescriptor, vals: np.ndarray, width: int) -> None:
     first = int(vals[0])
     meta_lb = varint_size_scalar(zigzag_encode_scalar(first))
     hist = np.bincount(bit_length(zigzag_encode(deltas)), minlength=65)
-    if meta_lb + _delta_lower_bound(hist, n - 1) >= \
+    if meta_lb + _delta_lower_bound(hist, n - 1, int(deltas.min()),
+                                    int(deltas.max())) >= \
             desc.ref_meta + desc.ref_data:
         return
     inner = select(deltas, width=width, try_delta=False)

@@ -281,7 +281,7 @@ def test_delta_gate_never_changes_selection():
         for c in cases:
             vals = np.asarray(c, dtype=np.int64)
             d1 = ic.select(vals, width=8, try_delta=True)
-            ic._delta_lower_bound = lambda h, n: 0   # force full path
+            ic._delta_lower_bound = lambda *a: 0   # force full path
             d2 = ic.select(vals, width=8, try_delta=True)
             ic._delta_lower_bound = orig
             assert tuple(getattr(d1, f) for f in fields) \
