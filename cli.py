@@ -77,6 +77,8 @@ def cmd_encode(args) -> None:
     spark, own = build_session(args)
     keys = args.keys.split(",")
     text_cols = args.text_cols.split(",") if args.text_cols else None
+    raw_bloom = getattr(args, "bloom_cols", None)
+    bloom_cols = raw_bloom.split(",") if raw_bloom else None
     snapshot_id = args.snapshot_id or snapshot_of_dir(args.src)
 
     if args.mode == "maponly":
@@ -96,7 +98,7 @@ def cmd_encode(args) -> None:
         else:
             blocks = engine.encode_parquet_maponly(
                 spark, args.src, keys, block_rows=args.block_rows,
-                text_cols=text_cols,
+                text_cols=text_cols, bloom_cols=bloom_cols,
                 file_filter=None if not done
                 else (lambda f: ordinals[f] not in done))
             blocks.persist()
@@ -113,7 +115,7 @@ def cmd_encode(args) -> None:
             blocks = engine.encode_df_staged(
                 df, keys, staging_dir=os.path.join(args.out, "_staging"),
                 n_buckets=args.buckets, block_rows=args.block_rows,
-                text_cols=text_cols)
+                text_cols=text_cols, bloom_cols=bloom_cols)
             blocks.persist()
             try:
                 (blocks.write.partitionBy("bucket").mode("overwrite")
@@ -127,7 +129,7 @@ def cmd_encode(args) -> None:
             checkpoint.encode_job(
                 spark, df, args.out, keys, snapshot_id,
                 n_buckets=args.buckets, block_rows=args.block_rows,
-                text_cols=text_cols,
+                text_cols=text_cols, bloom_cols=bloom_cols,
                 buckets_per_stage=args.buckets_per_stage)
     summary = (spark.read.parquet(os.path.join(args.out, "blocks"))
                .agg(F.sum("n").alias("rows"),
@@ -231,6 +233,43 @@ def cmd_range_agg(args) -> None:
         spark.stop()
 
 
+def cmd_scan(args) -> None:
+    """Filtered scan on ANY column (not just the lead key): --eq does a
+    point lookup pruned by the per-block Bloom filters (encode with
+    --bloom-cols) and per-column zone stats; --lo/--hi does a range
+    scan pruned by the per-column zone stats. Surviving blocks decode
+    only the probe + requested columns."""
+    from oroch_spark import engine
+
+    spark, own = build_session(args)
+    blocks = spark.read.parquet(os.path.join(args.out, "blocks"))
+    import glob
+
+    import pyarrow.parquet as pq
+    src_file = args.src if args.src.endswith(".parquet") else \
+        sorted(glob.glob(os.path.join(args.src, "*.parquet")))[0]
+    kinds = engine.arrow_column_kinds(pq.read_schema(src_file))
+    kind = dict(kinds)[args.col]
+    columns = args.columns.split(",") if args.columns else None
+    if args.eq is not None:
+        out = engine.lookup_where(blocks, kinds, args.col,
+                                  _key_value(args.eq, kind),
+                                  columns=columns)
+    else:
+        if args.lo is None or args.hi is None:
+            raise SystemExit("scan needs --eq or both --lo and --hi")
+        out = engine.scan_where(blocks, kinds, args.col,
+                                _key_value(args.lo, kind),
+                                _key_value(args.hi, kind),
+                                columns=columns)
+    rows = out.limit(args.limit).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    print(json.dumps({"matches": len(rows), "limit": args.limit}))
+    if own:
+        spark.stop()
+
+
 def cmd_metrics(args) -> None:
     spark, own = build_session(args)
     m = spark.read.parquet(os.path.join(args.out, "manifest"))
@@ -263,6 +302,9 @@ def main() -> None:
     e.add_argument("--block-rows", type=int, default=65536)
     e.add_argument("--buckets-per-stage", type=int, default=None)
     e.add_argument("--snapshot-id", default=None)
+    e.add_argument("--bloom-cols", default=None,
+                   help="comma-separated non-key columns to carry a "
+                        "per-block Bloom filter for point-lookup pruning")
 
     lk = sub.add_parser("lookup")
     common(lk)
@@ -282,6 +324,19 @@ def main() -> None:
     ra.add_argument("--lo", required=True)
     ra.add_argument("--hi", required=True)
     ra.add_argument("--agg-col", required=True)
+
+    sc = sub.add_parser("scan")
+    common(sc)
+    sc.add_argument("--src", required=True,
+                    help="source parquet dir (schema only)")
+    sc.add_argument("--col", required=True)
+    sc.add_argument("--eq", default=None,
+                    help="equality probe (Bloom + zone pruned)")
+    sc.add_argument("--lo", default=None)
+    sc.add_argument("--hi", default=None)
+    sc.add_argument("--columns", default=None,
+                    help="comma-separated projection (default: all)")
+    sc.add_argument("--limit", type=int, default=100)
 
     d = sub.add_parser("decode")
     common(d)
@@ -310,6 +365,8 @@ def main() -> None:
         cmd_lookup(args)
     elif args.cmd == "range-agg":
         cmd_range_agg(args)
+    elif args.cmd == "scan":
+        cmd_scan(args)
 
 
 if __name__ == "__main__":

@@ -1114,7 +1114,8 @@ def encode_df_staged(df: DataFrame, key_cols: list[str], staging_dir: str,
                      n_buckets: int = 32, block_rows: int = 65536,
                      chunk_rows: int = 8192,
                      text_cols: Optional[list[str]] = None,
-                     bucket_filter: Optional[list[int]] = None) -> DataFrame:
+                     bucket_filter: Optional[list[int]] = None,
+                     bloom_cols: Optional[list[str]] = None) -> DataFrame:
     """Two-phase encode: (1) JVM-only shuffle+sort materialized to a
     staging parquet directory laid out ``_bucket=<k>/`` (exactly one
     sorted file per bucket — no hash-collision skew); (2) python
@@ -1155,7 +1156,8 @@ def encode_df_staged(df: DataFrame, key_cols: list[str], staging_dir: str,
     fdf = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, max(len(rows), 1)),
         "path string, bucket int")
-    fn = make_file_encode_fn(kinds, key_cols, block_rows, text_cols_f)
+    fn = make_file_encode_fn(kinds, key_cols, block_rows, text_cols_f,
+                             bloom_cols=frozenset(bloom_cols or []))
     return fdf.mapInArrow(fn, schema=BLOCK_SCHEMA)
 
 

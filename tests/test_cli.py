@@ -113,3 +113,61 @@ def test_cli_lookup_string_key_and_range_agg(spark, src_dir, tmp_path,
                        F.max("turn_idx").alias("hi")).collect()[0])
     assert (row["n_rows"], row["sum_v"], row["min_v"], row["max_v"]) \
         == (exp_row.c, exp_row.s, exp_row.lo, exp_row.hi)
+
+
+def test_cli_bloom_encode_and_scan(spark, src_dir, tmp_path, capsys):
+    """--bloom-cols threads through every encode mode, and `scan`
+    answers --eq via lookup_where (Bloom + zone pruning) and
+    --lo/--hi via scan_where (secondary zone maps)."""
+    from pyspark.sql import functions as F
+    out = str(tmp_path / "encb")
+    cli.cmd_encode(_ns(spark, src=src_dir, out=out,
+                       keys="conv_id,turn_idx",
+                       text_cols="text", mode="maponly", buckets=8,
+                       block_rows=512, buckets_per_stage=None,
+                       snapshot_id=None, bloom_cols="tool"))
+    capsys.readouterr()
+    from oroch_spark import engine
+    blocks = spark.read.parquet(os.path.join(out, "blocks"))
+    assert blocks.filter(engine._col_stats("tool")["bm"].isNotNull()) \
+        .count() == blocks.count()
+
+    src = spark.read.parquet(src_dir)
+    probe = src.select("tool").filter(F.col("tool") != "").first().tool
+    cli.cmd_scan(_ns(spark, src=src_dir, out=out, col="tool",
+                     eq=probe, lo=None, hi=None,
+                     columns="conv_id,turn_idx,tool", limit=100000))
+    summary = json.loads(capsys.readouterr().out.strip()
+                         .splitlines()[-1])
+    assert summary["matches"] \
+        == src.filter(F.col("tool") == probe).count() > 0
+
+    cli.cmd_scan(_ns(spark, src=src_dir, out=out, col="turn_idx",
+                     eq=None, lo="3", hi="5", columns=None,
+                     limit=100000))
+    summary = json.loads(capsys.readouterr().out.strip()
+                         .splitlines()[-1])
+    assert summary["matches"] \
+        == src.filter(F.col("turn_idx").between(3, 5)).count() > 0
+
+    # staged + checkpointed modes accept the flag too (plumbing check)
+    out2 = str(tmp_path / "encb2")
+    cli.cmd_encode(_ns(spark, src=src_dir, out=out2,
+                       keys="conv_id,turn_idx",
+                       text_cols="text", mode="staged", buckets=4,
+                       block_rows=512, buckets_per_stage=None,
+                       snapshot_id=None, bloom_cols="tool"))
+    capsys.readouterr()
+    b2 = spark.read.parquet(os.path.join(out2, "blocks"))
+    assert b2.filter(engine._col_stats("tool")["bm"].isNotNull()) \
+        .count() == b2.count()
+    out3 = str(tmp_path / "encb3")
+    cli.cmd_encode(_ns(spark, src=src_dir, out=out3,
+                       keys="conv_id,turn_idx",
+                       text_cols="text", mode="shuffle", buckets=4,
+                       block_rows=512, buckets_per_stage=None,
+                       snapshot_id=None, bloom_cols="tool"))
+    capsys.readouterr()
+    b3 = spark.read.parquet(os.path.join(out3, "blocks"))
+    assert b3.filter(engine._col_stats("tool")["bm"].isNotNull()) \
+        .count() == b3.count()
