@@ -31,10 +31,13 @@ def bit_length(u: np.ndarray) -> np.ndarray:
     # frexp exponent == bit_length exactly while the float64 conversion
     # is exact (u < 2^53); frexp(0) yields exponent 0 which is also
     # correct. Values >= 2^53 could round up across a power of two, so
-    # recompute those (rare) from the exact top 48 bits.
-    bl = np.frexp(u.astype(np.float64))[1].astype(I64)
-    big = u >= U64(1 << 53)
-    if big.any():
+    # recompute those (rare) from the exact top 48 bits. The float
+    # rounding only ever bumps the exponent UP, so `bl.max() <= 53`
+    # proves every value is < 2^53 and the fix-up pass can be skipped
+    # without the two extra full-array passes (compare + any).
+    bl = np.frexp(u.astype(np.float64))[1]
+    if int(bl.max(initial=0)) > 53:
+        big = u >= U64(1 << 53)
         bl[big] = np.frexp((u[big] >> U64(16)).astype(np.float64))[1] + 16
     return bl
 
@@ -75,18 +78,32 @@ def unpack_bits(buf: bytes, n: int, nbits: int) -> np.ndarray:
     if n == 0 or nbits == 0:
         return np.zeros(n, dtype=U64)
     nb = (nbits + 7) // 8
-    out_bytes = np.zeros((n, 8), dtype=np.uint8)
     raw = np.frombuffer(buf, dtype=np.uint8)
     if nbits == 8 * nb:
+        out_bytes = np.zeros((n, 8), dtype=np.uint8)
         out_bytes[:, :nb] = raw[:n * nb].reshape(n, nb)
-    else:
-        bits = np.unpackbits(raw, count=n * nbits, bitorder="little")
-        # pad each value's bit row to the byte width, repack C-side —
-        # no uint64 shift/sum expansion
-        padded = np.zeros((n, 8 * nb), dtype=np.uint8)
-        padded[:, :nbits] = bits.reshape(n, nbits)
-        out_bytes[:, :nb] = np.packbits(padded, axis=1,
-                                        bitorder="little")
+        return out_bytes.reshape(-1).view("<u8").astype(U64, copy=False)
+    if nbits <= 57:
+        # Each value's bits live inside the 8-byte little-endian window
+        # that starts at its byte offset (bit shift <= 7, so
+        # shift + nbits <= 64): gather the n windows in one fancy
+        # index, view as <u8, shift and mask. One 8n-byte gather plus
+        # two vector ops — no bit->byte expansion of the whole stream.
+        pad = np.zeros(len(raw) + 8, dtype=np.uint8)
+        pad[:len(raw)] = raw
+        bitpos = np.arange(n, dtype=np.int64) * nbits
+        win = np.lib.stride_tricks.sliding_window_view(pad, 8)
+        vals = np.ascontiguousarray(win[bitpos >> 3]).view("<u8")
+        vals = vals.reshape(n).astype(U64, copy=False)
+        shift = (bitpos & 7).view(U64)
+        return (vals >> shift) & ((U64(1) << U64(nbits)) - U64(1))
+    # wide values (58..63 bits) can straddle 9 bytes: bit->byte expand,
+    # pad each value's bit row to the byte width, repack C-side
+    bits = np.unpackbits(raw, count=n * nbits, bitorder="little")
+    padded = np.zeros((n, 8 * nb), dtype=np.uint8)
+    padded[:, :nbits] = bits.reshape(n, nbits)
+    out_bytes = np.zeros((n, 8), dtype=np.uint8)
+    out_bytes[:, :nb] = np.packbits(padded, axis=1, bitorder="little")
     return out_bytes.reshape(-1).view("<u8").astype(U64, copy=False)
 
 

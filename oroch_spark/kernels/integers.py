@@ -288,11 +288,17 @@ def _select_basic(desc: IntDescriptor, vals: np.ndarray, u_zig: np.ndarray,
     compare(VARFOR, meta_vf, vfspace, vmin, 0)
 
 
-def select(vals: np.ndarray, width: int = 8, try_delta: bool = False) -> IntDescriptor:
+def select(vals: np.ndarray, width: int = 8, try_delta: bool = False,
+           _pre: Optional[tuple] = None) -> IntDescriptor:
     """Full auto-selection (`integer_codec.h:234-384`), plus the optional
     ``delta`` extension candidate when ``try_delta`` is set.
 
     ``vals``: int64 array (signed domain; unsigned inputs must fit int64).
+    ``_pre``: internal — ``(u_zig, hist_zig, vmin, vmax)`` already
+    computed by the caller (:func:`_try_delta` derives all four for its
+    gate), so the inner selection doesn't redo those passes. Purely a
+    work-reuse handoff: the values are exactly what this function would
+    compute itself.
     """
     vals = np.ascontiguousarray(vals, dtype=I64)
     n = len(vals)
@@ -303,8 +309,11 @@ def select(vals: np.ndarray, width: int = 8, try_delta: bool = False) -> IntDesc
         desc.codec = NORMAL
         return desc
 
-    vmin = int(vals.min())
-    vmax = int(vals.max())
+    if _pre is not None:
+        u_zig, hist_zig, vmin, vmax = _pre
+    else:
+        vmin = int(vals.min())
+        vmax = int(vals.max())
 
     # Constant sequence -> naught (`integer_codec.h:256-264`).
     if vmin == vmax:
@@ -318,10 +327,12 @@ def select(vals: np.ndarray, width: int = 8, try_delta: bool = False) -> IntDesc
     # histograms; every varint/bitpfr cost below derives from these.
     # bit_length runs ONCE per transform; the bitpfr sweep reuses
     # bl_for for its outlier masks instead of re-shifting the data.
-    u_zig = zigzag_encode(vals)
+    if _pre is None:
+        u_zig = zigzag_encode(vals)
     u_for = vals.view(U64) - U64(vmin & 0xFFFFFFFFFFFFFFFF)
     bl_for = bit_length(u_for)
-    hist_zig = np.bincount(bit_length(u_zig), minlength=65)
+    if _pre is None:
+        hist_zig = np.bincount(bit_length(u_zig), minlength=65)
     hist_for = np.bincount(bl_for, minlength=65)
     _select_basic(desc, vals, u_zig, vmin, vmax, n, width,
                   hist_zig, hist_for)
@@ -491,12 +502,17 @@ def _try_delta(desc: IntDescriptor, vals: np.ndarray, width: int) -> None:
     deltas = _delta_transform(vals, width)
     first = int(vals[0])
     meta_lb = varint_size_scalar(zigzag_encode_scalar(first))
-    hist = np.bincount(bit_length(zigzag_encode(deltas)), minlength=65)
-    if meta_lb + _delta_lower_bound(hist, n - 1, int(deltas.min()),
-                                    int(deltas.max())) >= \
+    dmin = int(deltas.min())
+    dmax = int(deltas.max())
+    u_zig_d = zigzag_encode(deltas)
+    hist = np.bincount(bit_length(u_zig_d), minlength=65)
+    if meta_lb + _delta_lower_bound(hist, n - 1, dmin, dmax) >= \
             desc.ref_meta + desc.ref_data:
         return
-    inner = select(deltas, width=width, try_delta=False)
+    # hand the gate's transforms to the inner selection — same values
+    # it would recompute (zigzag, histogram, min/max of the deltas)
+    inner = select(deltas, width=width, try_delta=False,
+                   _pre=(u_zig_d, hist, dmin, dmax))
     meta = meta_lb
     total = meta + inner.ref_total
     if total < desc.ref_meta + desc.ref_data:
