@@ -67,7 +67,8 @@ def read_stream_blocks(spark, out_dir: str) -> DataFrame:
 def read_latest(spark, out_dir: str,
                 schema_kinds: list[tuple[str, str]],
                 key_cols: list[str],
-                base_blocks: Optional[DataFrame] = None) -> DataFrame:
+                base_blocks: Optional[DataFrame] = None,
+                tombstone_col: Optional[str] = None) -> DataFrame:
     """Merge-on-read / latest-wins reader: the append-only contract
     above, made executable. Decodes the streaming increments (each row
     tagged with its micro-batch id via decode passthrough) plus an
@@ -76,6 +77,14 @@ def read_latest(spark, out_dir: str,
     highest batch_id. Within a single batch the key is unique by the
     encode contract (a micro-batch is one consistent snapshot of its
     keys), so the ranking is total.
+
+    ``tombstone_col`` names an optional boolean column (encoded like
+    any other bool) marking the row as a DELETE of its key — the
+    equality-delete analogue of Iceberg merge-on-read: a deleted key's
+    newest row wins the ranking and is then dropped, so the key
+    disappears from the view even though the base row is still on
+    disk (until recompaction rewrites it). The base snapshot may
+    predate the tombstone column; missing => not deleted.
 
     Scale shape: one hash shuffle on the stable key (the same key the
     blocks are bucketed by) + a per-key top-1 — the standard
@@ -87,10 +96,26 @@ def read_latest(spark, out_dir: str,
                            schema_kinds, passthrough=["batch_id"])
     rows = inc
     if base_blocks is not None:
-        base = engine.decode_df(base_blocks, schema_kinds) \
+        base_kinds = schema_kinds
+        if tombstone_col is not None:
+            import json as _json
+            first = base_blocks.select("desc").first()
+            base_has = first is not None and any(
+                c["n"] == tombstone_col
+                for c in _json.loads(first["desc"])["cols"])
+            if not base_has:
+                base_kinds = [kv for kv in schema_kinds
+                              if kv[0] != tombstone_col]
+        base = engine.decode_df(base_blocks, base_kinds) \
             .withColumn("batch_id", F.lit(-1).cast("long"))
+        if base_kinds is not schema_kinds:
+            base = base.withColumn(tombstone_col, F.lit(False))
         rows = base.unionByName(inc)
     w = Window.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
-    return (rows.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", "batch_id"))
+    out = (rows.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1)
+               .drop("_rn", "batch_id"))
+    if tombstone_col is not None:
+        out = (out.filter(~F.coalesce(F.col(tombstone_col), F.lit(False)))
+                  .drop(tombstone_col))
+    return out

@@ -125,3 +125,55 @@ def test_read_latest_with_base_snapshot(spark, tmp_path):
     assert (latest.filter(other).first().text
             == df.filter(other).first().text)
     df.unpersist()
+
+
+def test_read_latest_tombstone_delete(spark, tmp_path):
+    """A tombstoned key disappears from the merge-on-read view even
+    though its base row is still on disk — Iceberg equality-delete
+    semantics. The base snapshot predates the tombstone column."""
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "out")
+    base_dir = str(tmp_path / "base")
+    os.makedirs(src_dir)
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    df = transcripts.generate(spark, 6, seed=13).persist()
+    base_kinds = engine.column_kinds(df.schema)
+    engine.encode_df(df, ["conv_id", "turn_idx"], n_buckets=2,
+                     block_rows=256, text_cols=["text"]) \
+        .write.mode("overwrite").parquet(base_dir)
+
+    # the stream carries a `deleted` bool column; batch 0 deletes one
+    # turn and upserts another
+    dfd = df.withColumn("deleted", F.lit(False))
+    kinds = engine.column_kinds(dfd.schema)
+    kill = (F.col("conv_id") == "conv-00000004") & (F.col("turn_idx") == 1)
+    edit = (F.col("conv_id") == "conv-00000002") & (F.col("turn_idx") == 0)
+    batch = (dfd.filter(kill).withColumn("deleted", F.lit(True))
+             .unionByName(dfd.filter(edit)
+                          .withColumn("text", F.lit("v2"))))
+    assert batch.count() == 2
+    batch.write.mode("overwrite").parquet(os.path.join(src_dir, "b0"))
+
+    stream = (spark.readStream.schema(batch.schema)
+              .parquet(src_dir + "/*"))
+    q = incremental.encode_stream(
+        stream, out_dir, ["conv_id", "turn_idx"], n_buckets=2,
+        block_rows=256, text_cols=["text"], trigger_once=True)
+    q.awaitTermination(120)
+
+    latest = incremental.read_latest(
+        spark, out_dir, kinds, ["conv_id", "turn_idx"],
+        base_blocks=spark.read.parquet(base_dir),
+        tombstone_col="deleted")
+    assert "deleted" not in latest.columns
+    assert latest.filter(kill).count() == 0          # deleted key gone
+    assert latest.filter(edit).first().text == "v2"  # upsert wins
+    assert latest.count() == df.count() - 1          # everything else
+    # untouched row still decodes from the pre-tombstone base
+    keep = (F.col("conv_id") == "conv-00000001") & (F.col("turn_idx") == 0)
+    assert (latest.filter(keep).first().text
+            == df.filter(keep).first().text)
+    df.unpersist()
