@@ -168,6 +168,14 @@ hit both levels alike. The encode is the shuffle-free map-only plan
 
 Within-budget: {res[lo]['within_ref_budget']} at both levels
 (compressed bytes <= Oroch-model reference size).
+
+Reading this against the driver's unpinned local[32] headline
+(`BENCH_r*.json`): the headline runs 32 Spark threads on the same
+overcommitted host, so it is bounded by real-core contention and
+minute-scale load swings, not by the kernels — kernel-level
+improvements show up here (pinned, interleaved, best-of-3) one-to-one
+but are partly masked there. When the two disagree about a
+round-over-round change, this table is the controlled measurement.
 """
     if probe:
         md += f"""
