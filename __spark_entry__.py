@@ -225,6 +225,27 @@ def _q_scan_where_str(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "click", "error")
 
 
+def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows over the DECODED blocks table — the
+    batch face of `streaming/windowed.py`'s watermarked window op
+    (whose streaming==batch equality is pytest-proven), here proven
+    cross-engine: decode only the ts/event_id payload slices
+    (projection pushdown into the block format), bucket into 1-hour
+    windows, aggregate. Oracle recomputes with DuckDB time_bucket on
+    the raw parquet, so the codec round-trip and the window semantics
+    are hash-checked together."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    dec = engine.decode_df(blocks, kinds, columns=["event_id", "ts"])
+    return (dec.groupBy(F.window("ts", "1 hour").alias("w"))
+               .agg(F.count("*").alias("n_events"),
+                    F.min("event_id").alias("min_id"),
+                    F.max("event_id").alias("max_id"))
+               .select(F.col("w.start").alias("w_start"),
+                       "n_events", "min_id", "max_id"))
+
+
 def _transcripts_blocks_path(spark: SparkSession) -> str:
     """Encode+persist the 200-conversation transcript table keyed by
     (conv_id, turn_idx) once; string-keyed lookups run against it."""
@@ -476,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_agg_events": _q_range_agg,
         "scan_where_events": _q_scan_where,
         "scan_where_events_type": _q_scan_where_str,
+        "tumbling_counts_events": _q_tumbling_counts,
         "lookup_conv_transcripts": _q_lookup_conv,
         "codec_histogram": _q_codec_histogram,          # rows-only
         "compression_summary": _q_compression_summary,  # rows-only
@@ -567,6 +589,13 @@ def oracle_sql() -> dict[str, str]:
         "scan_where_events_type": """
             SELECT * FROM events
             WHERE event_type BETWEEN 'click' AND 'error'
+        """,
+        "tumbling_counts_events": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
+                   COUNT(*) AS n_events,
+                   MIN(event_id) AS min_id,
+                   MAX(event_id) AS max_id
+            FROM events GROUP BY 1
         """,
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id, text,
