@@ -97,6 +97,20 @@ def main() -> None:
             columns=["user_id", "value"]))))
 
     sections.append((
+        "tumbling_window_agg (1h windows over the decoded blocks table)",
+        "Decode feeds only the ts/event_id payload slices (projection "
+        "pushdown into the block format); the window count partial-"
+        "aggregates map-side before the single exchange on the window "
+        "bucket.",
+        plan_of(engine.decode_df(
+            spark.read.parquet(bdir),
+            engine.column_kinds(events.schema),
+            columns=["event_id", "ts"])
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("w_start"), "n_events"))))
+
+    sections.append((
         "scan_where (secondary zone map on a NON-key column)",
         "Range predicate on user_id — not the lead key — prunes via "
         "the per-column (lo, hi) stats in the desc JSON, JVM-side "
