@@ -148,6 +148,19 @@ def _q_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.lookup(blocks, kinds, "event_id", 4242)
 
 
+def _q_multi_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IN-list lookup (`engine.lookup_in`): many keys fetched in
+    one pass — blocks prune on the OR of per-value zone containment and
+    each survivor decodes its key column once for the whole probe set.
+    Extension beyond the reference's single-value find
+    (`/root/reference/oroch/integer_array.h:192-208`)."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    return engine.lookup_in(blocks, kinds, "event_id",
+                            [3, 777, 4242, 9999])
+
+
 def _q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookup on a NON-key high-cardinality column (props) via
     the per-block Bloom filter stored in the descriptor: blocks whose
@@ -490,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_transcripts": _q_rt_transcripts,            # rows-only
         # container/access ops (SURVEY.md §2.5)
         "pruned_lookup_events": _q_pruned_lookup,
+        "multi_lookup_events": _q_multi_lookup,
         "bloom_lookup_events": _q_bloom_lookup,
         "rt_projection_events": _q_rt_projection,
         "range_scan_events": _q_range_scan,
@@ -562,6 +576,9 @@ def oracle_sql() -> dict[str, str]:
         "recompact_nation": "SELECT * FROM nation",
         "pruned_lookup_events":
             "SELECT * FROM events WHERE event_id = 4242",
+        "multi_lookup_events":
+            "SELECT * FROM events "
+            "WHERE event_id IN (3, 777, 4242, 9999)",
         "bloom_lookup_events":
             "SELECT * FROM events WHERE props = '{\"k\": 42}'",
         "rt_projection_events": "SELECT event_id, value FROM events",

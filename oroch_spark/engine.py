@@ -1280,6 +1280,24 @@ def prune_blocks_range(blocks: DataFrame, lo, hi) -> DataFrame:
     return blocks.filter(_overlap_cond(blocks, lo, hi))
 
 
+def prune_blocks_in(blocks: DataFrame, values) -> DataFrame:
+    """IN-list variant: keep blocks whose bounds can contain ANY probe
+    value. Small lists (<= 64) get the exact per-value OR — each term
+    is the same pushable containment predicate as :func:`prune_blocks`
+    — longer lists fall back to the coarse [min, max] envelope (still
+    a superset: pruning never drops a matching block, the kernel's
+    exact match does the rest)."""
+    vals = sorted(set(values))
+    if not vals:
+        return blocks.filter(F.lit(False))
+    if len(vals) > 64:
+        return blocks.filter(_overlap_cond(blocks, vals[0], vals[-1]))
+    cond = _overlap_cond(blocks, vals[0], vals[0])
+    for v in vals[1:]:
+        cond = cond | _overlap_cond(blocks, v, v)
+    return blocks.filter(cond)
+
+
 def range_scan(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
                key_col: str, lo, hi,
                columns: Optional[list[str]] = None) -> DataFrame:
@@ -1562,8 +1580,14 @@ def make_lookup_fn(kinds: list[tuple[str, str]], key_col: str, value,
     columns at just those indices (value-level fetch for O(1)-codecs,
     one decode+take otherwise). Blocks without a match emit nothing.
     Integer-domain and string keys both supported (the reference's
-    ``find`` is generic over T, `integer_array.h:192-208`)."""
+    ``find`` is generic over T, `integer_array.h:192-208`).
+
+    ``value`` may be a scalar or a LIST of scalars (the IN-list form):
+    a block's key column decodes once and every probe value matches
+    against it, so a k-key batch fetch costs one decode per surviving
+    block — not k."""
     kind_of = dict(kinds)
+    values = value if isinstance(value, (list, tuple)) else [value]
 
     def lookup_blocks(batches) -> "Iterator[pa.RecordBatch]":
         import pyarrow as pa
@@ -1585,16 +1609,24 @@ def make_lookup_fn(kinds: list[tuple[str, str]], key_col: str, value,
                 if key_kind == K_STR:
                     keys = _decode_column(kb, key_kind, n, pa.string(),
                                           nullable=bool(key_d.get("z")))
-                    eq = pc.fill_null(pc.equal(keys, str(value)), False)
-                    idxs = np.flatnonzero(
-                        eq.to_numpy(zero_copy_only=False))
+                    if len(values) == 1:
+                        eq = pc.equal(keys, str(values[0]))
+                    else:
+                        eq = pc.is_in(keys, value_set=pa.array(
+                            [str(v) for v in values], type=keys.type))
+                    idxs = np.flatnonzero(pc.fill_null(eq, False)
+                                          .to_numpy(zero_copy_only=False))
                 else:
                     keys = _decode_column(kb, key_kind, n,
                                           pa.int64(),
                                           nullable=bool(key_d.get("z")))
                     kv = keys.cast(pa.int64()) \
                              .to_numpy(zero_copy_only=False)
-                    idxs = np.flatnonzero(kv == value)
+                    if len(values) == 1:
+                        idxs = np.flatnonzero(kv == values[0])
+                    else:
+                        idxs = np.flatnonzero(np.isin(
+                            kv, np.asarray(values, dtype=np.int64)))
                 if not len(idxs):
                     continue
                 cols = []
@@ -1628,6 +1660,34 @@ def lookup(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
     fn = make_lookup_fn(schema_kinds, key_col, value,
                         arrow_schema.serialize().to_pybytes())
     return prune_blocks(blocks, value).mapInArrow(fn, schema=out_schema)
+
+
+def lookup_in(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+              key_col: str, values) -> DataFrame:
+    """Batched IN-list point lookup: fetch the rows of MANY keys in one
+    pass over the persisted blocks table. Pruning keeps blocks whose
+    bounds can contain any probe value (:func:`prune_blocks_in`,
+    parquet-pushable for small lists); each surviving block decodes
+    its key column ONCE and matches the whole probe set against it
+    (np.isin / Arrow is_in), so the cost is O(surviving blocks), not
+    O(keys x blocks). Extension beyond the reference's single-value
+    ``find`` (`integer_array.h:192-208`) — the shape an analyst's
+    batch entity-fetch takes at 100 TB."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    values = [v if isinstance(v, str) else int(v) for v in values]
+    if not values:
+        raise ValueError("lookup_in needs at least one probe value")
+    if len({type(v) for v in values}) > 1:
+        raise ValueError("lookup_in probe values must share one type")
+    out_schema = T.StructType(
+        [T.StructField(n, spark_type_of(k)) for n, k in schema_kinds])
+    arrow_schema = to_arrow_schema(out_schema)
+    fn = make_lookup_fn(schema_kinds, key_col, list(values),
+                        arrow_schema.serialize().to_pybytes())
+    return prune_blocks_in(blocks, values).mapInArrow(fn,
+                                                      schema=out_schema)
 
 
 def pruned_lookup(df: DataFrame, key_col: str, value: int,

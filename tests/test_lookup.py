@@ -61,3 +61,62 @@ def test_fetch_path_equals_decode_path():
     fetched = engine._column_at_indices(blob, engine.K_I64, 1000,
                                         pa.int64(), False, idxs)
     assert fetched.to_pylist() == [int(vals[i]) for i in idxs]
+
+
+def test_lookup_in_matches_source_filter(spark, tmp_path):
+    src, blocks = _blocks(spark, tmp_path)
+    kinds = engine.column_kinds(src.schema)
+    probes = [3, 777, 4242, 9999, -5]  # incl. a guaranteed miss
+    got = sorted(r.event_id for r in
+                 engine.lookup_in(blocks, kinds, "event_id",
+                                  probes).collect())
+    exp = sorted(r.event_id for r in
+                 src.filter(F.col("event_id").isin(probes)).collect())
+    assert got == exp and len(got) >= 1
+    # full-row equality on one probe
+    one = engine.lookup_in(blocks, kinds, "event_id", [777]).collect()
+    assert one[0].asDict() == \
+        src.filter(F.col("event_id") == 777).collect()[0].asDict()
+
+
+def test_lookup_in_prunes_and_shares_block_decodes(spark):
+    src = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    blocks = engine.encode_df(src, ["event_id"], n_buckets=4,
+                              block_rows=512).cache()
+    total = blocks.count()
+    # two close keys land in the same blocks: the IN-prune survivor set
+    # must not double-count, and the far key adds its own block(s)
+    close, far = [100, 101], [9000]
+    s_close = engine.prune_blocks_in(blocks, close).count()
+    s_all = engine.prune_blocks_in(blocks, close + far).count()
+    assert s_close <= 4
+    assert s_all <= s_close + 4 < total
+    kinds = engine.column_kinds(src.schema)
+    got = engine.lookup_in(blocks, kinds, "event_id",
+                           close + far).count()
+    assert got == src.filter(F.col("event_id")
+                             .isin(close + far)).count() == 3
+    blocks.unpersist()
+
+
+def test_lookup_in_string_key(spark, tmp_path):
+    from oroch_spark import transcripts
+    df = transcripts.generate(spark, 12, seed=3)
+    blocks = engine.encode_df(df, ["conv_id", "turn_idx"], n_buckets=2,
+                              block_rows=256, text_cols=["text"])
+    kinds = engine.column_kinds(df.schema)
+    probes = ["conv-00000002", "conv-00000007", "conv-zzz"]
+    got = engine.lookup_in(blocks, kinds, "conv_id", probes)
+    exp = df.filter(F.col("conv_id").isin(probes))
+    assert got.count() == exp.count() > 0
+    assert (sorted(r.turn_idx for r in got.collect())
+            == sorted(r.turn_idx for r in exp.collect()))
+
+
+def test_lookup_in_long_list_coarse_prune(spark, tmp_path):
+    src, blocks = _blocks(spark, tmp_path)
+    kinds = engine.column_kinds(src.schema)
+    probes = list(range(0, 130))  # > 64 -> coarse [min, max] envelope
+    got = engine.lookup_in(blocks, kinds, "event_id", probes).count()
+    exp = src.filter(F.col("event_id").isin(probes)).count()
+    assert got == exp > 0
