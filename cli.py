@@ -194,8 +194,14 @@ def cmd_lookup(args) -> None:
     src_file = args.src if args.src.endswith(".parquet") else \
         sorted(glob.glob(os.path.join(args.src, "*.parquet")))[0]
     kinds = engine.arrow_column_kinds(pq.read_schema(src_file))
-    value = _key_value(args.value, dict(kinds)[args.key])
-    rows = engine.lookup(blocks, kinds, args.key, value).collect()
+    kind = dict(kinds)[args.key]
+    if "," in args.value:  # IN-list form: one pass, shared block decodes
+        probes = [_key_value(v, kind) for v in args.value.split(",")]
+        out = engine.lookup_in(blocks, kinds, args.key, probes)
+    else:
+        out = engine.lookup(blocks, kinds, args.key,
+                            _key_value(args.value, kind))
+    rows = out.collect()
     for r in rows:
         print(json.dumps(r.asDict(), default=str))
     print(json.dumps({"matches": len(rows)}))
@@ -312,8 +318,9 @@ def main() -> None:
                     help="source parquet dir (schema only)")
     lk.add_argument("--key", required=True)
     lk.add_argument("--value", required=True,
-                    help="key value; int for integer-domain keys "
-                         "(ts=epoch-micros, date=days), raw string for "
+                    help="key value, or comma-separated values for a "
+                         "batched IN-list lookup; int for integer-domain "
+                         "keys (ts=epoch-micros, date=days), raw string for "
                          "string keys")
 
     ra = sub.add_parser("range-agg")
