@@ -238,6 +238,18 @@ def _q_scan_where_str(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "click", "error")
 
 
+def _q_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT under a range predicate on a NON-key column
+    (`engine.count_where`): blocks whose per-column stats prove every
+    row matches contribute their stored n with no payload decode;
+    straddling blocks decode only the predicate column — range_count's
+    aggregate pushdown extended to secondary columns."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    return engine.count_where(blocks, kinds, "user_id", 2, 8)
+
+
 def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows over the DECODED blocks table — the
     batch face of `streaming/windowed.py`'s watermarked window op
@@ -512,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_where_events": _q_scan_where,
         "scan_where_events_type": _q_scan_where_str,
         "tumbling_counts_events": _q_tumbling_counts,
+        "count_where_events": _q_count_where,
         "lookup_conv_transcripts": _q_lookup_conv,
         "codec_histogram": _q_codec_histogram,          # rows-only
         "compression_summary": _q_compression_summary,  # rows-only
@@ -613,6 +626,10 @@ def oracle_sql() -> dict[str, str]:
                    MIN(event_id) AS min_id,
                    MAX(event_id) AS max_id
             FROM events GROUP BY 1
+        """,
+        "count_where_events": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events
+            WHERE user_id BETWEEN 2 AND 8
         """,
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id, text,

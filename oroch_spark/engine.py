@@ -1450,16 +1450,7 @@ def scan_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
     String columns prune the same way via the lexicographic
     (slo, shi) per-column bounds (pass string ``lo``/``hi``); declared
     text/payload columns carry no bounds and degrade to a full scan."""
-    if isinstance(lo, str):
-        st = _col_stats(col)
-        blo, bhi = st["slo"], st["shi"]
-    else:
-        lo, hi = int(lo), int(hi)
-        if f"{col}__lo" in blocks.columns:  # materialized: pushable
-            blo, bhi = F.col(f"{col}__lo"), F.col(f"{col}__hi")
-        else:  # JVM-side filter on the small desc column
-            st = _col_stats(col)
-            blo, bhi = st["lo"], st["hi"]
+    blo, bhi, lo, hi = _where_bounds(blocks, col, lo, hi)
     keep = (blo.isNull() | bhi.isNull()
             | ((blo <= hi) & (bhi >= lo)))
     decode_cols = columns
@@ -1472,6 +1463,49 @@ def scan_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
     if columns is not None and col not in columns:
         dec = dec.select(*columns)
     return dec
+
+
+def _where_bounds(blocks: DataFrame, col: str, lo, hi):
+    """(blo, bhi, lo, hi) for a secondary-column range predicate:
+    lexicographic (slo, shi) stats for string bounds, per-column
+    (lo, hi) stats — or their materialized pushable twins — for the
+    integer domain."""
+    if isinstance(lo, str):
+        st = _col_stats(col)
+        return st["slo"], st["shi"], lo, hi
+    lo, hi = int(lo), int(hi)
+    if f"{col}__lo" in blocks.columns:  # materialized: pushable
+        return F.col(f"{col}__lo"), F.col(f"{col}__hi"), lo, hi
+    st = _col_stats(col)
+    return st["lo"], st["hi"], lo, hi
+
+
+def count_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+                col: str, lo, hi) -> DataFrame:
+    """COUNT(*) under a range predicate on ANY stats-carrying column —
+    the :func:`scan_where` analogue of :func:`range_count`. Three-way
+    split on the per-column (lo, hi) stats: blocks whose stats prove
+    NO row matches are pruned; blocks whose stats prove EVERY row
+    matches (col_lo >= lo AND col_hi <= hi) contribute their stored
+    row count ``n`` with no payload decode; only straddling blocks
+    (or blocks without stats) decode — and just the predicate column.
+    On a column correlated with the block order (e.g. ts over an
+    event_id-keyed table) a wide predicate is answered almost entirely
+    from metadata; on an uncorrelated column it degrades gracefully to
+    the scan — never to a wrong answer."""
+    blo, bhi, lo, hi = _where_bounds(blocks, col, lo, hi)
+    keep = blo.isNull() | bhi.isNull() | ((blo <= hi) & (bhi >= lo))
+    ov = blocks.filter(keep)
+    inside = F.coalesce((blo >= lo) & (bhi <= hi), F.lit(False))
+    contained = ov.filter(inside).select(F.col("n").alias("_c"))
+    boundary = (decode_df(ov.filter(~inside), schema_kinds,
+                          columns=[col])
+                .filter((F.col(col) >= _key_lit(schema_kinds, col, lo))
+                        & (F.col(col) <= _key_lit(schema_kinds, col, hi)))
+                .select(F.lit(1).cast("long").alias("_c")))
+    return (contained.unionByName(boundary)
+            .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long")
+                 .alias("n_rows")))
 
 
 def bloom_keep_cond(col: str, value, kind: str):

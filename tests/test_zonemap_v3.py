@@ -292,3 +292,39 @@ def test_text_columns_skip_string_stats(spark):
     by = {d["n"]: d for d in desc["cols"]}
     assert "slo" not in by["text"]
     assert "slo" in by["role"] and by["role"]["slo"] <= by["role"]["shi"]
+
+
+def test_count_where_matches_source_and_uses_metadata(spark):
+    """COUNT under a secondary-column predicate: correct vs a plain
+    source filter, with interior blocks answered from metadata (the
+    contained set is non-empty on a correlated column)."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["ts"], n_buckets=1,
+                              block_rows=128).cache()
+    got = engine.count_where(blocks, kinds, "event_id", 100, 400) \
+        .collect()[0].n_rows
+    exp = src.filter(F.col("event_id").between(100, 400)).count()
+    assert got == exp > 0
+    st = engine._col_stats("event_id")
+    contained = blocks.filter(
+        F.coalesce((st["lo"] >= 100) & (st["hi"] <= 400),
+                   F.lit(False))).count()
+    assert contained > 0  # metadata answered real blocks
+    blocks.unpersist()
+
+
+def test_count_where_string_and_empty(spark):
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["event_id"], n_buckets=2,
+                              block_rows=128).cache()
+    got = engine.count_where(blocks, kinds, "event_type",
+                             "click", "error").collect()[0].n_rows
+    exp = src.filter(F.col("event_type")
+                     .between("click", "error")).count()
+    assert got == exp > 0
+    # empty predicate range -> 0, not an error
+    assert engine.count_where(blocks, kinds, "user_id", -9, -1) \
+        .collect()[0].n_rows == 0
+    blocks.unpersist()
