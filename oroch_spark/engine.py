@@ -329,6 +329,12 @@ def _decode_float_array(blob: bytes, kind: str, n: int, arrow_type,
             ln, pos = ic.varint_decode_scalar(blob, pos)
             plane = ic.decode_block(blob[pos:pos + ln], n_elems, width=1)
             if k == elem_w - 1:
+                # decode_block(width=1) returns the int8-interpreted
+                # domain (-128..127); mask back to the unsigned byte
+                # BEFORE un-rotating, or the arithmetic right shift
+                # sign-extends rotated bytes >= 0x80 (any |v| >= 2.0)
+                # and flips the decoded sign bit
+                plane = plane & 0xFF
                 plane = ((plane >> 1) | ((plane & 1) << 7)) & 0xFF
             byte_rows[:, k] = plane
             pos += ln

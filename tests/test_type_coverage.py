@@ -137,6 +137,23 @@ def test_float_array_bitwise_roundtrip_with_nulls_and_ragged():
                 np.asarray(e, np.float32).view(np.int32))
 
 
+def test_float_array_plane_mode_large_magnitude():
+    """Regression: in plane mode (compressible MSB plane), any element
+    with |v| >= 2.0 rotates its MSB byte to >= 0x80; decode_block's
+    int8-interpreted return then sign-extended through the inverse
+    rotation and flipped the decoded sign (2.5 came back -2.5). Unit-
+    norm embeddings never hit it — values must escape (-2, 2)."""
+    lists = [[float(i) + 0.25, -(float(i) + 0.5), float(i) * 100.0]
+             for i in range(256)]
+    arr = pa.array(lists, type=pa.list_(pa.float32()))
+    out, d, _, _ = _rt(arr, "arr(f32)", pa.list_(pa.float32()))
+    assert d["pc"] != "raw"  # must exercise plane mode
+    for g, e in zip(out.to_pylist(), lists):
+        assert np.array_equal(
+            np.asarray(g, np.float32).view(np.int32),
+            np.asarray(e, np.float32).view(np.int32))
+
+
 def test_float64_array_roundtrip():
     rng = np.random.default_rng(4)
     lists = [rng.standard_normal(16).tolist() for _ in range(64)]
