@@ -1,0 +1,504 @@
+"""``spark.read.format("oroch")`` — the blocks table as a first-class
+Spark data source (PySpark 4 Python DataSource API).
+
+Everything the engine exposes as library calls (``engine.decode_df``,
+``engine.prune_blocks*``) becomes declarative here: a user points
+``spark.read.format("oroch")`` at an encoded table directory and gets
+decoded rows with
+
+- **filter pushdown** (`DataSourceReader.pushFilters`): predicates on
+  the leading key column (=, <, <=, >, >=, IN) are accepted by the
+  reader and enforced in two stages — parquet *row-group statistics*
+  on the ``key_lo/key_hi`` (``key_slo/key_shi`` for string keys)
+  bounds columns skip whole groups of blocks driver-side before any
+  payload bytes are read, then the surviving blocks are pruned
+  row-by-row against the same zone maps and the decoded rows are
+  filtered exactly. This mirrors the reference's metadata-pruned
+  ``find`` (`/root/reference/oroch/integer_array.h:71-136`) at the
+  Spark source boundary.
+- **partition-per-row-group parallelism**: each surviving (file,
+  row-group) pair is one ``InputPartition``, so decode scales out to
+  however many executors the cluster has — no driver-side decode.
+- **projection** via ``option("columns", "a,b")``: only the named
+  columns' blobs are decoded (the descriptor's (offset, length) slices
+  — the block-format analogue of parquet column pruning). The Python
+  DataSource API has no planner-driven column pruning hook yet, so
+  this is an explicit option rather than automatic.
+
+And ``df.write.format("oroch").save(path)`` encodes: each write task
+streams its Arrow batches through the same block encoder
+(``engine.make_encode_fn`` — codec auto-selection, zone maps, optional
+per-column Bloom filters) and writes one parquet part file of block
+rows; the driver-side commit writes the ``_oroch_table.json`` sidecar
+(schema kinds + key columns — what a reader needs to decode) and
+``_SUCCESS``. The write is map-only over the incoming partitioning
+(like ``engine.encode_parquet_maponly``): zone maps are true min/max
+(`engine._lead_bounds`), so correctness never depends on input
+clustering — pre-sorting by key just compresses better. Callers who
+want the salted-shuffle layout repartition first (or use
+``engine.encode_df`` directly).
+
+Scale notes (100 TB): the reader's driver-side work is footer metadata
+only (row-group stats), O(files); bulk bytes move executor-side. The
+writer is shuffle-free; one parquet file per task, unique names, so
+speculative/retried tasks can't collide, and commit is a single
+sidecar+_SUCCESS rename-style publish.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+
+from .. import engine
+
+SIDECAR = "_oroch_table.json"
+
+# Parquet leaf columns of the block schema the reader needs besides the
+# payload; bounds columns are read first (tiny) to prune blocks.
+_META_COLS = ["n", "key_lo", "key_hi", "key_slo", "key_shi"]
+
+
+# ---------------------------------------------------------------------------
+# Sidecar
+# ---------------------------------------------------------------------------
+
+def write_sidecar(path: str, kinds: list[tuple[str, str]],
+                  key_cols: list[str]) -> None:
+    """Publish the table metadata a reader needs. Safe to call on a
+    directory already holding blocks parquet written by
+    ``engine.encode_df(...).write.parquet(path)`` — this is how an
+    existing blocks dir becomes ``format("oroch")``-readable."""
+    doc = {"version": 1, "kinds": [list(kv) for kv in kinds],
+           "key_cols": list(key_cols)}
+    tmp = os.path.join(path, f".{SIDECAR}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, os.path.join(path, SIDECAR))
+
+
+def read_sidecar(path: str) -> dict:
+    p = os.path.join(path, SIDECAR)
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"{p} not found: not an oroch table (write with "
+            f"df.write.format('oroch') or publish metadata for an "
+            f"existing blocks dir via write_sidecar())")
+    with open(p) as f:
+        doc = json.load(f)
+    doc["kinds"] = [tuple(kv) for kv in doc["kinds"]]
+    return doc
+
+
+def _arrow_schema_bytes(kinds: list[tuple[str, str]]) -> bytes:
+    from pyspark.sql.pandas.types import to_arrow_schema
+    st = T.StructType(
+        [T.StructField(n, engine.spark_type_of(k)) for n, k in kinds])
+    return to_arrow_schema(st).serialize().to_pybytes()
+
+
+# ---------------------------------------------------------------------------
+# Filter translation
+# ---------------------------------------------------------------------------
+
+def _domain_of(v):
+    """Map a filter literal to the zone-map prune domain: int64 for
+    integral kinds (date -> days, bool -> 0/1), str for string keys.
+    Returns None for types we refuse to prune on (then the filter is
+    left to Spark)."""
+    import datetime
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, int):
+        return v
+    if isinstance(v, str):
+        return v
+    if type(v) is datetime.date:
+        return (v - datetime.date(1970, 1, 1)).days
+    return None  # float / naive datetime / anything ambiguous
+
+
+@dataclass
+class _KeyPred:
+    """Accepted pushed-down predicates on the lead key, normalized to a
+    bounds envelope plus an optional exact IN set (both in the prune
+    domain). ``values`` doubles as the equality set."""
+    lo: Optional[object] = None
+    hi: Optional[object] = None
+    values: Optional[list] = None  # exact set (EqualTo / In)
+    raw: tuple = ()                # original literals for row filtering
+
+
+def _translate(filters: list["Filter"], key_col: str):
+    """Split filters into (accepted, unsupported, pred). A filter is
+    accepted only if the reader can enforce it EXACTLY (Spark does not
+    re-apply accepted filters)."""
+    pred = _KeyPred(raw=())
+    accepted: list[Filter] = []
+    unsupported: list[Filter] = []
+    raw: list[tuple] = []
+
+    def bump_lo(d, inclusive):
+        lo = d if inclusive else (d + 1 if isinstance(d, int) else d)
+        if pred.lo is None or lo > pred.lo:
+            pred.lo = lo
+
+    def bump_hi(d, inclusive):
+        hi = d if inclusive else (d - 1 if isinstance(d, int) else d)
+        if pred.hi is None or hi < pred.hi:
+            pred.hi = hi
+
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if attr is None or tuple(attr) != (key_col,):
+            unsupported.append(f)
+            continue
+        if isinstance(f, EqualTo):
+            d = _domain_of(f.value)
+            if d is None:
+                unsupported.append(f)
+                continue
+            pred.values = [d] if pred.values is None \
+                else [x for x in pred.values if x == d]
+            raw.append(("in", (f.value,)))
+            accepted.append(f)
+        elif isinstance(f, In):
+            ds = [_domain_of(v) for v in f.value]
+            if any(d is None for d in ds):
+                unsupported.append(f)
+                continue
+            pred.values = ds if pred.values is None \
+                else [x for x in pred.values if x in set(ds)]
+            raw.append(("in", tuple(f.value)))
+            accepted.append(f)
+        elif isinstance(f, (GreaterThan, GreaterThanOrEqual,
+                            LessThan, LessThanOrEqual)):
+            d = _domain_of(f.value)
+            if d is None:
+                unsupported.append(f)
+                continue
+            if isinstance(f, GreaterThan):
+                bump_lo(d, inclusive=False)
+                raw.append((">", f.value))
+            elif isinstance(f, GreaterThanOrEqual):
+                bump_lo(d, inclusive=True)
+                raw.append((">=", f.value))
+            elif isinstance(f, LessThan):
+                bump_hi(d, inclusive=False)
+                raw.append(("<", f.value))
+            else:
+                bump_hi(d, inclusive=True)
+                raw.append(("<=", f.value))
+            accepted.append(f)
+        else:
+            unsupported.append(f)
+    pred.raw = tuple(raw)
+    return accepted, unsupported, pred
+
+
+def _stats_overlap(stats_lo, stats_hi, pred: _KeyPred) -> bool:
+    """Can a container with [stats_lo, stats_hi] bounds hold any row
+    matching pred? Missing stats => True (never prune blind)."""
+    if stats_lo is None or stats_hi is None:
+        return True
+    if pred.values is not None:
+        if not pred.values:
+            return False
+        if not any(stats_lo <= v <= stats_hi for v in pred.values):
+            return False
+    if pred.lo is not None and stats_hi < pred.lo:
+        return False
+    if pred.hi is not None and stats_lo > pred.hi:
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+class _RGPartition(InputPartition):
+    def __init__(self, file: str, row_group: int):
+        self.file = file
+        self.row_group = row_group
+
+
+def _projected_kinds(options: dict,
+                     kinds: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Apply the explicit ``columns`` projection option (must agree
+    between ``schema()`` and the reader)."""
+    cols_opt = options.get("columns")
+    if not cols_opt:
+        return kinds
+    want = [c.strip() for c in str(cols_opt).split(",") if c.strip()]
+    by_name = dict(kinds)
+    missing = [c for c in want if c not in by_name]
+    if missing:
+        raise ValueError(f"columns option names unknown columns: {missing}")
+    return [(c, by_name[c]) for c in want]
+
+
+class OrochReader(DataSourceReader):
+    def __init__(self, options: dict, kinds: list[tuple[str, str]],
+                 key_cols: list[str]):
+        self.path = options["path"]
+        self.key_col = key_cols[0]
+        self.kinds = _projected_kinds(options, kinds)
+        self.schema_bytes = _arrow_schema_bytes(self.kinds)
+        self.pred = _KeyPred(raw=())
+
+    # -- pushdown ----------------------------------------------------------
+    def pushFilters(self, filters: list["Filter"]) -> Iterator["Filter"]:
+        accepted, unsupported, pred = _translate(filters, self.key_col)
+        if self.key_col not in dict(self.kinds):
+            # key not in the projection: we could still block-prune,
+            # but exact enforcement needs the decoded key — decline.
+            return iter(filters)
+        self.pred = pred
+        return iter(unsupported)
+
+    # -- planning ----------------------------------------------------------
+    def partitions(self) -> list[InputPartition]:
+        import pyarrow.parquet as pq
+
+        lo_col, hi_col = (("key_slo", "key_shi") if self._is_str_domain()
+                          else ("key_lo", "key_hi"))
+        parts: list[InputPartition] = []
+        for fpath in sorted(glob.glob(os.path.join(self.path,
+                                                   "*.parquet"))):
+            md = pq.ParquetFile(fpath).metadata
+            name_to_idx = {md.schema.column(i).name: i
+                           for i in range(md.num_columns)}
+            ilo, ihi = name_to_idx.get(lo_col), name_to_idx.get(hi_col)
+            for rg in range(md.num_row_groups):
+                if self._has_pred() and ilo is not None and ihi is not None:
+                    slo = md.row_group(rg).column(ilo).statistics
+                    shi = md.row_group(rg).column(ihi).statistics
+                    lo = slo.min if slo is not None and slo.has_min_max \
+                        else None
+                    hi = shi.max if shi is not None and shi.has_min_max \
+                        else None
+                    # row-group stats of the BOUNDS columns: the widest
+                    # key interval any block in the group spans
+                    if not _stats_overlap(lo, hi, self.pred):
+                        continue
+                parts.append(_RGPartition(fpath, rg))
+        return parts
+
+    def _has_pred(self) -> bool:
+        p = self.pred
+        return p.lo is not None or p.hi is not None or p.values is not None
+
+    def _is_str_domain(self) -> bool:
+        p = self.pred
+        probe = (p.values[0] if p.values else
+                 p.lo if p.lo is not None else p.hi)
+        return isinstance(probe, str)
+
+    # -- execution ---------------------------------------------------------
+    def read(self, partition: _RGPartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out_schema = pa.ipc.read_schema(pa.py_buffer(self.schema_bytes))
+        cols = _META_COLS + ["payload", "desc"]
+        tbl = pq.ParquetFile(partition.file).read_row_group(
+            partition.row_group, columns=cols)
+        n_arr = tbl.column("n").to_pylist()
+        lo_name = "key_slo" if self._is_str_domain() else "key_lo"
+        hi_name = "key_shi" if self._is_str_domain() else "key_hi"
+        blos = tbl.column(lo_name).to_pylist()
+        bhis = tbl.column(hi_name).to_pylist()
+        descs = tbl.column("desc").to_pylist()
+        payloads = tbl.column("payload")
+        has_pred = self._has_pred()
+        for i in range(tbl.num_rows):
+            if has_pred and not _stats_overlap(blos[i], bhis[i],
+                                               self.pred):
+                continue  # zone-map block skip
+            desc = json.loads(descs[i])
+            by_name = {d["n"]: d for d in desc["cols"]}
+            payload = payloads[i].as_py()
+            n = int(n_arr[i])
+            arrs = []
+            for field in out_schema:
+                d = by_name[field.name]
+                blob = payload[d["o"]:d["o"] + d["l"]]
+                arrs.append(engine._decode_column(
+                    blob, d["k"], n, field.type,
+                    nullable=bool(d.get("z"))))
+            batch = pa.RecordBatch.from_arrays(arrs, schema=out_schema)
+            if has_pred:
+                batch = self._exact_filter(batch)
+            if batch.num_rows:
+                yield batch
+
+    def _exact_filter(self, batch):
+        """Enforce the ACCEPTED filters exactly (Spark won't re-apply
+        them): compare the decoded key column against the original
+        literals in Arrow."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        key = batch.column(self.key_col)
+        mask = None
+
+        def also(m):
+            nonlocal mask
+            mask = m if mask is None else pc.and_(mask, m)
+
+        for op, v in self.pred.raw:
+            if op == "in":
+                vs = pa.array(list(v), type=key.type)
+                also(pc.is_in(key, value_set=vs))
+            else:
+                s = pa.scalar(v, type=key.type)
+                also({"<": pc.less, "<=": pc.less_equal,
+                      ">": pc.greater, ">=": pc.greater_equal}[op](key, s))
+        return batch.filter(mask) if mask is not None else batch
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Committed(WriterCommitMessage):
+    file: str
+    blocks: int
+    bytes_in: int
+    bytes_out: int
+
+
+class OrochWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, kinds: list[tuple[str, str]],
+                 overwrite: bool):
+        self.path = options["path"]
+        self.kinds = kinds
+        key_opt = options.get("key_cols") or options.get("keycols")
+        if not key_opt:
+            raise ValueError(
+                "oroch write requires option('key_cols', 'a[,b]')")
+        self.key_cols = [c.strip() for c in str(key_opt).split(",")]
+        known = dict(kinds)
+        for k in self.key_cols:
+            if k not in known:
+                raise ValueError(f"key column {k!r} not in schema")
+        self.block_rows = int(options.get("block_rows", 65536))
+        self.text_cols = frozenset(
+            c.strip() for c in str(options.get("text_cols", "")).split(",")
+            if c.strip())
+        self.bloom_cols = frozenset(
+            c.strip() for c in str(options.get("bloom_cols", "")).split(",")
+            if c.strip())
+        os.makedirs(self.path, exist_ok=True)
+        if overwrite:  # driver-side, before any task runs
+            for f in glob.glob(os.path.join(self.path, "*.parquet")):
+                os.remove(f)
+            for f in (SIDECAR, "_SUCCESS"):
+                p = os.path.join(self.path, f)
+                if os.path.exists(p):
+                    os.remove(p)
+
+    def write(self, iterator: Iterator) -> _Committed:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        fn = engine.make_encode_fn(self.kinds, self.key_cols,
+                                   self.block_rows, self.text_cols,
+                                   self.bloom_cols)
+
+        def tagged():
+            # map-only: the task's partition id is the bucket
+            for rb in iterator:
+                bcol = pa.array([pid] * rb.num_rows, type=pa.int32())
+                yield pa.RecordBatch.from_arrays(
+                    list(rb.columns) + [bcol],
+                    names=list(rb.schema.names) + ["_bucket"])
+
+        out = list(fn(tagged()))
+        # unique name per task ATTEMPT: retries/speculation never collide
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+        fpath = os.path.join(self.path, fname)
+        if out:
+            table = pa.Table.from_batches(out)
+            pq.write_table(table, fpath)
+            return _Committed(fname, table.num_rows,
+                              sum(table.column("bytes_in").to_pylist()),
+                              sum(table.column("bytes_out").to_pylist()))
+        return _Committed("", 0, 0, 0)
+
+    def commit(self, messages) -> None:
+        keep = {m.file for m in messages if m and m.file}
+        # drop orphans from failed/speculative attempts
+        for f in glob.glob(os.path.join(self.path, "*.parquet")):
+            if os.path.basename(f) not in keep:
+                os.remove(f)
+        write_sidecar(self.path, self.kinds, self.key_cols)
+        stats = {"blocks": sum(m.blocks for m in messages if m),
+                 "bytes_in": sum(m.bytes_in for m in messages if m),
+                 "bytes_out": sum(m.bytes_out for m in messages if m)}
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump(stats, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m and m.file:
+                p = os.path.join(self.path, m.file)
+                if os.path.exists(p):
+                    os.remove(p)
+
+
+# ---------------------------------------------------------------------------
+# DataSource
+# ---------------------------------------------------------------------------
+
+class OrochDataSource(DataSource):
+    """``format("oroch")``: read/write encoded blocks tables."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "oroch"
+
+    def schema(self):
+        doc = read_sidecar(self.options["path"])
+        kinds = _projected_kinds(self.options, doc["kinds"])
+        return T.StructType([
+            T.StructField(n, engine.spark_type_of(k))
+            for n, k in kinds])
+
+    def reader(self, schema) -> OrochReader:
+        doc = read_sidecar(self.options["path"])
+        return OrochReader(self.options, doc["kinds"], doc["key_cols"])
+
+    def writer(self, schema, overwrite: bool) -> OrochWriter:
+        kinds = engine.column_kinds(schema)
+        return OrochWriter(self.options, kinds, overwrite)
+
+
+def register(spark) -> None:
+    """Make ``format("oroch")`` available on this session (and enable
+    Python-data-source filter pushdown, off by default in Spark 4.1)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrochDataSource)

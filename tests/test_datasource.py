@@ -1,0 +1,214 @@
+"""The "oroch" Python DataSource: write path (encode + commit
+protocol), read path (decode), filter pushdown (row-group + block
+pruning, exact enforcement), projection option, overwrite semantics."""
+import datetime
+import glob
+import json
+import os
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from oroch_spark import engine
+from oroch_spark.sources import datasource as ds
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dsspark(spark):
+    ds.register(spark)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def events_table(dsspark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dsrw") / "events")
+    src = dsspark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    (src.repartition(4, "event_id").sortWithinPartitions("event_id")
+        .write.format("oroch").mode("overwrite")
+        .option("key_cols", "event_id").option("bloom_cols", "props")
+        .save(path))
+    return path, src
+
+
+def test_write_read_roundtrip(dsspark, events_table):
+    path, src = events_table
+    assert os.path.exists(os.path.join(path, ds.SIDECAR))
+    with open(os.path.join(path, "_SUCCESS")) as f:
+        stats = json.load(f)
+    assert stats["blocks"] >= 4 and stats["bytes_out"] > 0
+    back = dsspark.read.format("oroch").load(path)
+    a = src.orderBy("event_id").toPandas()
+    b = back.orderBy("event_id").toPandas()[a.columns.tolist()]
+    assert a.equals(b)
+
+
+def test_filter_pushdown_matches_plain_filter(dsspark, events_table):
+    path, src = events_table
+    back = dsspark.read.format("oroch").load(path)
+    cond = (F.col("event_id") >= 100) & (F.col("event_id") < 200)
+    a = src.filter(cond).orderBy("event_id").toPandas()
+    b = back.filter(cond).orderBy("event_id").toPandas()[a.columns.tolist()]
+    assert len(a) > 0 and a.equals(b)
+    # equality + IN
+    a = src.filter(F.col("event_id").isin(7, 8, 9)).orderBy("event_id") \
+        .toPandas()
+    b = back.filter(F.col("event_id").isin(7, 8, 9)).orderBy("event_id") \
+        .toPandas()[a.columns.tolist()]
+    assert a.equals(b)
+
+
+def test_pushdown_removes_filter_from_plan(dsspark, events_table):
+    path, _ = events_table
+    back = dsspark.read.format("oroch").load(path)
+    plan = back.filter(F.col("event_id") == 42) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the accepted equality must NOT be re-applied by Spark; only the
+    # residual isnotnull survives
+    assert "BatchScan oroch" in plan
+    assert "= 42" not in plan
+
+
+def test_reader_prunes_partitions(events_table):
+    """Unit-level: pushFilters + partitions() must plan fewer
+    row-groups for a selective predicate than for a full scan."""
+    path, _ = events_table
+    doc = ds.read_sidecar(path)
+    full = ds.OrochReader({"path": path}, doc["kinds"], doc["key_cols"])
+    n_all = len(full.partitions())
+    assert n_all >= 4  # one per write task at least
+
+    sel = ds.OrochReader({"path": path}, doc["kinds"], doc["key_cols"])
+    residual = list(sel.pushFilters(
+        [ds.EqualTo(("event_id",), 5), ds.EqualTo(("other",), 1)]))
+    # the non-key filter comes back, the key filter is absorbed
+    assert len(residual) == 1 and residual[0].attribute == ("other",)
+    n_sel = len(sel.partitions())
+    assert 0 < n_sel < n_all
+    rows = [rb for p in sel.partitions() for rb in sel.read(p)]
+    got = [v for rb in rows for v in rb.column("event_id").to_pylist()]
+    assert got == [5]
+
+
+def test_unsupported_filters_still_correct(dsspark, events_table):
+    path, src = events_table
+    back = dsspark.read.format("oroch").load(path)
+    cond = (F.col("event_type") == "click") & (F.col("value") > 50.0)
+    a = src.filter(cond).orderBy("event_id").toPandas()
+    b = back.filter(cond).orderBy("event_id").toPandas()[a.columns.tolist()]
+    assert a.equals(b)
+
+
+def test_projection_option(dsspark, events_table):
+    path, src = events_table
+    proj = (dsspark.read.format("oroch")
+            .option("columns", "event_id,value").load(path))
+    assert [f.name for f in proj.schema.fields] == ["event_id", "value"]
+    a = src.select("event_id", "value").orderBy("event_id").toPandas()
+    b = proj.orderBy("event_id").toPandas()
+    assert a.equals(b)
+
+
+def test_projection_plus_pushdown(dsspark, events_table):
+    path, src = events_table
+    proj = (dsspark.read.format("oroch")
+            .option("columns", "event_id,value").load(path)
+            .filter(F.col("event_id") <= 10))
+    a = src.select("event_id", "value").filter(F.col("event_id") <= 10) \
+        .orderBy("event_id").toPandas()
+    b = proj.orderBy("event_id").toPandas()
+    assert a.equals(b)
+
+
+def test_string_key_pushdown(dsspark, tmp_path):
+    path = str(tmp_path / "strkey")
+    rows = [Row(conv_id=f"c{i:04d}", turn_idx=j, text=f"t{i}.{j}")
+            for i in range(50) for j in range(4)]
+    src = dsspark.createDataFrame(rows)
+    (src.repartition(2, "conv_id").sortWithinPartitions("conv_id",
+                                                        "turn_idx")
+        .write.format("oroch").mode("overwrite")
+        .option("key_cols", "conv_id,turn_idx")
+        .option("text_cols", "text").save(path))
+    back = dsspark.read.format("oroch").load(path)
+    cond = (F.col("conv_id") >= "c0010") & (F.col("conv_id") <= "c0012")
+    a = src.filter(cond).orderBy("conv_id", "turn_idx").toPandas()
+    b = back.filter(cond).orderBy("conv_id", "turn_idx") \
+        .toPandas()[a.columns.tolist()]
+    assert len(a) == 12 and a.equals(b)
+    # unit: the string zone maps actually prune blocks
+    doc = ds.read_sidecar(path)
+    r = ds.OrochReader({"path": path}, doc["kinds"], doc["key_cols"])
+    list(r.pushFilters([ds.EqualTo(("conv_id",), "c0049")]))
+    vals = [v for p in r.partitions() for rb in r.read(p)
+            for v in rb.column("conv_id").to_pylist()]
+    assert set(vals) == {"c0049"}
+
+
+def test_type_matrix_roundtrip(dsspark, tmp_path):
+    path = str(tmp_path / "types")
+    rows = [Row(k=i, d=datetime.date(2024, 1, 1 + i % 28),
+                ts=datetime.datetime(2024, 1, 1, i % 24, tzinfo=None),
+                f=float(i) / 4, b=bool(i % 2),
+                dec=Decimal(f"{i}.25"),
+                emb=[float(i), float(i) + 0.5])
+            for i in range(300)]
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("f", T.FloatType()),
+        T.StructField("b", T.BooleanType()),
+        T.StructField("dec", T.DecimalType(10, 2)),
+        T.StructField("emb", T.ArrayType(T.FloatType())),
+    ])
+    src = dsspark.createDataFrame(rows, schema)
+    (src.coalesce(1).write.format("oroch").mode("overwrite")
+        .option("key_cols", "k").save(path))
+    back = dsspark.read.format("oroch").load(path)
+    a = src.orderBy("k").toPandas()
+    b = back.orderBy("k").toPandas()[a.columns.tolist()]
+    assert a.drop(columns=["emb"]).equals(b.drop(columns=["emb"]))
+    assert all((list(x) == list(y)) for x, y in zip(a.emb, b.emb))
+
+
+def test_overwrite_replaces(dsspark, tmp_path):
+    path = str(tmp_path / "ow")
+    df1 = dsspark.range(100).withColumnRenamed("id", "k")
+    df1.coalesce(1).write.format("oroch").mode("overwrite") \
+        .option("key_cols", "k").save(path)
+    df2 = dsspark.range(7).withColumnRenamed("id", "k")
+    df2.coalesce(1).write.format("oroch").mode("overwrite") \
+        .option("key_cols", "k").save(path)
+    back = dsspark.read.format("oroch").load(path)
+    assert back.count() == 7
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 1
+
+
+def test_write_requires_key_cols(dsspark, tmp_path):
+    with pytest.raises(Exception, match="key_cols"):
+        dsspark.range(5).write.format("oroch").mode("overwrite") \
+            .save(str(tmp_path / "nokey"))
+
+
+def test_read_non_table_raises(dsspark, tmp_path):
+    with pytest.raises(Exception, match="oroch"):
+        dsspark.read.format("oroch").load(str(tmp_path)).count()
+
+
+def test_sidecar_publish_existing_blocks_dir(dsspark, tmp_path):
+    """A blocks dir written the library way becomes format-readable by
+    publishing the sidecar."""
+    path = str(tmp_path / "lib_blocks")
+    src = dsspark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    engine.encode_df(src, ["n_nationkey"], n_buckets=2) \
+        .write.mode("overwrite").parquet(path)
+    ds.write_sidecar(path, engine.column_kinds(src.schema),
+                     ["n_nationkey"])
+    back = dsspark.read.format("oroch").load(path)
+    a = src.orderBy("n_nationkey").toPandas()
+    b = back.orderBy("n_nationkey").toPandas()[a.columns.tolist()]
+    assert a.equals(b)
