@@ -153,11 +153,12 @@ def _read_sized(buf: bytes, pos: int) -> tuple[bytes, int]:
     return buf[pos:pos + size], pos + size
 
 
-def _int_blob(vals: np.ndarray, width: int = 4) -> bytes:
+def _int_blob(vals: np.ndarray, width: int = 4,
+              try_delta: bool = True) -> bytes:
     # asarray, not astype: the callers already hold int64 arrays and
     # astype would copy megabytes per block for nothing
     return ic.encode_block(np.asarray(vals, dtype=np.int64), width=width,
-                           try_delta=True)
+                           try_delta=try_delta)
 
 
 # ---------------------------------------------------------------------------
@@ -185,9 +186,12 @@ def _read_dict_section(blob: bytes, pos: int) -> tuple[pa.Array, int]:
 
 
 def _encode_dict(codes: np.ndarray, dict_arr: pa.Array) -> bytes:
+    # codes are first-appearance dictionary indices — an unordered
+    # stream where the delta wrapper essentially never wins; skipping
+    # its 4-pass gate is most of the dict-candidate encode cost
     return (bytes([DICT_STR])
             + _dict_section(dict_arr)
-            + _int_blob(codes))
+            + _int_blob(codes, try_delta=False))
 
 
 def _encode_rle(codes: np.ndarray, dict_arr: pa.Array) -> bytes:
@@ -202,7 +206,7 @@ def _encode_rle(codes: np.ndarray, dict_arr: pa.Array) -> bytes:
             + ic.varint_encode_scalar(len(starts))
             + _sized(_int_blob(run_len))
             + _dict_section(dict_arr)
-            + _int_blob(run_idx))
+            + _int_blob(run_idx, try_delta=False))
 
 
 def _encode_wsdict(arr: pa.Array) -> Optional[bytes]:
@@ -227,7 +231,7 @@ def _encode_wsdict(arr: pa.Array) -> Optional[bytes]:
     return (bytes([WSDICT_STR])
             + _dict_section(dict_arr)
             + _sized(_int_blob(counts))
-            + _int_blob(ids))
+            + _int_blob(ids, try_delta=False))
 
 
 def _decode_wsdict(blob: bytes, n: int, pos: int) -> pa.Array:
