@@ -250,6 +250,63 @@ def _q_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.count_where(blocks, kinds, "user_id", 2, 8)
 
 
+def _q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY pushdown into the codec (`engine.group_count`):
+    dictionary/RLE string blocks emit (value, count) pairs from the
+    dictionary + code stream without rebuilding row values; Spark
+    partial-aggregates the block-level pairs before one low-cardinality
+    exchange."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    return engine.group_count(blocks, kinds, "event_type")
+
+
+def _q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT off the block dictionaries
+    (`engine.distinct_values`): dict/RLE-coded blocks contribute their
+    referenced dictionary entries; the row payload never expands."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    return engine.distinct_values(blocks, kinds, "event_type")
+
+
+def _q_agg_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/MIN/MAX/COUNT of one column under a range predicate on a
+    DIFFERENT non-key column (`engine.agg_where`): predicate-contained
+    blocks answer from the aggregate column's stored (lo, hi, s) stats
+    with no payload decode; only straddling blocks decode, and only the
+    two columns involved."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    return engine.agg_where(blocks, kinds, "user_id", 2, 8, "event_id")
+
+
+def _q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed IN (`engine.lookup_join`): a keys DATAFRAME (never
+    collected to the driver) broadcast-semi-joins the block zone maps
+    to prune, then the decoded rows broadcast-semi-join the exact
+    keys — the batched lookup an entity-fetch makes at 100 TB."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    keys = src.filter(F.col("event_type") == "signup").select("event_id")
+    return engine.lookup_join(blocks, kinds, "event_id", keys)
+
+
+def _q_topk_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY key LIMIT k with overlap-safe zone-map pruning
+    (`engine.topk_key`): per bucket, only the minimal block prefix
+    that provably contains the top k decodes; Spark's
+    TakeOrderedAndProject finishes without a global sort."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    return engine.topk_key(blocks, kinds, "event_id", 10)
+
+
 def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows over the DECODED blocks table — the
     batch face of `streaming/windowed.py`'s watermarked window op
@@ -525,6 +582,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_where_events_type": _q_scan_where_str,
         "tumbling_counts_events": _q_tumbling_counts,
         "count_where_events": _q_count_where,
+        "group_count_events": _q_group_count,
+        "distinct_values_events": _q_distinct_values,
+        "agg_where_events": _q_agg_where,
+        "lookup_join_events": _q_lookup_join,
+        "topk_events": _q_topk_key,
         "lookup_conv_transcripts": _q_lookup_conv,
         "codec_histogram": _q_codec_histogram,          # rows-only
         "compression_summary": _q_compression_summary,  # rows-only
@@ -630,6 +692,26 @@ def oracle_sql() -> dict[str, str]:
         "count_where_events": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events
             WHERE user_id BETWEEN 2 AND 8
+        """,
+        "group_count_events": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY event_type
+        """,
+        "distinct_values_events":
+            "SELECT DISTINCT event_type FROM events",
+        "agg_where_events": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(event_id) AS BIGINT) AS sum_v,
+                   CAST(min(event_id) AS BIGINT) AS min_v,
+                   CAST(max(event_id) AS BIGINT) AS max_v
+            FROM events WHERE user_id BETWEEN 2 AND 8
+        """,
+        "lookup_join_events": """
+            SELECT * FROM events WHERE event_id IN
+                (SELECT event_id FROM events WHERE event_type = 'signup')
+        """,
+        "topk_events": """
+            SELECT * FROM events ORDER BY event_id DESC LIMIT 10
         """,
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id, text,

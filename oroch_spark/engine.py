@@ -1730,6 +1730,232 @@ def lookup_in(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
                                                       schema=out_schema)
 
 
+def make_group_count_fn(col: str, arrow_schema_bytes: bytes):
+    """mapInArrow kernel behind :func:`group_count`: one (value, count)
+    row per distinct value per block. Dictionary/RLE string blocks go
+    through ``strings.str_block_value_counts`` (dictionary + code
+    stream only — row values never materialize; RLE counts come from
+    the run lengths without expanding runs); every other codec decodes
+    just ``col`` and groups C++-side via Arrow ``value_counts``."""
+
+    def count_blocks(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_schema = pa.ipc.read_schema(pa.py_buffer(arrow_schema_bytes))
+        vtype = out_schema.field(0).type
+        for batch in batches:
+            descs = batch.column("desc").to_pylist()
+            payloads = batch.column("payload")
+            ns = batch.column("n").to_pylist()
+            for i in range(batch.num_rows):
+                desc = json.loads(descs[i])
+                d = next(c for c in desc["cols"] if c["n"] == col)
+                blob = payloads[i].as_py()[d["o"]:d["o"] + d["l"]]
+                n = int(ns[i])
+                if d["k"] == K_STR and not d.get("z"):
+                    vals, np_cnts = sc.str_block_value_counts(blob, n)
+                    vals = vals.cast(vtype)
+                    cnts = pa.array(np_cnts, type=pa.int64())
+                else:
+                    arr = _decode_column(blob, d["k"], n, vtype,
+                                         nullable=bool(d.get("z")))
+                    vc = pc.value_counts(arr)
+                    vals = vc.field("values")
+                    cnts = vc.field("counts").cast(pa.int64())
+                yield pa.RecordBatch.from_arrays([vals, cnts],
+                                                 schema=out_schema)
+
+    return count_blocks
+
+
+def _group_partial(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+                   col: str) -> DataFrame:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    kind = dict(schema_kinds)[col]
+    out_schema = T.StructType([T.StructField(col, spark_type_of(kind)),
+                               T.StructField("n_rows", T.LongType())])
+    arrow_schema = to_arrow_schema(out_schema)
+    fn = make_group_count_fn(col, arrow_schema.serialize().to_pybytes())
+    return blocks.mapInArrow(fn, schema=out_schema)
+
+
+def group_count(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+                col: str) -> DataFrame:
+    """GROUP BY ``col`` COUNT(*) with group-by pushdown into the codec:
+    each block emits its per-value counts from inside the decode kernel
+    (:func:`make_group_count_fn`), so the rows that cross into the JVM
+    number O(blocks x per-block cardinality), not O(rows), and for
+    dictionary-coded blocks the string payload is never rebuilt. Spark
+    partial-aggregates the block-level pairs map-side before the one
+    exchange on the (low-cardinality) group key — the standard two-level
+    aggregation, with level one already done by the codec. Beyond the
+    reference's surface (its container has point/find access only,
+    `/root/reference/oroch/integer_array.h:166-208`); the natural
+    GROUP BY an analyst runs daily at 100 TB."""
+    return (_group_partial(blocks, schema_kinds, col)
+            .groupBy(col)
+            .agg(F.sum("n_rows").cast("long").alias("n_rows")))
+
+
+def distinct_values(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+                    col: str) -> DataFrame:
+    """SELECT DISTINCT ``col`` with the same codec pushdown as
+    :func:`group_count`: dictionary-coded blocks contribute exactly
+    their (referenced) dictionary entries — for a dict/RLE-coded
+    column the distinct set streams out of block metadata-sized
+    dictionaries and the row payload is never expanded."""
+    return (_group_partial(blocks, schema_kinds, col)
+            .select(col).distinct())
+
+
+def agg_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+              col: str, lo, hi, agg_col: str) -> DataFrame:
+    """SUM/MIN/MAX/COUNT of ``agg_col`` under a range predicate on ANY
+    stats-carrying column — :func:`range_agg` (key-range aggregates)
+    crossed with :func:`count_where` (secondary-column predicates).
+    Blocks whose per-column (lo, hi) stats for the PREDICATE column
+    prove every row matches answer from the AGGREGATE column's stored
+    (lo, hi, s) stats with no payload decode; blocks whose stats prove
+    no row matches are pruned JVM-side; only straddling blocks (or
+    blocks missing either stat) decode — and only (col, agg_col). One
+    row out: (n_rows, sum_v, min_v, max_v) in the int64 codec domain.
+    On a predicate correlated with block order a wide range is almost
+    all interior blocks — answered at desc-scan speed."""
+    blo, bhi, lo, hi = _where_bounds(blocks, col, lo, hi)
+    keep = blo.isNull() | bhi.isNull() | ((blo <= hi) & (bhi >= lo))
+    ov = blocks.filter(keep)
+    stats = _col_stats(agg_col)
+    has_stats = (stats["lo"].isNotNull() & stats["hi"].isNotNull()
+                 & stats["s"].isNotNull())
+    inside = (F.coalesce((blo >= lo) & (bhi <= hi), F.lit(False))
+              & has_stats)
+    interior = ov.filter(inside).select(
+        F.col("n").alias("_c"), stats["s"].alias("_s"),
+        stats["lo"].alias("_lo"), stats["hi"].alias("_hi"))
+    v = F.col(agg_col).cast("long")
+    dec_cols = [col] if agg_col == col else [col, agg_col]
+    boundary = (decode_df(ov.filter(~inside), schema_kinds,
+                          columns=dec_cols)
+                .filter((F.col(col) >= _key_lit(schema_kinds, col, lo))
+                        & (F.col(col) <= _key_lit(schema_kinds, col, hi)))
+                .select(F.lit(1).cast("long").alias("_c"), v.alias("_s"),
+                        v.alias("_lo"), v.alias("_hi")))
+    return (interior.unionByName(boundary).agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_rows"),
+        F.sum("_s").cast("long").alias("sum_v"),
+        F.min("_lo").cast("long").alias("min_v"),
+        F.max("_hi").cast("long").alias("max_v")))
+
+
+def lookup_join(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+                key_col: str, keys: DataFrame,
+                columns: Optional[list[str]] = None) -> DataFrame:
+    """Distributed IN: fetch the rows whose lead key appears in a keys
+    DATAFRAME — :func:`lookup_in` without ever collecting the probe set
+    to the driver. Two broadcast joins, zero shuffles of table data:
+
+    1. *block prune*: the (deduplicated, broadcast) keys range-join the
+       block metadata on the zone bounds (``key_lo <= k <= key_hi``,
+       lexicographic ``key_slo/key_shi`` for string keys); a left-semi
+       join keeps each candidate block once however many keys it may
+       hold. NULL bounds keep the block — pruning is never a
+       correctness filter.
+    2. *exact match*: surviving blocks decode (only ``columns`` +
+       the key), then a broadcast left-semi join on the decoded key
+       keeps exactly the probed rows.
+
+    The probe side must be broadcastable (an entity list, not a second
+    fact table — for fact-to-fact joins decode and use a regular join).
+    The keys column must have the key's type; integer-domain keys
+    compare in the int64 codec domain (ts as epoch-micros, date as
+    days — the same domain the bounds are stored in)."""
+    kind = dict(schema_kinds)[key_col]
+    if kind not in (K_STR, K_TS, K_DATE, K_I8, K_I16, K_I32, K_I64,
+                    K_BOOL):
+        raise ValueError(
+            f"lookup_join does not support lead-key kind {kind!r}")
+    bounds = ("key_slo", "key_shi") if kind == K_STR \
+        else ("key_lo", "key_hi")
+    if bounds[0] in blocks.columns:
+        blo, bhi = F.col(bounds[0]), F.col(bounds[1])
+    else:  # legacy table without bounds: no pruning, still correct
+        blo = bhi = F.lit(None).cast(
+            "string" if kind == K_STR else "long")
+    probe = F.broadcast(keys.select(keys.columns[0])
+                        .withColumnRenamed(keys.columns[0], "_probe_k")
+                        .distinct())
+    kc = F.col("_probe_k")
+    k_dom = {K_STR: kc.cast("string"),
+             K_TS: F.unix_micros(kc.cast("timestamp")),
+             K_DATE: F.datediff(kc.cast("date"), F.lit("1970-01-01"))
+             }.get(kind, kc.cast("long"))
+    cand = blocks.join(probe,
+                       blo.isNull() | ((blo <= k_dom) & (bhi >= k_dom)),
+                       "left_semi")
+    decode_cols = columns
+    if columns is not None and key_col not in columns:
+        decode_cols = [key_col] + columns
+    dec = decode_df(cand, schema_kinds, columns=decode_cols)
+    out = dec.join(probe, dec[key_col] == F.col("_probe_k"), "left_semi")
+    if columns is not None and key_col not in columns:
+        out = out.select(*columns)
+    return out
+
+
+def topk_key(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+             key_col: str, k: int, ascending: bool = False,
+             columns: Optional[list[str]] = None) -> DataFrame:
+    """ORDER BY lead key LIMIT k with zone-map pruning: decode only the
+    blocks that can contribute to the top k. The prune is
+    overlap-safe — it never assumes blocks are disjoint or sorted:
+    within each bucket, walk blocks by ``key_lo`` DESC and find the
+    smallest prefix whose row counts sum to >= k; every row of every
+    prefix block has key >= its block's key_lo >= t (t = the prefix's
+    minimum key_lo), so any block with ``key_hi < t`` provably has k
+    rows above it and is skipped. Degenerate layouts (nulls in bounds,
+    fewer than k rows) keep everything. The decode then feeds Spark's
+    TakeOrderedAndProject — per-partition partial top-k, no global
+    sort. (Ascending mirrors with the bounds swapped and negated.)"""
+    if dict(schema_kinds)[key_col] == K_STR:
+        lo_c, hi_c = F.col("key_slo"), F.col("key_shi")
+        have = "key_slo" in blocks.columns
+    else:
+        lo_c, hi_c = F.col("key_lo"), F.col("key_hi")
+        have = "key_lo" in blocks.columns
+    if have:
+        from pyspark.sql import Window
+
+        if not ascending:
+            w = Window.partitionBy("bucket").orderBy(lo_c.desc_nulls_last())
+        else:
+            lo_c, hi_c = hi_c, lo_c
+            w = Window.partitionBy("bucket").orderBy(lo_c.asc_nulls_last())
+        prev = F.coalesce(
+            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0))
+        in_prefix = (prev < k) & lo_c.isNotNull()
+        wb = Window.partitionBy("bucket")
+        t = (F.min(F.when(in_prefix, lo_c)).over(wb) if not ascending
+             else F.max(F.when(in_prefix, lo_c)).over(wb))
+        # fewer than k rows in the bucket => prefix is the whole bucket
+        enough = F.max(F.when(in_prefix, prev + F.col("n"))).over(wb) >= k
+        keep = (hi_c.isNull() | t.isNull() | ~enough
+                | (hi_c >= t if not ascending else hi_c <= t))
+        blocks = blocks.withColumn("_keep", keep).filter("_keep") \
+                       .drop("_keep")
+    decode_cols = columns
+    if columns is not None and key_col not in columns:
+        decode_cols = [key_col] + columns
+    dec = decode_df(blocks, schema_kinds, columns=decode_cols)
+    order = F.col(key_col).asc() if ascending else F.col(key_col).desc()
+    out = dec.orderBy(order).limit(k)
+    if columns is not None and key_col not in columns:
+        out = out.select(*columns)
+    return out
+
+
 def pruned_lookup(df: DataFrame, key_col: str, value: int,
                   n_buckets: int = 8, block_rows: int = 4096) -> DataFrame:
     """Metadata-pruned point lookup over a source DataFrame: encode,

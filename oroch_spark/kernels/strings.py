@@ -382,3 +382,37 @@ def decode_str_block_arrow(blob: bytes, n: int) -> pa.Array:
 
 def decode_str_block(blob: bytes, n: int) -> pd.Series:
     return decode_str_block_arrow(blob, n).to_pandas()
+
+
+def str_block_value_counts(blob: bytes, n: int
+                           ) -> tuple[pa.Array, np.ndarray]:
+    """Distinct values of one encoded string block with their row
+    counts, WITHOUT materializing the row values when the codec
+    already holds them factored: DICT blocks bincount the code stream
+    against the stored dictionary; RLE blocks scatter-add run lengths
+    per run value (the run stream is never expanded — a block of k
+    runs costs O(k), not O(n)). PLAIN/FSST/WSDICT decode and group
+    C++-side via Arrow ``value_counts``. This is the group-by/distinct
+    pushdown primitive: the engine's GROUP BY col COUNT(*) touches
+    only dictionaries and code streams for dictionary-coded blocks."""
+    tag = blob[0]
+    if tag == DICT_STR:
+        dict_arr, pos = _read_dict_section(blob, 1)
+        codes = ic.decode_block(blob[pos:], n, width=4)
+        counts = np.bincount(codes, minlength=len(dict_arr))
+    elif tag == RLE_STR:
+        nruns, pos = ic.varint_decode_scalar(blob, 1)
+        rl_blob, pos = _read_sized(blob, pos)
+        run_len = ic.decode_block(rl_blob, nruns, width=4)
+        dict_arr, pos = _read_dict_section(blob, pos)
+        run_idx = ic.decode_block(blob[pos:], nruns, width=4)
+        counts = np.zeros(len(dict_arr), dtype=np.int64)
+        np.add.at(counts, run_idx, run_len)
+    else:
+        vc = pc.value_counts(decode_str_block_arrow(blob, n))
+        return vc.field("values"), \
+            vc.field("counts").to_numpy(zero_copy_only=False)
+    keep = np.flatnonzero(counts)  # dict entries can be unreferenced
+    if len(keep) != len(counts):
+        return dict_arr.take(pa.array(keep)), counts[keep]
+    return dict_arr, counts
