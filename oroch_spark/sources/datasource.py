@@ -58,6 +58,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -389,27 +390,62 @@ class _Committed(WriterCommitMessage):
     bytes_out: int
 
 
+def _parse_write_options(options: dict, kinds: list[tuple[str, str]]):
+    key_opt = options.get("key_cols") or options.get("keycols")
+    if not key_opt:
+        raise ValueError(
+            "oroch write requires option('key_cols', 'a[,b]')")
+    key_cols = [c.strip() for c in str(key_opt).split(",")]
+    known = dict(kinds)
+    for k in key_cols:
+        if k not in known:
+            raise ValueError(f"key column {k!r} not in schema")
+    split = lambda o: frozenset(
+        c.strip() for c in str(options.get(o, "")).split(",") if c.strip())
+    return (key_cols, int(options.get("block_rows", 65536)),
+            split("text_cols"), split("bloom_cols"))
+
+
+def _write_task(path: str, kinds, key_cols, block_rows, text_cols,
+                bloom_cols, iterator: Iterator,
+                prefix: str = "part") -> _Committed:
+    """One write task: stream the task's Arrow batches through the
+    block encoder, land exactly one parquet part with a unique name
+    (retries/speculative attempts never collide — commit reconciles)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+    fn = engine.make_encode_fn(kinds, key_cols, block_rows, text_cols,
+                               bloom_cols)
+
+    def tagged():
+        # map-only: the task's partition id is the bucket
+        for rb in iterator:
+            bcol = pa.array([pid] * rb.num_rows, type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                list(rb.columns) + [bcol],
+                names=list(rb.schema.names) + ["_bucket"])
+
+    out = list(fn(tagged()))
+    fname = f"{prefix}-{pid:05d}-{uuid.uuid4().hex}.parquet"
+    if out:
+        table = pa.Table.from_batches(out)
+        pq.write_table(table, os.path.join(path, fname))
+        return _Committed(fname, table.num_rows,
+                          sum(table.column("bytes_in").to_pylist()),
+                          sum(table.column("bytes_out").to_pylist()))
+    return _Committed("", 0, 0, 0)
+
+
 class OrochWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, kinds: list[tuple[str, str]],
                  overwrite: bool):
         self.path = options["path"]
         self.kinds = kinds
-        key_opt = options.get("key_cols") or options.get("keycols")
-        if not key_opt:
-            raise ValueError(
-                "oroch write requires option('key_cols', 'a[,b]')")
-        self.key_cols = [c.strip() for c in str(key_opt).split(",")]
-        known = dict(kinds)
-        for k in self.key_cols:
-            if k not in known:
-                raise ValueError(f"key column {k!r} not in schema")
-        self.block_rows = int(options.get("block_rows", 65536))
-        self.text_cols = frozenset(
-            c.strip() for c in str(options.get("text_cols", "")).split(",")
-            if c.strip())
-        self.bloom_cols = frozenset(
-            c.strip() for c in str(options.get("bloom_cols", "")).split(",")
-            if c.strip())
+        (self.key_cols, self.block_rows, self.text_cols,
+         self.bloom_cols) = _parse_write_options(options, kinds)
         os.makedirs(self.path, exist_ok=True)
         if overwrite:  # driver-side, before any task runs
             for f in glob.glob(os.path.join(self.path, "*.parquet")):
@@ -420,34 +456,9 @@ class OrochWriter(DataSourceArrowWriter):
                     os.remove(p)
 
     def write(self, iterator: Iterator) -> _Committed:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        fn = engine.make_encode_fn(self.kinds, self.key_cols,
-                                   self.block_rows, self.text_cols,
-                                   self.bloom_cols)
-
-        def tagged():
-            # map-only: the task's partition id is the bucket
-            for rb in iterator:
-                bcol = pa.array([pid] * rb.num_rows, type=pa.int32())
-                yield pa.RecordBatch.from_arrays(
-                    list(rb.columns) + [bcol],
-                    names=list(rb.schema.names) + ["_bucket"])
-
-        out = list(fn(tagged()))
-        # unique name per task ATTEMPT: retries/speculation never collide
-        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
-        fpath = os.path.join(self.path, fname)
-        if out:
-            table = pa.Table.from_batches(out)
-            pq.write_table(table, fpath)
-            return _Committed(fname, table.num_rows,
-                              sum(table.column("bytes_in").to_pylist()),
-                              sum(table.column("bytes_out").to_pylist()))
-        return _Committed("", 0, 0, 0)
+        return _write_task(self.path, self.kinds, self.key_cols,
+                           self.block_rows, self.text_cols,
+                           self.bloom_cols, iterator)
 
     def commit(self, messages) -> None:
         keep = {m.file for m in messages if m and m.file}
@@ -468,6 +479,103 @@ class OrochWriter(DataSourceArrowWriter):
                 p = os.path.join(self.path, m.file)
                 if os.path.exists(p):
                     os.remove(p)
+
+
+# ---------------------------------------------------------------------------
+# Streaming writer
+# ---------------------------------------------------------------------------
+
+_BATCH_DIR = "_batches"
+
+
+class OrochStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("oroch")``: the incremental-encode
+    contract (`streaming/incremental.py`) as a first-class streaming
+    sink. Each micro-batch's tasks encode their Arrow batches with the
+    same block kernels and land one parquet part per task; the
+    driver-side ``commit`` publishes a per-batch manifest
+    ``_batches/<id>.json`` naming the batch's files.
+
+    Exactly-once: block files carry attempt-unique names, so replayed
+    batches and speculative tasks never collide; only files named in a
+    committed manifest are part of the table (``stream_sink_blocks``
+    reads through the manifests), and a batch replayed after a driver
+    failure simply rewrites its manifest — the superseded attempt's
+    files become orphans and are swept at the next commit. Append-only
+    (the streaming contract): re-sent keys appear once per batch until
+    compaction; read with latest-wins via
+    ``incremental.read_latest(..., inc_blocks=stream_sink_blocks(...))``.
+
+    Single-writer per sink directory, like any file-based streaming
+    sink."""
+
+    def __init__(self, options: dict, kinds: list[tuple[str, str]]):
+        self.path = options["path"]
+        self.kinds = kinds
+        (self.key_cols, self.block_rows, self.text_cols,
+         self.bloom_cols) = _parse_write_options(options, kinds)
+        os.makedirs(os.path.join(self.path, _BATCH_DIR), exist_ok=True)
+
+    def write(self, iterator: Iterator) -> _Committed:
+        return _write_task(self.path, self.kinds, self.key_cols,
+                           self.block_rows, self.text_cols,
+                           self.bloom_cols, iterator, prefix="stream")
+
+    def commit(self, messages, batchId: int) -> None:
+        files = sorted(m.file for m in messages if m and m.file)
+        doc = {"batch_id": int(batchId), "files": files,
+               "blocks": sum(m.blocks for m in messages if m),
+               "bytes_in": sum(m.bytes_in for m in messages if m),
+               "bytes_out": sum(m.bytes_out for m in messages if m)}
+        bdir = os.path.join(self.path, _BATCH_DIR)
+        tmp = os.path.join(bdir, f".{batchId}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, os.path.join(bdir, f"{batchId}.json"))
+        write_sidecar(self.path, self.kinds, self.key_cols)
+        # sweep orphans (failed attempts, superseded replays): a file
+        # is live iff some committed manifest names it
+        live = set()
+        for mf in glob.glob(os.path.join(bdir, "*.json")):
+            with open(mf) as f:
+                live.update(json.load(f)["files"])
+        for f in glob.glob(os.path.join(self.path, "stream-*.parquet")):
+            if os.path.basename(f) not in live:
+                os.remove(f)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m and m.file:
+                p = os.path.join(self.path, m.file)
+                if os.path.exists(p):
+                    os.remove(p)
+
+
+def stream_sink_blocks(spark, path: str):
+    """Committed blocks of a ``writeStream.format("oroch")`` sink,
+    each tagged with its micro-batch id (the exactly-once view: files
+    not named by a batch manifest — aborted or in-flight attempts —
+    are invisible). Driver-side work is manifest JSON only,
+    O(batches); block bytes stay executor-side. Feed the result to
+    ``incremental.read_latest(inc_blocks=...)`` for latest-wins
+    reads, or ``engine.decode_df`` for the raw append-only view."""
+    from pyspark.sql import functions as F
+
+    batches = []
+    for mf in sorted(glob.glob(os.path.join(path, _BATCH_DIR, "*.json"))):
+        with open(mf) as f:
+            batches.append(json.load(f))
+    pairs = [(f, b["batch_id"]) for b in batches for f in b["files"]]
+    if not pairs:
+        raise FileNotFoundError(f"no committed stream batches in {path}")
+    blocks = spark.read.parquet(*[os.path.join(path, f)
+                                  for f, _ in pairs])
+    fmap = spark.createDataFrame(pairs, "fname string, batch_id long") \
+        .withColumnRenamed("fname", "_file")
+    return (blocks
+            .withColumn("_file", F.element_at(
+                F.split(F.input_file_name(), "/"), -1))
+            .join(F.broadcast(fmap), "_file").drop("_file"))
 
 
 # ---------------------------------------------------------------------------
@@ -495,6 +603,10 @@ class OrochDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> OrochWriter:
         kinds = engine.column_kinds(schema)
         return OrochWriter(self.options, kinds, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> OrochStreamWriter:
+        kinds = engine.column_kinds(schema)
+        return OrochStreamWriter(self.options, kinds)
 
 
 def register(spark) -> None:

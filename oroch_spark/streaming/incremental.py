@@ -64,11 +64,12 @@ def read_stream_blocks(spark, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "blocks_stream"))
 
 
-def read_latest(spark, out_dir: str,
+def read_latest(spark, out_dir: Optional[str],
                 schema_kinds: list[tuple[str, str]],
                 key_cols: list[str],
                 base_blocks: Optional[DataFrame] = None,
-                tombstone_col: Optional[str] = None) -> DataFrame:
+                tombstone_col: Optional[str] = None,
+                inc_blocks: Optional[DataFrame] = None) -> DataFrame:
     """Merge-on-read / latest-wins reader: the append-only contract
     above, made executable. Decodes the streaming increments (each row
     tagged with its micro-batch id via decode passthrough) plus an
@@ -89,11 +90,20 @@ def read_latest(spark, out_dir: str,
     Scale shape: one hash shuffle on the stable key (the same key the
     blocks are bucketed by) + a per-key top-1 — the standard
     merge-on-read cost, paid only until ``engine.recompact`` folds the
-    increments into right-sized base blocks."""
+    increments into right-sized base blocks.
+
+    ``inc_blocks`` overrides where the increments come from (any blocks
+    DataFrame carrying a ``batch_id`` column — e.g. the committed view
+    of a ``writeStream.format("oroch")`` sink from
+    ``sources.datasource.stream_sink_blocks``); by default they are
+    read from ``out_dir/blocks_stream`` (the ``encode_stream``
+    layout)."""
     from pyspark.sql import Window
 
-    inc = engine.decode_df(read_stream_blocks(spark, out_dir),
-                           schema_kinds, passthrough=["batch_id"])
+    if inc_blocks is None:
+        inc_blocks = read_stream_blocks(spark, out_dir)
+    inc = engine.decode_df(inc_blocks, schema_kinds,
+                           passthrough=["batch_id"])
     rows = inc
     if base_blocks is not None:
         base_kinds = schema_kinds
