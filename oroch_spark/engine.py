@@ -1927,24 +1927,43 @@ def topk_key(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
     if have:
         from pyspark.sql import Window
 
+        # The prefix walk runs over a METADATA-ONLY projection (bounds
+        # + row counts; parquet column pruning keeps payload bytes on
+        # disk), reduces to ONE (t, enough) row per bucket, and joins
+        # back broadcast — the blocks table itself never shuffles.
+        meta = blocks.select("bucket", "n", lo_c.alias("_lo"),
+                             hi_c.alias("_hi"))
         if not ascending:
-            w = Window.partitionBy("bucket").orderBy(lo_c.desc_nulls_last())
+            w = Window.partitionBy("bucket") \
+                .orderBy(F.col("_lo").desc_nulls_last())
         else:
-            lo_c, hi_c = hi_c, lo_c
-            w = Window.partitionBy("bucket").orderBy(lo_c.asc_nulls_last())
+            meta = blocks.select("bucket", "n", hi_c.alias("_lo"),
+                                 lo_c.alias("_hi"))
+            w = Window.partitionBy("bucket") \
+                .orderBy(F.col("_lo").asc_nulls_last())
         prev = F.coalesce(
             F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0))
-        in_prefix = (prev < k) & lo_c.isNotNull()
-        wb = Window.partitionBy("bucket")
-        t = (F.min(F.when(in_prefix, lo_c)).over(wb) if not ascending
-             else F.max(F.when(in_prefix, lo_c)).over(wb))
-        # fewer than k rows in the bucket => prefix is the whole bucket
-        enough = F.max(F.when(in_prefix, prev + F.col("n"))).over(wb) >= k
-        keep = (hi_c.isNull() | t.isNull() | ~enough
-                | (hi_c >= t if not ascending else hi_c <= t))
-        blocks = blocks.withColumn("_keep", keep).filter("_keep") \
-                       .drop("_keep")
+        pref_lo = F.when(F.col("_pref"), F.col("_lo"))
+        th = (meta.withColumn("_prev", prev)
+              .withColumn("_pref",
+                          (F.col("_prev") < k) & F.col("_lo").isNotNull())
+              .groupBy("bucket")
+              .agg((F.min(pref_lo) if not ascending
+                    else F.max(pref_lo)).alias("_t"),
+                   # fewer than k rows in the bucket => keep everything
+                   (F.max(F.when(F.col("_pref"),
+                                 F.col("_prev") + F.col("n"))) >= k)
+                   .alias("_enough")))
+        blocks = blocks.join(F.broadcast(th), "bucket", "left")
+        # desc: skip B iff k rows are provably above it (key_hi < t);
+        # asc: skip B iff k rows are provably below it (key_lo > t)
+        edge = lo_c if ascending else hi_c
+        keep = (edge.isNull() | F.col("_t").isNull()
+                | ~F.coalesce(F.col("_enough"), F.lit(False))
+                | (edge >= F.col("_t") if not ascending
+                   else edge <= F.col("_t")))
+        blocks = blocks.filter(keep).drop("_t", "_enough")
     decode_cols = columns
     if columns is not None and key_col not in columns:
         decode_cols = [key_col] + columns

@@ -123,6 +123,49 @@ def main() -> None:
             columns=["event_id", "user_id"]))))
 
     sections.append((
+        "group_count (GROUP BY pushdown into the codec)",
+        "Each block emits its (value, count) pairs from inside the "
+        "decode kernel — dictionary/RLE blocks never rebuild row "
+        "values — then HashAggregate partial-aggregates the pairs "
+        "map-side before the one exchange on the low-cardinality "
+        "group key.",
+        plan_of(engine.group_count(
+            spark.read.parquet(bdir),
+            engine.column_kinds(events.schema), "event_type"))))
+
+    sections.append((
+        "agg_where (metadata aggregates under a secondary predicate)",
+        "Blocks whose PREDICATE-column stats prove containment answer "
+        "from the AGGREGATE column's stored (lo, hi, s) stats — no "
+        "payload decode; only straddlers decode, and only two "
+        "columns.",
+        plan_of(engine.agg_where(
+            spark.read.parquet(bdir),
+            engine.column_kinds(events.schema), "user_id", 2, 8,
+            "event_id"))))
+
+    sections.append((
+        "lookup_join (distributed IN: two broadcast semi-joins)",
+        "The keys DataFrame is broadcast, never collected: semi-join #1 "
+        "prunes blocks on the zone bounds, semi-join #2 exact-matches "
+        "the decoded key — zero shuffles of table data.",
+        plan_of(engine.lookup_join(
+            spark.read.parquet(bdir),
+            engine.column_kinds(events.schema), "event_id",
+            events.filter(F.col("event_type") == "signup")
+            .select("event_id")))))
+
+    sections.append((
+        "topk_key (ORDER BY key LIMIT k, zone-pruned)",
+        "Only the per-bucket minimal block prefix that provably holds "
+        "the top k decodes (window over block METADATA, not rows); "
+        "TakeOrderedAndProject finishes — per-partition partial "
+        "top-k, no global sort.",
+        plan_of(engine.topk_key(
+            spark.read.parquet(bdir),
+            engine.column_kinds(events.schema), "event_id", 10))))
+
+    sections.append((
         "lookup_where (per-block Bloom filter probe)",
         "Equality on a high-cardinality column UNCORRELATED with block "
         "order: the k Bloom probes are pure JVM expressions "
