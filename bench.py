@@ -184,6 +184,37 @@ def main() -> None:
               multimodal.media_from_documents(docs)).count(),
           required=False)
 
+    # --- single-thread kernel throughput (noise-robust comparable) ------
+    # The 32-thread wall clock on this overcommitted host (32 vCPU ~
+    # 8-11 real cores) swings with co-tenant load minute to minute; a
+    # fixed single-threaded kernel run is the round-over-round
+    # comparable that survives that noise. Best of `reps` over a fixed
+    # ~90k-row slice of the SAME bench source files.
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    st_files = sorted(_glob.glob(os.path.join(src_dir, "*.parquet")))[:4]
+    st_tabs = [_pq.read_table(f) for f in st_files]
+    st_rows = sum(t.num_rows for t in st_tabs)
+    st_kinds = engine.arrow_column_kinds(st_tabs[0].schema)
+
+    def st_run():
+        for t in st_tabs:
+            for s in range(0, t.num_rows, 65536):
+                engine._encode_chunk(t.slice(s, 65536), 0, 0, st_kinds,
+                                     ["conv_id", "turn_idx"],
+                                     frozenset(["text"]))
+
+    st_run()  # warm (first-touch memory is ~50x slower in this sandbox)
+    st_best = None
+    for _ in range(max(1, args.reps)):
+        t0 = time.time()
+        st_run()
+        w = time.time() - t0
+        st_best = w if st_best is None else min(st_best, w)
+    extra["st_kernel_rows_per_sec"] = round(st_rows / st_best, 1)
+
     result = {
         "metric": "encode_turns_per_sec",
         "value": extra["turns_per_sec"],
