@@ -1555,9 +1555,14 @@ def lookup_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
     ranges (:func:`scan_where`); Blooms handle equality on
     high-cardinality columns uncorrelated with block order, where
     every block's [lo, hi] spans the domain and zone maps prune
-    nothing. Surviving blocks decode only the probe + requested
-    columns. ~2% false-positive decodes at the default sizing; never
-    a false negative."""
+    nothing. Surviving blocks run the lookup KERNEL on the probe
+    column — dictionary-coded string blocks match against the
+    dictionary alone, row strings of non-matching rows never
+    materialize (`strings.str_block_eq_indices`) — and fetch only the
+    requested columns at matched indices. ~2% false-positive probes
+    at the default sizing; never a false negative."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
     kind = dict(schema_kinds)[col]
     if kind not in (K_STR, K_I8, K_I16, K_I32, K_I64, K_TS, K_DATE,
                     K_BOOL):
@@ -1569,16 +1574,24 @@ def lookup_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
     if kind == K_STR:
         keep = keep & (st["slo"].isNull()
                        | ((st["slo"] <= value) & (st["shi"] >= value)))
+        probe = str(value)
     else:
         v = int(value)
         keep = keep & (st["lo"].isNull()
                        | ((st["lo"] <= v) & (st["hi"] >= v)))
+        probe = v
     decode_cols = columns
     if columns is not None and col not in columns:
         decode_cols = [col] + columns
-    dec = decode_df(blocks.filter(keep), schema_kinds,
-                    columns=decode_cols)
-    dec = dec.filter(F.col(col) == _key_lit(schema_kinds, col, value))
+    by_name = dict(schema_kinds)
+    sel = schema_kinds if decode_cols is None \
+        else [(c, by_name[c]) for c in decode_cols]
+    out_schema = T.StructType(
+        [T.StructField(n, spark_type_of(k)) for n, k in sel])
+    fn = make_lookup_fn(schema_kinds, col, probe,
+                        to_arrow_schema(out_schema)
+                        .serialize().to_pybytes())
+    dec = blocks.filter(keep).mapInArrow(fn, schema=out_schema)
     if columns is not None and col not in columns:
         dec = dec.select(*columns)
     return dec
@@ -1625,7 +1638,14 @@ def make_lookup_fn(kinds: list[tuple[str, str]], key_col: str, value,
     ``value`` may be a scalar or a LIST of scalars (the IN-list form):
     a block's key column decodes once and every probe value matches
     against it, so a k-key batch fetch costs one decode per surviving
-    block — not k."""
+    block — not k.
+
+    The output schema may be a PROJECTION (any subset of the table's
+    columns, the probe column included or not): only the named
+    columns' payload slices are touched. Single-value probes on
+    non-nullable string columns match dictionary-coded blocks against
+    the dictionary alone (`strings.str_block_eq_indices`) — the row
+    strings never materialize."""
     kind_of = dict(kinds)
     values = value if isinstance(value, (list, tuple)) else [value]
 
@@ -1643,19 +1663,24 @@ def make_lookup_fn(kinds: list[tuple[str, str]], key_col: str, value,
                 desc = json.loads(descs[i])
                 payload = payloads[i].as_py()
                 n = int(ns[i])
-                key_d = next(d for d in desc["cols"]
-                             if d["n"] == key_col)
+                by_name = {d["n"]: d for d in desc["cols"]}
+                key_d = by_name[key_col]
                 kb = payload[key_d["o"]:key_d["o"] + key_d["l"]]
                 if key_kind == K_STR:
-                    keys = _decode_column(kb, key_kind, n, pa.string(),
-                                          nullable=bool(key_d.get("z")))
-                    if len(values) == 1:
-                        eq = pc.equal(keys, str(values[0]))
+                    if len(values) == 1 and not key_d.get("z"):
+                        # dictionary-aware: dict/RLE blocks match the
+                        # dictionary and never rebuild row strings
+                        idxs = sc.str_block_eq_indices(
+                            kb, n, str(values[0]))
                     else:
+                        keys = _decode_column(
+                            kb, key_kind, n, pa.string(),
+                            nullable=bool(key_d.get("z")))
                         eq = pc.is_in(keys, value_set=pa.array(
                             [str(v) for v in values], type=keys.type))
-                    idxs = np.flatnonzero(pc.fill_null(eq, False)
-                                          .to_numpy(zero_copy_only=False))
+                        idxs = np.flatnonzero(
+                            pc.fill_null(eq, False)
+                            .to_numpy(zero_copy_only=False))
                 else:
                     keys = _decode_column(kb, key_kind, n,
                                           pa.int64(),
@@ -1670,7 +1695,8 @@ def make_lookup_fn(kinds: list[tuple[str, str]], key_col: str, value,
                 if not len(idxs):
                     continue
                 cols = []
-                for d, field in zip(desc["cols"], out_schema):
+                for field in out_schema:
+                    d = by_name[field.name]
                     blob = payload[d["o"]:d["o"] + d["l"]]
                     cols.append(_column_at_indices(
                         blob, d["k"], n, field.type,

@@ -384,6 +384,52 @@ def decode_str_block(blob: bytes, n: int) -> pd.Series:
     return decode_str_block_arrow(blob, n).to_pandas()
 
 
+def str_block_eq_indices(blob: bytes, n: int, value: str) -> np.ndarray:
+    """Row indices where the block equals ``value``, touching as little
+    data as the codec allows: DICT blocks compare the (small)
+    dictionary and scan only the int code stream for the one matching
+    code; RLE blocks compare the dictionary and expand only the
+    matching RUNS into index ranges (non-matching rows never
+    materialize in any form); PLAIN/FSST/WSDICT decode and compare
+    C++-side. The equality-probe analogue of the reference's find
+    (`/root/reference/oroch/integer_array.h:192-208`) for string
+    payloads."""
+    tag = blob[0]
+
+    def _dict_hit(dict_arr: pa.Array):
+        eq = pc.equal(dict_arr, pa.scalar(value, type=dict_arr.type))
+        hits = np.flatnonzero(eq.to_numpy(zero_copy_only=False))
+        return int(hits[0]) if len(hits) else None  # dict entries unique
+
+    if tag == DICT_STR:
+        dict_arr, pos = _read_dict_section(blob, 1)
+        code = _dict_hit(dict_arr)
+        if code is None:
+            return np.empty(0, dtype=np.int64)
+        codes = ic.decode_block(blob[pos:], n, width=4)
+        return np.flatnonzero(codes == code)
+    if tag == RLE_STR:
+        nruns, pos = ic.varint_decode_scalar(blob, 1)
+        rl_blob, pos = _read_sized(blob, pos)
+        run_len = ic.decode_block(rl_blob, nruns, width=4)
+        dict_arr, pos = _read_dict_section(blob, pos)
+        code = _dict_hit(dict_arr)
+        if code is None:
+            return np.empty(0, dtype=np.int64)
+        run_idx = ic.decode_block(blob[pos:], nruns, width=4)
+        starts = np.zeros(nruns, dtype=np.int64)
+        np.cumsum(run_len[:-1], out=starts[1:])
+        hit = np.flatnonzero(run_idx == code)
+        if not len(hit):
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate([np.arange(starts[r], starts[r] + run_len[r])
+                               for r in hit])
+    arr = decode_str_block_arrow(blob, n)
+    eq = pc.equal(arr, pa.scalar(value, type=arr.type))
+    return np.flatnonzero(pc.fill_null(eq, False)
+                          .to_numpy(zero_copy_only=False))
+
+
 def str_block_value_counts(blob: bytes, n: int
                            ) -> tuple[pa.Array, np.ndarray]:
     """Distinct values of one encoded string block with their row

@@ -127,3 +127,49 @@ class TestFsstKernel:
             ["".join(chr(c) for c in rng.integers(1, 256, rng.integers(0, 40)))
              for _ in range(200)], dtype=object)
         roundtrip(vals, text_hint=True)
+
+
+class TestEqIndices:
+    """str_block_eq_indices: equality probe straight off the codec —
+    must agree with decode-then-compare for every codec tag."""
+
+    def _check(self, vals, probe, expect_tag=None):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(list(vals))
+        blob, d = sc.encode_str_block(arr)
+        if expect_tag is not None:
+            assert d.codec == expect_tag
+        got = sc.str_block_eq_indices(blob, len(arr), probe)
+        exp = np.flatnonzero(
+            pc.equal(sc.decode_str_block_arrow(blob, len(arr)),
+                     pa.scalar(probe, type=pa.large_string()))
+            .to_numpy(zero_copy_only=False))
+        assert np.array_equal(got, exp)
+
+    def test_dict_block(self):
+        vals = ["a", "b", "a", "c"] * 100
+        self._check(vals, "a", sc.DICT_STR)
+        self._check(vals, "missing", sc.DICT_STR)
+
+    def test_rle_block(self):
+        vals = ["x"] * 300 + ["y"] * 100 + ["x"] * 41
+        self._check(vals, "x", sc.RLE_STR)
+        self._check(vals, "y", sc.RLE_STR)
+        self._check(vals, "z", sc.RLE_STR)
+
+    def test_plain_block(self):
+        vals = [f"u{i}" for i in range(64)] + ["u7"]
+        self._check(vals, "u7")
+        self._check(vals, "nope")
+
+    def test_wsdict_block(self):
+        import pyarrow as pa
+        rng = np.random.default_rng(3)
+        words = [f"tok{i}" for i in range(40)]
+        vals = [" ".join(rng.choice(words, 12)) for _ in range(300)]
+        vals += [vals[5]]  # a guaranteed duplicate to find
+        blob, d = sc.encode_str_block(pa.array(vals), text_hint=True)
+        got = sc.str_block_eq_indices(blob, len(vals), vals[5])
+        assert 5 in got.tolist() and len(vals) - 1 in got.tolist()
