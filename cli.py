@@ -276,6 +276,53 @@ def cmd_scan(args) -> None:
         spark.stop()
 
 
+def _blocks_and_kinds(args, spark):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from oroch_spark import engine
+
+    blocks = spark.read.parquet(os.path.join(args.out, "blocks"))
+    src_file = args.src if args.src.endswith(".parquet") else \
+        sorted(glob.glob(os.path.join(args.src, "*.parquet")))[0]
+    return blocks, engine.arrow_column_kinds(pq.read_schema(src_file))
+
+
+def cmd_groupby(args) -> None:
+    """GROUP BY --col COUNT(*) (or DISTINCT with --distinct) pushed
+    into the codec: dictionary/RLE blocks never rebuild row values."""
+    from oroch_spark import engine
+
+    spark, own = build_session(args)
+    blocks, kinds = _blocks_and_kinds(args, spark)
+    if args.distinct:
+        out = engine.distinct_values(blocks, kinds, args.col)
+    else:
+        out = engine.group_count(blocks, kinds, args.col) \
+            .orderBy("n_rows", ascending=False)
+    for r in out.limit(args.limit).collect():
+        print(json.dumps(r.asDict(), default=str))
+    if own:
+        spark.stop()
+
+
+def cmd_topk(args) -> None:
+    """ORDER BY lead key LIMIT k decoding only the per-bucket minimal
+    block prefix that provably holds the top k."""
+    from oroch_spark import engine
+
+    spark, own = build_session(args)
+    blocks, kinds = _blocks_and_kinds(args, spark)
+    columns = args.columns.split(",") if args.columns else None
+    out = engine.topk_key(blocks, kinds, args.key, args.k,
+                          ascending=args.asc, columns=columns)
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    if own:
+        spark.stop()
+
+
 def cmd_metrics(args) -> None:
     spark, own = build_session(args)
     m = spark.read.parquet(os.path.join(args.out, "manifest"))
@@ -345,6 +392,25 @@ def main() -> None:
                     help="comma-separated projection (default: all)")
     sc.add_argument("--limit", type=int, default=100)
 
+    gb = sub.add_parser("groupby")
+    common(gb)
+    gb.add_argument("--src", required=True,
+                    help="source parquet dir (schema only)")
+    gb.add_argument("--col", required=True)
+    gb.add_argument("--distinct", action="store_true",
+                    help="emit DISTINCT values instead of counts")
+    gb.add_argument("--limit", type=int, default=100)
+
+    tk = sub.add_parser("topk")
+    common(tk)
+    tk.add_argument("--src", required=True,
+                    help="source parquet dir (schema only)")
+    tk.add_argument("--key", required=True)
+    tk.add_argument("--k", type=int, default=10)
+    tk.add_argument("--asc", action="store_true")
+    tk.add_argument("--columns", default=None,
+                    help="comma-separated projection (default: all)")
+
     d = sub.add_parser("decode")
     common(d)
     d.add_argument("--src", required=True)
@@ -374,6 +440,10 @@ def main() -> None:
         cmd_range_agg(args)
     elif args.cmd == "scan":
         cmd_scan(args)
+    elif args.cmd == "groupby":
+        cmd_groupby(args)
+    elif args.cmd == "topk":
+        cmd_topk(args)
 
 
 if __name__ == "__main__":

@@ -171,3 +171,42 @@ def test_cli_bloom_encode_and_scan(spark, src_dir, tmp_path, capsys):
     b3 = spark.read.parquet(os.path.join(out3, "blocks"))
     assert b3.filter(engine._col_stats("tool")["bm"].isNotNull()) \
         .count() == b3.count()
+
+
+def test_cli_groupby_and_topk(spark, src_dir, tmp_path, capsys):
+    out = str(tmp_path / "enc3")
+    cli.cmd_encode(_ns(spark, src=src_dir, out=out,
+                       keys="conv_id,turn_idx",
+                       text_cols="text", mode="maponly", buckets=8,
+                       block_rows=512, buckets_per_stage=None,
+                       snapshot_id=None))
+    capsys.readouterr()
+    from pyspark.sql import functions as F
+    src = spark.read.parquet(src_dir)
+
+    cli.cmd_groupby(_ns(spark, src=src_dir, out=out, col="role",
+                        distinct=False, limit=100))
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    got = {r["role"]: r["n_rows"] for r in rows}
+    exp = {r["role"]: r["c"] for r in
+           src.groupBy("role").agg(F.count("*").alias("c")).collect()}
+    assert got == exp
+
+    cli.cmd_groupby(_ns(spark, src=src_dir, out=out, col="role",
+                        distinct=True, limit=100))
+    vals = {json.loads(l)["role"] for l in
+            capsys.readouterr().out.strip().splitlines()}
+    assert vals == set(exp)
+
+    cli.cmd_topk(_ns(spark, src=src_dir, out=out, key="conv_id", k=5,
+                     asc=False, columns="conv_id,turn_idx"))
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    exp_rows = [(r["conv_id"], r["turn_idx"]) for r in
+                src.orderBy(F.col("conv_id").desc()).limit(5)
+                .select("conv_id", "turn_idx").collect()]
+    # ties on conv_id (the lead key repeats per turn) make row order
+    # within the key nondeterministic; compare as multisets of keys
+    assert sorted(r["conv_id"] for r in rows) == \
+        sorted(k for k, _ in exp_rows)
