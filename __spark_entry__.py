@@ -328,6 +328,22 @@ def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_events", "min_id", "max_id"))
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the DECODED blocks table
+    (`operators.sessions.session_stats`): projection decode of
+    (event_id, ts, user_id), one shuffle on the entity, two window
+    passes, per-session rollup — deterministic (ts, id) ordering so
+    the DuckDB oracle reproduces session ids exactly."""
+    from oroch_spark.operators import sessions
+
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    dec = engine.decode_df(blocks, kinds,
+                           columns=["event_id", "ts", "user_id"])
+    return sessions.session_stats(dec, gap_seconds=1800)
+
+
 def _transcripts_blocks_path(spark: SparkSession) -> str:
     """Encode+persist the 200-conversation transcript table keyed by
     (conv_id, turn_idx) once; string-keyed lookups run against it."""
@@ -469,6 +485,20 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_row(approx, exact, 10, 9)
 
 
+def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ composed (FAISS IVFADC shape, non-residual): coarse
+    lists restrict the scan, ADC scores 8-byte codes within probed
+    lists, exact rescore of the shortlist. Recall-asserted against the
+    exact scan — probe/shortlist sized for gaussian worst-case
+    embeddings."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = _query_vec(sf_dir)
+    approx = similarity.ann_topk_ivfpq(emb, qv, k=10, n_probe=12,
+                                       ksub=64, shortlist=150)
+    exact = similarity.cosine_topk(emb, qv, k=10, round_to=6)
+    return _recall_row(approx, exact, 10, 9)
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH -> exact-Jaccard verification. Oracle = exhaustive
     all-pairs Jaccard >= threshold in SQL: the query matches iff the
@@ -587,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_where_events": _q_agg_where,
         "lookup_join_events": _q_lookup_join,
         "topk_events": _q_topk_key,
+        "sessionize_events": _q_sessionize,
         "lookup_conv_transcripts": _q_lookup_conv,
         "codec_histogram": _q_codec_histogram,          # rows-only
         "compression_summary": _q_compression_summary,  # rows-only
@@ -599,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         "minhash_dup_pairs": _q_minhash_pairs,
         "simhash_documents": _q_simhash,
         "fingerprint_documents": _q_fingerprint,
@@ -712,6 +744,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "topk_events": """
             SELECT * FROM events ORDER BY event_id DESC LIMIT 10
+        """,
+        "sessionize_events": """
+            WITH marked AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), tagged AS (
+              SELECT user_id, ts, event_id,
+                     SUM(ns) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) - 1
+                         AS session_idx
+              FROM marked
+            )
+            SELECT user_id,
+                   CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS t_start, max(ts) AS t_end,
+                   (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+                       AS duration_s,
+                   CAST(min(event_id) AS BIGINT) AS first_id,
+                   CAST(max(event_id) AS BIGINT) AS last_id
+            FROM tagged GROUP BY user_id, session_idx
         """,
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id, text,
@@ -881,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": "SELECT 10 AS k, TRUE AS recall_ok",
         "ann_ivf_topk": "SELECT 10 AS k, TRUE AS recall_ok",
         "ann_pq_topk": "SELECT 10 AS k, TRUE AS recall_ok",
+        "ann_ivfpq_topk": "SELECT 10 AS k, TRUE AS recall_ok",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings
                        WHERE vec_id = 0),

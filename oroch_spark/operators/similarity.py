@@ -188,6 +188,42 @@ def ann_topk_ivf(df: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ann_topk_ivfpq(df: DataFrame, query_vec: list[float], k: int = 10,
+                   n_centroids: int = 16, n_probe: int = 6,
+                   m: int = 8, ksub: int = 32, shortlist: int = 0,
+                   train_sample: int = 512, iters: int = 5,
+                   seed: int = 42, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """IVF x PQ composed — the FAISS IVFADC retrieval shape
+    (non-residual variant: codes quantize the raw vectors, not the
+    per-list residuals, so one ADC lookup table serves every probed
+    list; residual coding would buy extra precision at the cost of a
+    per-list table). Three stages, each touching less data:
+
+    1. coarse quantizer: k-means lists from a deterministic sample;
+       only the ``n_probe`` lists nearest the query are scanned
+       (n_probe/n_centroids of the corpus);
+    2. ADC: within probed lists, M-byte PQ codes score via driver-built
+       lookup tables — the corpus floats are never read;
+    3. exact rescore of the ``shortlist`` best candidates.
+
+    At 100 TB: stage 1 is a narrow map over list assignments (or a
+    partition-pruned read if the table is list-partitioned), stage 2
+    scans ~3% of raw bytes on ~n_probe/n_centroids of rows, stage 3
+    joins ``shortlist`` rows."""
+    sample = ivf_train_sample(df, train_sample, id_col, vec_col)
+    cent = _kmeans_fit(sample, n_centroids, iters, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probes = np.argsort(((cent - q) ** 2).sum(axis=1))[:n_probe]
+    cand = (ivf_assign(df, cent, id_col, vec_col)
+            .filter(F.col("ivf_list").isin([int(p) for p in probes]))
+            .select(id_col, vec_col))
+    books = pq_train(df, m, ksub, train_sample, iters, seed,
+                     id_col, vec_col)
+    return ann_topk_pq(cand, query_vec, k=k, shortlist=shortlist,
+                       id_col=id_col, vec_col=vec_col, codebooks=books)
+
+
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",

@@ -86,3 +86,15 @@ def test_pq_bad_dims_raise(spark, emb, qvec):
     codes = similarity.pq_encode(emb, books)
     with pytest.raises(ValueError):
         similarity.pq_adc_scores(codes, books, qvec[:32])
+
+
+def test_ivfpq_topk_recall_vs_exact(spark, emb, qvec):
+    """IVF x PQ composed (non-residual IVFADC): probing 12/16 lists and
+    ADC-scoring only within them must still recover >=9 of the exact
+    top-10 on gaussian worst-case embeddings."""
+    exact = {r.vec_id for r in
+             similarity.cosine_topk(emb, qvec, k=10).collect()}
+    approx = {r.vec_id for r in
+              similarity.ann_topk_ivfpq(emb, qvec, k=10, n_probe=12,
+                                        ksub=64, shortlist=150).collect()}
+    assert len(exact & approx) >= 9
