@@ -59,6 +59,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -579,6 +580,84 @@ def stream_sink_blocks(spark, path: str):
 
 
 # ---------------------------------------------------------------------------
+# Streaming reader
+# ---------------------------------------------------------------------------
+
+class _BatchFilePartition(InputPartition):
+    def __init__(self, file: str):
+        self.file = file
+
+
+class OrochStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("oroch")`` over a streaming-sink
+    directory: every committed batch manifest is a source offset, each
+    micro-batch decodes the block files of the newly committed batches
+    — the downstream half of an encoded CDC pipeline (encode upstream
+    with ``writeStream.format("oroch")``, transform downstream as a
+    stream of decoded rows, exactly-once end to end via the two
+    checkpoints).
+
+    Offsets are ``{"batch": n}`` = "batches < n consumed"; a
+    micro-batch covers manifests in [start, end). Partition = one
+    block parquet file (decode is executor-side and embarrassingly
+    parallel); the driver reads manifest JSON only."""
+
+    def __init__(self, options: dict, kinds: list[tuple[str, str]]):
+        self.path = options["path"]
+        self.kinds = kinds
+        self.schema_bytes = _arrow_schema_bytes(kinds)
+
+    def _manifests(self) -> dict[int, list[str]]:
+        out = {}
+        for mf in glob.glob(os.path.join(self.path, _BATCH_DIR,
+                                         "*.json")):
+            with open(mf) as f:
+                doc = json.load(f)
+            out[int(doc["batch_id"])] = doc["files"]
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def latestOffset(self) -> dict:
+        mans = self._manifests()
+        return {"batch": (max(mans) + 1) if mans else 0}
+
+    def partitions(self, start: dict, end: dict):
+        mans = self._manifests()
+        files = [f for b in range(int(start["batch"]), int(end["batch"]))
+                 for f in mans.get(b, ())]
+        return [_BatchFilePartition(os.path.join(self.path, f))
+                for f in files]
+
+    def read(self, partition: _BatchFilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out_schema = pa.ipc.read_schema(pa.py_buffer(self.schema_bytes))
+        tbl = pq.read_table(partition.file,
+                            columns=["n", "payload", "desc"])
+        ns = tbl.column("n").to_pylist()
+        descs = tbl.column("desc").to_pylist()
+        payloads = tbl.column("payload")
+        for i in range(tbl.num_rows):
+            desc = json.loads(descs[i])
+            by_name = {d["n"]: d for d in desc["cols"]}
+            payload = payloads[i].as_py()
+            arrs = []
+            for field in out_schema:
+                d = by_name[field.name]
+                blob = payload[d["o"]:d["o"] + d["l"]]
+                arrs.append(engine._decode_column(
+                    blob, d["k"], int(ns[i]), field.type,
+                    nullable=bool(d.get("z"))))
+            yield pa.RecordBatch.from_arrays(arrs, schema=out_schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # manifests are permanent; the stream checkpoint is enough
+
+
+# ---------------------------------------------------------------------------
 # DataSource
 # ---------------------------------------------------------------------------
 
@@ -607,6 +686,12 @@ class OrochDataSource(DataSource):
     def streamWriter(self, schema, overwrite: bool) -> OrochStreamWriter:
         kinds = engine.column_kinds(schema)
         return OrochStreamWriter(self.options, kinds)
+
+    def streamReader(self, schema) -> OrochStreamReader:
+        doc = read_sidecar(self.options["path"])
+        return OrochStreamReader(self.options,
+                                 _projected_kinds(self.options,
+                                                  doc["kinds"]))
 
 
 def register(spark) -> None:
