@@ -552,20 +552,26 @@ class OrochStreamWriter(DataSourceStreamArrowWriter):
                     os.remove(p)
 
 
-def stream_sink_blocks(spark, path: str):
+def stream_sink_blocks(spark, path: str, as_of_batch: int | None = None):
     """Committed blocks of a ``writeStream.format("oroch")`` sink,
     each tagged with its micro-batch id (the exactly-once view: files
     not named by a batch manifest — aborted or in-flight attempts —
     are invisible). Driver-side work is manifest JSON only,
     O(batches); block bytes stay executor-side. Feed the result to
     ``incremental.read_latest(inc_blocks=...)`` for latest-wins
-    reads, or ``engine.decode_df`` for the raw append-only view."""
+    reads, or ``engine.decode_df`` for the raw append-only view.
+
+    ``as_of_batch`` time-travels: only batches <= it are visible —
+    batch manifests double as immutable snapshots (the Iceberg
+    as-of-snapshot read against this table layout)."""
     from pyspark.sql import functions as F
 
     batches = []
     for mf in sorted(glob.glob(os.path.join(path, _BATCH_DIR, "*.json"))):
         with open(mf) as f:
             batches.append(json.load(f))
+    if as_of_batch is not None:
+        batches = [b for b in batches if b["batch_id"] <= as_of_batch]
     pairs = [(f, b["batch_id"]) for b in batches for f in b["files"]]
     if not pairs:
         raise FileNotFoundError(f"no committed stream batches in {path}")
@@ -577,6 +583,78 @@ def stream_sink_blocks(spark, path: str):
             .withColumn("_file", F.element_at(
                 F.split(F.input_file_name(), "/"), -1))
             .join(F.broadcast(fmap), "_file").drop("_file"))
+
+
+def compact_sink(spark, path: str, n_buckets: int = 32,
+                 block_rows: int = 65536,
+                 latest_wins: bool = True,
+                 tombstone_col: Optional[str] = None) -> dict:
+    """Maintenance compaction for a streaming sink: decode every
+    committed batch, optionally resolve latest-wins (+ tombstone
+    deletes) once and for all, re-encode at full block size, and
+    publish the result as a SINGLE batch manifest carrying the highest
+    existing batch id — replacing all prior manifests. Readers after
+    compaction see identical rows (latest-wins view) with none of the
+    per-read merge cost; the streaming reader's offsets stay monotone
+    because the compacted manifest keeps the top id and later batches
+    continue above it. The small-increment debt of the append-only
+    contract (`streaming/incremental.py`) is paid here, batch-style —
+    the engine's `recompact` applied at the sink boundary.
+
+    Run in a maintenance window: like any file-based compaction
+    without a lock service, a reader racing the manifest swap can see
+    a mixed view. Single writer, same as the sink itself."""
+    from ..streaming import incremental as inc
+
+    doc = read_sidecar(path)
+    kinds, key_cols = doc["kinds"], doc["key_cols"]
+    blocks = stream_sink_blocks(spark, path)
+    top = blocks.agg({"batch_id": "max"}).collect()[0][0]
+    if latest_wins:
+        rows = inc.read_latest(spark, None, kinds, key_cols,
+                               inc_blocks=blocks,
+                               tombstone_col=tombstone_col)
+        out_kinds = [kv for kv in kinds if kv[0] != tombstone_col]
+    else:
+        rows = engine.decode_df(blocks, kinds)
+        out_kinds = kinds
+    tmp_dir = os.path.join(path, f".compact-{uuid.uuid4().hex}")
+    text_cols = [n for n, k in out_kinds if k == "str"]
+    engine.encode_df(rows.select(*[n for n, _ in out_kinds]),
+                     key_cols, n_buckets=n_buckets,
+                     block_rows=block_rows, text_cols=text_cols) \
+        .write.mode("overwrite").parquet(tmp_dir)
+    # land the parts at the sink root (the readers' file layout), with
+    # stream-part-style unique names
+    files = []
+    for f in sorted(glob.glob(os.path.join(tmp_dir, "*.parquet"))):
+        fname = f"stream-compact-{top}-{uuid.uuid4().hex}.parquet"
+        os.replace(f, os.path.join(path, fname))
+        files.append(fname)
+    import shutil
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    bdir = os.path.join(path, _BATCH_DIR)
+    old_manifests = glob.glob(os.path.join(bdir, "*.json"))
+    old_files = set()
+    for mf in old_manifests:
+        with open(mf) as f:
+            old_files.update(json.load(f)["files"])
+    man = {"batch_id": int(top), "files": files, "blocks": len(files),
+           "bytes_in": 0, "bytes_out": 0, "compacted": True}
+    tmp = os.path.join(bdir, f".{top}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(bdir, f"{top}.json"))
+    for mf in old_manifests:
+        if os.path.basename(mf) != f"{top}.json":
+            os.remove(mf)
+    for fn in old_files:
+        p = os.path.join(path, fn)
+        if os.path.exists(p):
+            os.remove(p)
+    if latest_wins and tombstone_col is not None:
+        write_sidecar(path, out_kinds, key_cols)
+    return man
 
 
 # ---------------------------------------------------------------------------

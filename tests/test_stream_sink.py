@@ -117,3 +117,53 @@ def test_stream_reader_decodes_committed_batches(spark, sink, tmp_path):
     # a re-drain with the same checkpoint processes NOTHING new
     drain()
     assert spark.read.parquet(outdir).count() == 151
+
+
+def test_as_of_batch_time_travel(spark, sink):
+    blocks0 = ds.stream_sink_blocks(spark, sink, as_of_batch=0)
+    assert engine.decode_df(blocks0, KINDS).count() == 100  # batch 0 only
+
+
+def test_compact_sink(spark, tmp_path):
+    """Compaction folds all batches into one manifest carrying the top
+    batch id; the latest-wins view is identical before/after, and both
+    the batch reader and a fresh stream drain see the compacted data
+    exactly once."""
+    import glob as g
+
+    srcdir = str(tmp_path / "in")
+    os.makedirs(srcdir)
+    sink2 = str(tmp_path / "sink2")
+    rows1 = [Row(conv_id="c1", turn_idx=i, text=f"t{i}")
+             for i in range(100)]
+    rows2 = [Row(conv_id="c1", turn_idx=0, text="UPDATED")] + \
+        [Row(conv_id="c2", turn_idx=i, text=f"u{i}") for i in range(50)]
+    spark.createDataFrame(rows1, SCHEMA).coalesce(1) \
+        .write.parquet(os.path.join(srcdir, "f1"))
+    spark.createDataFrame(rows2, SCHEMA).coalesce(1) \
+        .write.parquet(os.path.join(srcdir, "f2"))
+    q = (spark.readStream.schema(SCHEMA)
+         .option("maxFilesPerTrigger", "1").parquet(srcdir + "/*")
+         .writeStream.format("oroch").option("path", sink2)
+         .option("key_cols", "conv_id,turn_idx")
+         .option("text_cols", "text")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    before = inc.read_latest(
+        spark, None, KINDS, ["conv_id", "turn_idx"],
+        inc_blocks=ds.stream_sink_blocks(spark, sink2)) \
+        .orderBy("conv_id", "turn_idx").toPandas()
+    man = ds.compact_sink(spark, sink2, n_buckets=2, block_rows=64)
+    assert man["batch_id"] == 1 and man["compacted"]
+    mans = g.glob(os.path.join(sink2, "_batches", "*.json"))
+    assert [os.path.basename(m) for m in mans] == ["1.json"]
+    after = inc.read_latest(
+        spark, None, KINDS, ["conv_id", "turn_idx"],
+        inc_blocks=ds.stream_sink_blocks(spark, sink2)) \
+        .orderBy("conv_id", "turn_idx").toPandas()
+    assert before.equals(after)
+    assert spark.read.format("oroch").load(sink2).count() == 150
+    assert after[(after.conv_id == "c1")
+                 & (after.turn_idx == 0)].text.iloc[0] == "UPDATED"
