@@ -253,3 +253,26 @@ def test_topk_prunes_blocks(spark):
         assert got == list(range(4095, 4085, -1))
     finally:
         blocks.unpersist()
+
+
+def test_topk_plan_never_shuffles_payload(spark, events):
+    """Regression pin for the plan shape: the only shuffle Exchange in
+    topk_key's plan is over the metadata projection — the payload
+    column must never appear in any Exchange input."""
+    import contextlib
+    import io
+    import re
+
+    src, blocks, kinds = events
+    df = engine.topk_key(blocks, kinds, "event_id", 10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # detail section: "(5) Exchange\nInput [...]: [...]"
+    for m in re.finditer(r"\(\d+\) Exchange\nInput[^\n]*\n"
+                         r"Arguments[^\n]*", plan):
+        assert "payload" not in m.group(0)
+    shuffles = re.findall(r"\(\d+\) Exchange\nInput \[(\d+)\]", plan)
+    assert len(shuffles) == 1  # exactly one (metadata) shuffle
+    assert int(shuffles[0]) <= 6  # narrow projection, not the table
