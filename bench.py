@@ -184,6 +184,40 @@ def main() -> None:
               multimodal.media_from_documents(docs)).count(),
           required=False)
 
+    # --- pushdown query surface over a persisted blocks table -----------
+    # (encode once outside the timings; each op then demonstrates its
+    # prune: ms-scale answers against the same table the scans pay
+    # seconds for)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_kinds = engine.column_kinds(events.schema)
+    ev_blocks_dir = os.path.join(tempfile.gettempdir(),
+                                 f"oroch_bench_evblocks_{sf}")
+    if not os.path.exists(os.path.join(ev_blocks_dir, "_SUCCESS")):
+        engine.encode_df(events, ["event_id"], n_buckets=N_BUCKETS,
+                         block_rows=65536) \
+            .write.mode("overwrite").parquet(ev_blocks_dir)
+    ev_blocks = spark.read.parquet(ev_blocks_dir)
+    timed("lookup_point",
+          lambda: engine.lookup(ev_blocks, ev_kinds, "event_id",
+                                4242).collect(), required=False)
+    timed("range_agg",
+          lambda: engine.range_agg(ev_blocks, ev_kinds, "event_id",
+                                   1000, 500000, "user_id").collect(),
+          required=False)
+    timed("group_count",
+          lambda: engine.group_count(ev_blocks, ev_kinds,
+                                     "event_type").collect(),
+          required=False)
+    timed("topk_key",
+          lambda: engine.topk_key(ev_blocks, ev_kinds, "event_id",
+                                  10).collect(), required=False)
+    timed("lookup_join",
+          lambda: engine.lookup_join(
+              ev_blocks, ev_kinds, "event_id",
+              events.filter(F.col("event_type") == "signup")
+              .select("event_id").limit(1000)).count(),
+          required=False)
+
     # --- single-thread kernel throughput (noise-robust comparable) ------
     # The 32-thread wall clock on this overcommitted host (32 vCPU ~
     # 8-11 real cores) swings with co-tenant load minute to minute; a
