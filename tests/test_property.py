@@ -68,3 +68,34 @@ def test_varint_roundtrip(vals):
     back, consumed = ic.varint_decode(buf, len(u))
     assert consumed == len(buf)
     np.testing.assert_array_equal(u, back)
+
+
+_STR_BLOCKS = st.lists(
+    st.text(min_size=0, max_size=24), min_size=1, max_size=200)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_STR_BLOCKS, st.booleans())
+def test_value_counts_matches_decode(vals, text_hint):
+    """str_block_value_counts must agree with decode-then-count for
+    every codec the selector may pick (dict/RLE shortcuts included)."""
+    import collections
+
+    blob, _ = sc.encode_str_block(pa.array(vals), text_hint=text_hint)
+    got_v, got_c = sc.str_block_value_counts(blob, len(vals))
+    got = dict(zip(got_v.to_pylist(), got_c.tolist()))
+    assert got == dict(collections.Counter(vals))
+
+
+@settings(max_examples=150, deadline=None)
+@given(_STR_BLOCKS, st.booleans(), st.data())
+def test_eq_indices_matches_decode(vals, text_hint, data):
+    """str_block_eq_indices must agree with decode-then-compare for a
+    probe drawn from the block (guaranteed hits) and a probe that is
+    not in it (guaranteed miss)."""
+    blob, _ = sc.encode_str_block(pa.array(vals), text_hint=text_hint)
+    present = data.draw(st.sampled_from(vals))
+    for probe in (present, "\x00definitely-not-present\x00"):
+        got = sc.str_block_eq_indices(blob, len(vals), probe)
+        exp = [i for i, v in enumerate(vals) if v == probe]
+        assert got.tolist() == exp
