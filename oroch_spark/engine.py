@@ -1544,6 +1544,24 @@ def bloom_keep_cond(col: str, value, kind: str):
     return bm.isNull() | hit
 
 
+def bloom_might_contain(bm_b64: Optional[str], value, kind: str) -> bool:
+    """Python-side probe of a block's stored Bloom filter — the same
+    double-hash positions the JVM probe (:func:`bloom_keep_cond`)
+    tests, for callers that hold the descriptor outside a Spark plan
+    (the DataSource reader). Missing filter => True (cannot prune)."""
+    if not bm_b64:
+        return True
+    bloom = np.frombuffer(base64.b64decode(bm_b64), dtype=np.uint8)
+    m_bits = len(bloom) * 8
+    h1 = int(_bloom_hash_vals(value, kind)[0])
+    h2 = int(_mix64(np.array([h1], dtype=np.uint64))[0])
+    for i in range(_BLOOM_K):
+        pos = ((h1 + i * h2) % (1 << 64)) % m_bits
+        if not (int(bloom[pos >> 3]) >> (pos & 7)) & 1:
+            return False
+    return True
+
+
 def lookup_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
                  col: str, value,
                  columns: Optional[list[str]] = None) -> DataFrame:

@@ -150,30 +150,35 @@ class _KeyPred:
     raw: tuple = ()                # original literals for row filtering
 
 
-def _translate(filters: list["Filter"], key_col: str):
-    """Split filters into (accepted, unsupported, pred). A filter is
-    accepted only if the reader can enforce it EXACTLY (Spark does not
-    re-apply accepted filters)."""
-    pred = _KeyPred(raw=())
+def _translate(filters: list["Filter"], cols_ok: set[str]):
+    """Split filters into (accepted, unsupported, {col: pred}). A
+    filter is accepted only if the reader can enforce it EXACTLY
+    (Spark does not re-apply accepted filters): single-column
+    =/IN/</<=/>/>= on any projected string/integer-domain column."""
+    preds: dict[str, _KeyPred] = {}
     accepted: list[Filter] = []
     unsupported: list[Filter] = []
-    raw: list[tuple] = []
+    raws: dict[str, list] = {}
 
-    def bump_lo(d, inclusive):
+    def bump_lo(pred, d, inclusive):
         lo = d if inclusive else (d + 1 if isinstance(d, int) else d)
         if pred.lo is None or lo > pred.lo:
             pred.lo = lo
 
-    def bump_hi(d, inclusive):
+    def bump_hi(pred, d, inclusive):
         hi = d if inclusive else (d - 1 if isinstance(d, int) else d)
         if pred.hi is None or hi < pred.hi:
             pred.hi = hi
 
     for f in filters:
         attr = getattr(f, "attribute", None)
-        if attr is None or tuple(attr) != (key_col,):
+        if attr is None or len(tuple(attr)) != 1 \
+                or tuple(attr)[0] not in cols_ok:
             unsupported.append(f)
             continue
+        col = tuple(attr)[0]
+        pred = preds.setdefault(col, _KeyPred(raw=()))
+        raw = raws.setdefault(col, [])
         if isinstance(f, EqualTo):
             d = _domain_of(f.value)
             if d is None:
@@ -199,22 +204,30 @@ def _translate(filters: list["Filter"], key_col: str):
                 unsupported.append(f)
                 continue
             if isinstance(f, GreaterThan):
-                bump_lo(d, inclusive=False)
+                bump_lo(pred, d, inclusive=False)
                 raw.append((">", f.value))
             elif isinstance(f, GreaterThanOrEqual):
-                bump_lo(d, inclusive=True)
+                bump_lo(pred, d, inclusive=True)
                 raw.append((">=", f.value))
             elif isinstance(f, LessThan):
-                bump_hi(d, inclusive=False)
+                bump_hi(pred, d, inclusive=False)
                 raw.append(("<", f.value))
             else:
-                bump_hi(d, inclusive=True)
+                bump_hi(pred, d, inclusive=True)
                 raw.append(("<=", f.value))
             accepted.append(f)
         else:
             unsupported.append(f)
-    pred.raw = tuple(raw)
-    return accepted, unsupported, pred
+    for col, pred in preds.items():
+        pred.raw = tuple(raws.get(col, ()))
+    preds = {c: p for c, p in preds.items() if p.raw}
+    return accepted, unsupported, preds
+
+
+def _pred_is_str(pred: _KeyPred) -> bool:
+    probe = (pred.values[0] if pred.values else
+             pred.lo if pred.lo is not None else pred.hi)
+    return isinstance(probe, str)
 
 
 def _stats_overlap(stats_lo, stats_hi, pred: _KeyPred) -> bool:
@@ -259,6 +272,10 @@ def _projected_kinds(options: dict,
     return [(c, by_name[c]) for c in want]
 
 
+_PRUNABLE_KINDS = ("str", "i8", "i16", "i32", "i64", "ts", "date",
+                   "bool")
+
+
 class OrochReader(DataSourceReader):
     def __init__(self, options: dict, kinds: list[tuple[str, str]],
                  key_cols: list[str]):
@@ -266,55 +283,62 @@ class OrochReader(DataSourceReader):
         self.key_col = key_cols[0]
         self.kinds = _projected_kinds(options, kinds)
         self.schema_bytes = _arrow_schema_bytes(self.kinds)
-        self.pred = _KeyPred(raw=())
+        self.preds: dict[str, _KeyPred] = {}
 
     # -- pushdown ----------------------------------------------------------
     def pushFilters(self, filters: list["Filter"]) -> Iterator["Filter"]:
-        accepted, unsupported, pred = _translate(filters, self.key_col)
-        if self.key_col not in dict(self.kinds):
-            # key not in the projection: we could still block-prune,
-            # but exact enforcement needs the decoded key — decline.
-            return iter(filters)
-        self.pred = pred
+        # accept single-column predicates on ANY projected column with
+        # a string/integer prune domain — exact enforcement decodes the
+        # column anyway; the win is the per-block desc-stats + Bloom
+        # skip (and row-group stats for the lead key / materialized
+        # secondary bounds)
+        cols_ok = {n for n, k in self.kinds if k in _PRUNABLE_KINDS}
+        accepted, unsupported, preds = _translate(filters, cols_ok)
+        self.preds = preds
         return iter(unsupported)
 
     # -- planning ----------------------------------------------------------
     def partitions(self) -> list[InputPartition]:
         import pyarrow.parquet as pq
 
-        lo_col, hi_col = (("key_slo", "key_shi") if self._is_str_domain()
-                          else ("key_lo", "key_hi"))
         parts: list[InputPartition] = []
         for fpath in sorted(glob.glob(os.path.join(self.path,
                                                    "*.parquet"))):
             md = pq.ParquetFile(fpath).metadata
             name_to_idx = {md.schema.column(i).name: i
                            for i in range(md.num_columns)}
-            ilo, ihi = name_to_idx.get(lo_col), name_to_idx.get(hi_col)
+
+            def rg_bounds(rg, lo_col, hi_col):
+                ilo, ihi = name_to_idx.get(lo_col), name_to_idx.get(hi_col)
+                if ilo is None or ihi is None:
+                    return None, None
+                slo = md.row_group(rg).column(ilo).statistics
+                shi = md.row_group(rg).column(ihi).statistics
+                return (slo.min if slo is not None and slo.has_min_max
+                        else None,
+                        shi.max if shi is not None and shi.has_min_max
+                        else None)
+
             for rg in range(md.num_row_groups):
-                if self._has_pred() and ilo is not None and ihi is not None:
-                    slo = md.row_group(rg).column(ilo).statistics
-                    shi = md.row_group(rg).column(ihi).statistics
-                    lo = slo.min if slo is not None and slo.has_min_max \
-                        else None
-                    hi = shi.max if shi is not None and shi.has_min_max \
-                        else None
+                keep = True
+                for col, pred in self.preds.items():
+                    if col == self.key_col:
+                        lo_col, hi_col = (("key_slo", "key_shi")
+                                          if _pred_is_str(pred)
+                                          else ("key_lo", "key_hi"))
+                    else:
+                        # materialized secondary bounds (engine
+                        # .with_stat_columns), when the table has them
+                        lo_col, hi_col = f"{col}__lo", f"{col}__hi"
+                    lo, hi = rg_bounds(rg, lo_col, hi_col)
                     # row-group stats of the BOUNDS columns: the widest
-                    # key interval any block in the group spans
-                    if not _stats_overlap(lo, hi, self.pred):
-                        continue
-                parts.append(_RGPartition(fpath, rg))
+                    # interval any block in the group spans
+                    if not _stats_overlap(lo, hi, pred):
+                        keep = False
+                        break
+                if keep:
+                    parts.append(_RGPartition(fpath, rg))
         return parts
-
-    def _has_pred(self) -> bool:
-        p = self.pred
-        return p.lo is not None or p.hi is not None or p.values is not None
-
-    def _is_str_domain(self) -> bool:
-        p = self.pred
-        probe = (p.values[0] if p.values else
-                 p.lo if p.lo is not None else p.hi)
-        return isinstance(probe, str)
 
     # -- execution ---------------------------------------------------------
     def read(self, partition: _RGPartition) -> Iterator:
@@ -322,22 +346,56 @@ class OrochReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         out_schema = pa.ipc.read_schema(pa.py_buffer(self.schema_bytes))
-        cols = _META_COLS + ["payload", "desc"]
-        tbl = pq.ParquetFile(partition.file).read_row_group(
-            partition.row_group, columns=cols)
-        n_arr = tbl.column("n").to_pylist()
-        lo_name = "key_slo" if self._is_str_domain() else "key_lo"
-        hi_name = "key_shi" if self._is_str_domain() else "key_hi"
-        blos = tbl.column(lo_name).to_pylist()
-        bhis = tbl.column(hi_name).to_pylist()
-        descs = tbl.column("desc").to_pylist()
-        payloads = tbl.column("payload")
-        has_pred = self._has_pred()
-        for i in range(tbl.num_rows):
-            if has_pred and not _stats_overlap(blos[i], bhis[i],
-                                               self.pred):
-                continue  # zone-map block skip
-            desc = json.loads(descs[i])
+        pf = pq.ParquetFile(partition.file)
+        # metadata first: if every block in the group is pruned, the
+        # payload column's bytes are never read at all
+        meta = pf.read_row_group(partition.row_group,
+                                 columns=_META_COLS + ["desc"])
+        n_arr = meta.column("n").to_pylist()
+        descs = meta.column("desc").to_pylist()
+        kind_of = dict(self.kinds)
+        keep_rows: list[tuple[int, dict]] = []
+        for i in range(meta.num_rows):
+            desc = None
+            keep = True
+            for col, pred in self.preds.items():
+                if col == self.key_col:
+                    sname = ("key_slo", "key_shi") if _pred_is_str(pred) \
+                        else ("key_lo", "key_hi")
+                    blo = meta.column(sname[0])[i].as_py()
+                    bhi = meta.column(sname[1])[i].as_py()
+                    if not _stats_overlap(blo, bhi, pred):
+                        keep = False
+                        break
+                    continue
+                if desc is None:
+                    desc = json.loads(descs[i])
+                d = next((c for c in desc["cols"] if c["n"] == col), None)
+                if d is None:
+                    continue
+                if _pred_is_str(pred):
+                    blo, bhi = d.get("slo"), d.get("shi")
+                else:
+                    blo, bhi = d.get("lo"), d.get("hi")
+                if not _stats_overlap(blo, bhi, pred):
+                    keep = False
+                    break
+                if pred.values and d.get("bm") and not any(
+                        engine.bloom_might_contain(d["bm"], v,
+                                                   kind_of[col])
+                        for v in pred.values):
+                    keep = False
+                    break
+            if keep:
+                if desc is None:
+                    desc = json.loads(descs[i])
+                keep_rows.append((i, desc))
+        if not keep_rows:
+            return
+        payloads = pf.read_row_group(partition.row_group,
+                                     columns=["payload"]) \
+            .column("payload")
+        for i, desc in keep_rows:
             by_name = {d["n"]: d for d in desc["cols"]}
             payload = payloads[i].as_py()
             n = int(n_arr[i])
@@ -349,33 +407,35 @@ class OrochReader(DataSourceReader):
                     blob, d["k"], n, field.type,
                     nullable=bool(d.get("z"))))
             batch = pa.RecordBatch.from_arrays(arrs, schema=out_schema)
-            if has_pred:
+            if self.preds:
                 batch = self._exact_filter(batch)
             if batch.num_rows:
                 yield batch
 
     def _exact_filter(self, batch):
         """Enforce the ACCEPTED filters exactly (Spark won't re-apply
-        them): compare the decoded key column against the original
-        literals in Arrow."""
+        them): compare each decoded predicate column against the
+        original literals in Arrow."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        key = batch.column(self.key_col)
         mask = None
 
         def also(m):
             nonlocal mask
             mask = m if mask is None else pc.and_(mask, m)
 
-        for op, v in self.pred.raw:
-            if op == "in":
-                vs = pa.array(list(v), type=key.type)
-                also(pc.is_in(key, value_set=vs))
-            else:
-                s = pa.scalar(v, type=key.type)
-                also({"<": pc.less, "<=": pc.less_equal,
-                      ">": pc.greater, ">=": pc.greater_equal}[op](key, s))
+        for col, pred in self.preds.items():
+            arr = batch.column(col)
+            for op, v in pred.raw:
+                if op == "in":
+                    vs = pa.array(list(v), type=arr.type)
+                    also(pc.is_in(arr, value_set=vs))
+                else:
+                    s = pa.scalar(v, type=arr.type)
+                    also({"<": pc.less, "<=": pc.less_equal,
+                          ">": pc.greater,
+                          ">=": pc.greater_equal}[op](arr, s))
         return batch.filter(mask) if mask is not None else batch
 
 

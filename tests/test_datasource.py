@@ -212,3 +212,43 @@ def test_sidecar_publish_existing_blocks_dir(dsspark, tmp_path):
     a = src.orderBy("n_nationkey").toPandas()
     b = back.orderBy("n_nationkey").toPandas()[a.columns.tolist()]
     assert a.equals(b)
+
+
+def test_secondary_column_pushdown(dsspark, events_table):
+    """Predicates on NON-key columns are accepted and enforced by the
+    reader: desc-stats + Bloom prune blocks, exact Arrow filter on the
+    decoded column — results equal a plain source filter, with no
+    residual Spark Filter node."""
+    import contextlib
+    import io
+
+    path, src = events_table
+    back = dsspark.read.format("oroch").load(path)
+    for cond in ["event_type = 'signup'",
+                 "user_id >= 3 AND user_id <= 5",
+                 "props = '{\"k\": 42}'",
+                 "event_id BETWEEN 100 AND 200 AND event_type = 'click'"]:
+        a = back.filter(cond).toPandas().sort_values("event_id") \
+            .reset_index(drop=True)
+        b = src.filter(cond).toPandas().sort_values("event_id") \
+            .reset_index(drop=True)
+        assert a.equals(b[a.columns.tolist()]), cond
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter("event_type = 'signup'").explain()
+    # no residual Filter NODE — the predicate is fully absorbed
+    assert "+- Filter" not in buf.getvalue()
+    assert not buf.getvalue().lstrip("= Physical Plan\n").startswith(
+        "Filter")
+
+
+def test_secondary_pushdown_never_false_negative(dsspark, events_table):
+    """A probe value absent from the table returns empty (all blocks
+    Bloom/stats-pruned) but never errors, and a present-but-rare value
+    is found."""
+    path, src = events_table
+    back = dsspark.read.format("oroch").load(path)
+    assert back.filter("props = 'no-such-json'").count() == 0
+    probe = src.select("props").first()["props"]
+    assert back.filter(F.col("props") == probe).count() == \
+        src.filter(F.col("props") == probe).count()
