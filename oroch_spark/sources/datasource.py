@@ -6,16 +6,21 @@ Everything the engine exposes as library calls (``engine.decode_df``,
 ``spark.read.format("oroch")`` at an encoded table directory and gets
 decoded rows with
 
-- **filter pushdown** (`DataSourceReader.pushFilters`): predicates on
-  the leading key column (=, <, <=, >, >=, IN) are accepted by the
-  reader and enforced in two stages — parquet *row-group statistics*
-  on the ``key_lo/key_hi`` (``key_slo/key_shi`` for string keys)
-  bounds columns skip whole groups of blocks driver-side before any
-  payload bytes are read, then the surviving blocks are pruned
-  row-by-row against the same zone maps and the decoded rows are
-  filtered exactly. This mirrors the reference's metadata-pruned
-  ``find`` (`/root/reference/oroch/integer_array.h:71-136`) at the
-  Spark source boundary.
+- **filter pushdown** (`DataSourceReader.pushFilters`): single-column
+  predicates (=, <, <=, >, >=, IN) on ANY projected string/int-domain
+  column — not just the lead key — are accepted and enforced in three
+  stages: parquet *row-group statistics* (the ``key_lo/key_hi`` /
+  ``key_slo/key_shi`` bounds columns for the key; materialized
+  ``<col>__lo/__hi`` columns for secondary predicates when the table
+  carries them) skip whole groups of blocks driver-side; surviving
+  blocks are pruned against the per-block desc stats and Bloom
+  filters BEFORE the payload column is read (a fully-pruned row
+  group never reads payload bytes); the decoded rows are then
+  filtered exactly in Arrow, so accepted filters are fully absorbed
+  (no residual Spark Filter node). This mirrors the reference's
+  metadata-pruned ``find`` (`/root/reference/oroch/
+  integer_array.h:71-136`) at the Spark source boundary, extended
+  with the engine's secondary zone maps and Blooms.
 - **partition-per-row-group parallelism**: each surviving (file,
   row-group) pair is one ``InputPartition``, so decode scales out to
   however many executors the cluster has — no driver-side decode.
