@@ -276,3 +276,31 @@ def test_topk_plan_never_shuffles_payload(spark, events):
     shuffles = re.findall(r"\(\d+\) Exchange\nInput \[(\d+)\]", plan)
     assert len(shuffles) == 1  # exactly one (metadata) shuffle
     assert int(shuffles[0]) <= 6  # narrow projection, not the table
+
+
+def test_topk_string_key(spark):
+    rows = [Row(name=f"conv-{i:04d}", v=i) for i in range(1000)]
+    src = spark.createDataFrame(rows)
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["name"], n_buckets=2, block_rows=128)
+    got = [r["name"] for r in engine.topk_key(blocks, kinds, "name",
+                                              5).collect()]
+    assert got == [f"conv-{i:04d}" for i in range(999, 994, -1)]
+    got_a = [r["name"] for r in engine.topk_key(
+        blocks, kinds, "name", 5, ascending=True).collect()]
+    assert got_a == [f"conv-{i:04d}" for i in range(5)]
+
+
+def test_agg_where_string_predicate(spark):
+    rows = [Row(name=f"u-{i % 7}", v=i) for i in range(700)]
+    src = spark.createDataFrame(rows)
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["name"], n_buckets=2, block_rows=64)
+    got = engine.agg_where(blocks, kinds, "name", "u-2", "u-4",
+                           "v").collect()[0]
+    exp = (src.filter("name BETWEEN 'u-2' AND 'u-4'")
+              .agg(F.count("*").alias("n"), F.sum("v").alias("s"),
+                   F.min("v").alias("lo"), F.max("v").alias("hi"))
+              .collect()[0])
+    assert (got["n_rows"], got["sum_v"], got["min_v"], got["max_v"]) == \
+        (exp["n"], exp["s"], exp["lo"], exp["hi"])
