@@ -917,6 +917,11 @@ def make_decode_fn(kinds: list[tuple[str, str]], arrow_schema_bytes: bytes,
                         cols.append(_decode_column(
                             blob, d["k"], n, field.type,
                             nullable=bool(d.get("z"))))
+                    elif field.name in wanted:
+                        # schema evolution: a column ADDED after this
+                        # block was written — null-fill (Iceberg
+                        # add-column semantics; old data has no value)
+                        cols.append(pa.nulls(n, type=field.type))
                     else:  # block-level passthrough, replicated n times
                         cols.append(pa.repeat(
                             batch.column(field.name)[i], n)

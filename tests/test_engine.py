@@ -287,3 +287,22 @@ class TestGenerator:
                                      "tool", "ts"]
         assert pdf.groupby("conv_id").turn_idx.is_monotonic_increasing.all()
         assert (pdf.loc[pdf.role != "tool", "tool"] == "").all()
+
+
+def test_decode_schema_evolution_null_fills_added_column(spark):
+    """Iceberg add-column semantics: blocks written before a column
+    existed decode with NULLs for it, so old and new snapshots union
+    under the widened schema."""
+    from pyspark.sql import Row
+
+    old = spark.createDataFrame([Row(k=i, a=i * 2) for i in range(100)])
+    new = spark.createDataFrame(
+        [Row(k=i, a=i * 2, b=f"x{i}") for i in range(100, 150)])
+    old_blocks = engine.encode_df(old, ["k"], n_buckets=2, block_rows=32)
+    new_blocks = engine.encode_df(new, ["k"], n_buckets=2, block_rows=32)
+    kinds_v2 = engine.column_kinds(new.schema)
+    dec = engine.decode_df(old_blocks.unionByName(new_blocks), kinds_v2)
+    assert dec.count() == 150
+    assert dec.filter("b IS NULL").count() == 100
+    assert dec.filter("k = 120").collect()[0]["b"] == "x120"
+    assert dec.filter("k = 20").collect()[0]["a"] == 40
