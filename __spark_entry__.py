@@ -328,6 +328,19 @@ def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_events", "min_id", "max_id"))
 
 
+def _q_null_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL aggregate from metadata (`engine.null_count`): a
+    derived nullable column encodes with its exact per-block null
+    count in the descriptor (the validity bitmap pays the popcount at
+    encode); the count is then answered without touching a payload
+    byte."""
+    src = _read(spark, sf_dir, "events").withColumn(
+        "maybe", F.expr("nullif(event_type, 'click')"))
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["event_id"], n_buckets=8)
+    return engine.null_count(blocks, kinds, "maybe")
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the DECODED blocks table
     (`operators.sessions.session_stats`): projection decode of
@@ -618,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_join_events": _q_lookup_join,
         "topk_events": _q_topk_key,
         "sessionize_events": _q_sessionize,
+        "null_count_events": _q_null_count,
         "lookup_conv_transcripts": _q_lookup_conv,
         "codec_histogram": _q_codec_histogram,          # rows-only
         "compression_summary": _q_compression_summary,  # rows-only
@@ -744,6 +758,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "topk_events": """
             SELECT * FROM events ORDER BY event_id DESC LIMIT 10
+        """,
+        "null_count_events": """
+            SELECT CAST(sum(CASE WHEN nullif(event_type, 'click')
+                                 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_nulls FROM events
         """,
         "sessionize_events": """
             WITH marked AS (

@@ -782,6 +782,11 @@ def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
         arr = table.column(name).combine_chunks()
         blob, d, b_in, b_ref = _encode_column(arr, kind, name in text_cols,
                                               name=name)
+        if arr.null_count:
+            # exact null count per nullable column: IS NULL aggregates
+            # answer from metadata (the validity bitmap already paid
+            # for the popcount)
+            d["nc"] = int(arr.null_count)
         d["o"] = sum(len(p) for p in pieces)
         d["l"] = len(blob)
         d["n"] = name
@@ -1381,6 +1386,8 @@ _STATS_JSON_SCHEMA = T.StructType([T.StructField("cols", T.ArrayType(
         T.StructField("bm", T.StringType()),  # base64 Bloom bytes
         T.StructField("slo", T.StringType()),  # lexicographic bounds
         T.StructField("shi", T.StringType()),
+        T.StructField("z", T.IntegerType()),   # nullable flag
+        T.StructField("nc", T.LongType()),     # exact null count
     ])))])
 
 
@@ -1423,10 +1430,37 @@ def range_agg(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
 
 
 def _col_stats(agg_col: str):
-    """(lo, hi, s) struct of ``agg_col`` from the desc JSON, null when
-    the column has no stored stats (nullable column / legacy block)."""
-    return F.filter(F.from_json(F.col("desc"), _STATS_JSON_SCHEMA)["cols"],
-                    lambda c: c["n"] == F.lit(agg_col))[0]
+    """Stats struct of ``agg_col`` from the desc JSON; null when the
+    column has no stored stats (legacy block) or is absent from the
+    block entirely (schema evolution) — F.get, not [0], so the empty
+    match is NULL instead of an ANSI index error."""
+    return F.get(
+        F.filter(F.from_json(F.col("desc"), _STATS_JSON_SCHEMA)["cols"],
+                 lambda c: c["n"] == F.lit(agg_col)), 0)
+
+
+def null_count(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+               col: str) -> DataFrame:
+    """COUNT(*) WHERE ``col`` IS NULL, answered from block metadata:
+    non-nullable blocks contribute 0, nullable blocks their exact
+    stored ``nc`` (the validity bitmap already paid for the popcount
+    at encode), and blocks written before the column existed (schema
+    evolution) contribute their full row count — all without touching
+    a payload byte. Only legacy nullable blocks lacking the stat
+    decode, and then only ``col``. One row out: ``n_nulls``."""
+    st = _col_stats(col)
+    exact = (F.when(st.isNull(), F.col("n"))          # column absent
+              .when(st["z"].isNull(), F.lit(0))       # non-nullable
+              .otherwise(st["nc"]))                   # stored count
+    interior = blocks.filter(exact.isNotNull()) \
+        .select(exact.cast("long").alias("_c"))
+    legacy = blocks.filter(exact.isNull())
+    boundary = (decode_df(legacy, schema_kinds, columns=[col])
+                .filter(F.col(col).isNull())
+                .select(F.lit(1).cast("long").alias("_c")))
+    return (interior.unionByName(boundary)
+            .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long")
+                 .alias("n_nulls")))
 
 
 def with_stat_columns(blocks: DataFrame, cols: list[str]) -> DataFrame:

@@ -328,3 +328,37 @@ def test_count_where_string_and_empty(spark):
     assert engine.count_where(blocks, kinds, "user_id", -9, -1) \
         .collect()[0].n_rows == 0
     blocks.unpersist()
+
+
+def test_null_count_from_metadata(spark):
+    from pyspark.sql import Row, functions as F
+
+    from oroch_spark import engine
+
+    rows = [Row(k=i, v=(None if i % 3 == 0 else f"s{i}"))
+            for i in range(900)]
+    src = spark.createDataFrame(rows, "k long, v string")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["k"], n_buckets=2, block_rows=64)
+    got = engine.null_count(blocks, kinds, "v").collect()[0]["n_nulls"]
+    assert got == 300
+    # non-nullable column: zero, still metadata-only
+    assert engine.null_count(blocks, kinds, "k") \
+        .collect()[0]["n_nulls"] == 0
+
+
+def test_null_count_schema_evolution_counts_absent_column(spark):
+    from pyspark.sql import Row
+
+    from oroch_spark import engine
+
+    old = spark.createDataFrame([Row(k=i) for i in range(50)], "k long")
+    new = spark.createDataFrame([Row(k=i, b=f"x{i}")
+                                 for i in range(50, 80)],
+                                "k long, b string")
+    blocks = engine.encode_df(old, ["k"], n_buckets=1, block_rows=16) \
+        .unionByName(engine.encode_df(new, ["k"], n_buckets=1,
+                                      block_rows=16))
+    kinds = [("k", "i64"), ("b", "str")]
+    got = engine.null_count(blocks, kinds, "b").collect()[0]["n_nulls"]
+    assert got == 50  # every pre-evolution row is null under the new schema
