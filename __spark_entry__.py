@@ -328,6 +328,16 @@ def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_events", "min_id", "max_id"))
 
 
+def _q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full GROUP BY aggregate pushdown (`engine.group_agg`): per
+    block, Arrow's C++ hash group-by reduces (event_type, user_id) to
+    one partial row per group; the one exchange carries O(groups)."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    return engine.group_agg(blocks, kinds, "event_type", "user_id")
+
+
 def _q_null_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IS NULL aggregate from metadata (`engine.null_count`): a
     derived nullable column encodes with its exact per-block null
@@ -632,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events": _q_topk_key,
         "sessionize_events": _q_sessionize,
         "null_count_events": _q_null_count,
+        "group_agg_events": _q_group_agg,
         "lookup_conv_transcripts": _q_lookup_conv,
         "codec_histogram": _q_codec_histogram,          # rows-only
         "compression_summary": _q_compression_summary,  # rows-only
@@ -758,6 +769,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "topk_events": """
             SELECT * FROM events ORDER BY event_id DESC LIMIT 10
+        """,
+        "group_agg_events": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(user_id) AS BIGINT) AS sum_v,
+                   CAST(min(user_id) AS BIGINT) AS min_v,
+                   CAST(max(user_id) AS BIGINT) AS max_v
+            FROM events GROUP BY event_type
         """,
         "null_count_events": """
             SELECT CAST(sum(CASE WHEN nullif(event_type, 'click')

@@ -1893,6 +1893,102 @@ def distinct_values(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
             .select(col).distinct())
 
 
+def make_group_agg_fn(group_cols: list[str], agg_col: Optional[str],
+                      arrow_schema_bytes: bytes):
+    """mapInArrow kernel behind :func:`group_agg`: per block, decode
+    only the group + aggregate columns (projection into the block
+    format) and reduce them C++-side with Arrow's hash group-by — one
+    partial row per distinct group per block reaches the JVM."""
+
+    def agg_blocks(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        out_schema = pa.ipc.read_schema(pa.py_buffer(arrow_schema_bytes))
+        need = list(group_cols) + ([agg_col] if agg_col else [])
+        for batch in batches:
+            descs = batch.column("desc").to_pylist()
+            payloads = batch.column("payload")
+            ns = batch.column("n").to_pylist()
+            for i in range(batch.num_rows):
+                desc = json.loads(descs[i])
+                by_name = {d["n"]: d for d in desc["cols"]}
+                payload = payloads[i].as_py()
+                n = int(ns[i])
+                cols = {}
+                for c in need:
+                    d = by_name[c]
+                    blob = payload[d["o"]:d["o"] + d["l"]]
+                    ftype = out_schema.field(
+                        group_cols.index(c)).type \
+                        if c in group_cols else pa.int64()
+                    cols[c] = _decode_column(blob, d["k"], n, ftype,
+                                             nullable=bool(d.get("z")))
+                t = pa.table(cols)
+                if agg_col:
+                    res = t.group_by(group_cols).aggregate(
+                        [(agg_col, "sum"), (agg_col, "min"),
+                         (agg_col, "max"), ([], "count_all")])
+                    arrs = ([res.column(c) for c in group_cols]
+                            + [res.column("count_all").cast(pa.int64()),
+                               res.column(f"{agg_col}_sum")
+                               .cast(pa.int64()),
+                               res.column(f"{agg_col}_min")
+                               .cast(pa.int64()),
+                               res.column(f"{agg_col}_max")
+                               .cast(pa.int64())])
+                else:
+                    res = t.group_by(group_cols).aggregate(
+                        [([], "count_all")])
+                    arrs = ([res.column(c) for c in group_cols]
+                            + [res.column("count_all").cast(pa.int64())])
+                yield pa.RecordBatch.from_arrays(
+                    [a.combine_chunks() for a in arrs],
+                    schema=out_schema)
+
+    return agg_blocks
+
+
+def group_agg(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+              group_cols, agg_col: Optional[str] = None) -> DataFrame:
+    """GROUP BY (one or more columns) with COUNT — and, when
+    ``agg_col`` is given, SUM/MIN/MAX of an integer-domain column —
+    pushed into the decode kernel: each block reduces to one partial
+    row per distinct group via Arrow's C++ hash group-by, Spark
+    partial-aggregates those map-side, and the single exchange carries
+    O(groups), not O(rows). The multi-column, value-aggregating big
+    sibling of :func:`group_count` (which keeps the dictionary-only
+    shortcut for single string columns). Output: group columns +
+    ``n_rows`` (+ ``sum_v/min_v/max_v``), aggregates in the int64
+    codec domain like :func:`range_agg`."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    by_name = dict(schema_kinds)
+    if agg_col is not None and by_name[agg_col] in (K_STR, K_F64, K_F32,
+                                                    K_BIN):
+        raise ValueError(f"group_agg aggregates integer-domain columns "
+                         f"only, not kind {by_name[agg_col]!r}")
+    fields = [T.StructField(c, spark_type_of(by_name[c]))
+              for c in group_cols]
+    fields.append(T.StructField("n_rows", T.LongType()))
+    if agg_col:
+        fields += [T.StructField("sum_v", T.LongType()),
+                   T.StructField("min_v", T.LongType()),
+                   T.StructField("max_v", T.LongType())]
+    out_schema = T.StructType(fields)
+    fn = make_group_agg_fn(list(group_cols), agg_col,
+                           to_arrow_schema(out_schema)
+                           .serialize().to_pybytes())
+    partial = blocks.mapInArrow(fn, schema=out_schema)
+    aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
+    if agg_col:
+        aggs += [F.sum("sum_v").cast("long").alias("sum_v"),
+                 F.min("min_v").cast("long").alias("min_v"),
+                 F.max("max_v").cast("long").alias("max_v")]
+    return partial.groupBy(*group_cols).agg(*aggs)
+
+
 def agg_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
               col: str, lo, hi, agg_col: str) -> DataFrame:
     """SUM/MIN/MAX/COUNT of ``agg_col`` under a range predicate on ANY

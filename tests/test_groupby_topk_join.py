@@ -304,3 +304,37 @@ def test_agg_where_string_predicate(spark):
               .collect()[0])
     assert (got["n_rows"], got["sum_v"], got["min_v"], got["max_v"]) == \
         (exp["n"], exp["s"], exp["lo"], exp["hi"])
+
+
+# --- group_agg ---------------------------------------------------------------
+
+def test_group_agg_single_col(spark, events):
+    src, blocks, kinds = events
+    got = {r["event_type"]: (r["n_rows"], r["sum_v"], r["min_v"],
+                             r["max_v"])
+           for r in engine.group_agg(blocks, kinds, "event_type",
+                                     "user_id").collect()}
+    exp = {r["event_type"]: (r["n"], r["s"], r["lo"], r["hi"])
+           for r in src.groupBy("event_type")
+           .agg(F.count("*").alias("n"), F.sum("user_id").alias("s"),
+                F.min("user_id").alias("lo"),
+                F.max("user_id").alias("hi")).collect()}
+    assert got == exp
+
+
+def test_group_agg_multi_col_count_only(spark, events):
+    src, blocks, kinds = events
+    got = {(r["event_type"], r["user_id"]): r["n_rows"]
+           for r in engine.group_agg(blocks, kinds,
+                                     ["event_type", "user_id"]).collect()}
+    exp = {(r["event_type"], r["user_id"]): r["n"]
+           for r in src.groupBy("event_type", "user_id")
+           .agg(F.count("*").alias("n")).collect()}
+    assert got == exp
+
+
+def test_group_agg_rejects_float_agg(spark, events):
+    src, blocks, kinds = events
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        engine.group_agg(blocks, kinds, "event_type", "value")
