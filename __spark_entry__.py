@@ -383,6 +383,17 @@ def _transcripts_blocks_path(spark: SparkSession) -> str:
     return path
 
 
+def _q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup straight off the encoded transcript
+    table (`engine.group_agg` with a STRING group key): turns per
+    conversation + min/max/sum of turn_idx, reduced to one partial row
+    per conversation per block inside the kernel."""
+    blocks = spark.read.parquet(_transcripts_blocks_path(spark))
+    src = spark.read.parquet(_ensure_transcripts_parquet())
+    kinds = engine.column_kinds(src.schema)
+    return engine.group_agg(blocks, kinds, "conv_id", "turn_idx")
+
+
 def _q_lookup_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-keyed point lookup (the reference's ``find`` is generic
     over T, `integer_array.h:192-208`): lexicographic zone-map pruning
@@ -644,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_count_events": _q_null_count,
         "group_agg_events": _q_group_agg,
         "lookup_conv_transcripts": _q_lookup_conv,
+        "conv_stats_transcripts": _q_conv_stats,
         "codec_histogram": _q_codec_histogram,          # rows-only
         "compression_summary": _q_compression_summary,  # rows-only
         # training-data pipeline operators
@@ -730,6 +742,14 @@ def oracle_sql() -> dict[str, str]:
         "lookup_conv_transcripts": f"""
             SELECT * FROM read_parquet('{tpath}')
             WHERE conv_id = 'conv-00000042'
+        """,
+        "conv_stats_transcripts": f"""
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(turn_idx) AS BIGINT) AS sum_v,
+                   CAST(min(turn_idx) AS BIGINT) AS min_v,
+                   CAST(max(turn_idx) AS BIGINT) AS max_v
+            FROM read_parquet('{tpath}') GROUP BY conv_id
         """,
         "scan_where_events": """
             SELECT event_id, user_id, value FROM events
