@@ -291,13 +291,19 @@ def _blocks_and_kinds(args, spark):
 
 def cmd_groupby(args) -> None:
     """GROUP BY --col COUNT(*) (or DISTINCT with --distinct) pushed
-    into the codec: dictionary/RLE blocks never rebuild row values."""
+    into the codec: dictionary/RLE blocks never rebuild row values.
+    With --agg-col, SUM/MIN/MAX of that column per group too (Arrow
+    hash group-by per block, one exchange of O(groups))."""
     from oroch_spark import engine
 
     spark, own = build_session(args)
     blocks, kinds = _blocks_and_kinds(args, spark)
     if args.distinct:
         out = engine.distinct_values(blocks, kinds, args.col)
+    elif args.agg_col:
+        out = engine.group_agg(blocks, kinds, args.col.split(","),
+                               args.agg_col) \
+            .orderBy("n_rows", ascending=False)
     else:
         out = engine.group_count(blocks, kinds, args.col) \
             .orderBy("n_rows", ascending=False)
@@ -399,6 +405,9 @@ def main() -> None:
     gb.add_argument("--col", required=True)
     gb.add_argument("--distinct", action="store_true",
                     help="emit DISTINCT values instead of counts")
+    gb.add_argument("--agg-col", default=None,
+                    help="also SUM/MIN/MAX this integer-domain column "
+                         "per group (--col may be comma-separated)")
     gb.add_argument("--limit", type=int, default=100)
 
     tk = sub.add_parser("topk")

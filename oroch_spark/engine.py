@@ -1916,11 +1916,14 @@ def make_group_agg_fn(group_cols: list[str], agg_col: Optional[str],
                 n = int(ns[i])
                 cols = {}
                 for c in need:
-                    d = by_name[c]
-                    blob = payload[d["o"]:d["o"] + d["l"]]
+                    d = by_name.get(c)
                     ftype = out_schema.field(
                         group_cols.index(c)).type \
                         if c in group_cols else pa.int64()
+                    if d is None:  # schema evolution: column added later
+                        cols[c] = pa.nulls(n, type=ftype)
+                        continue
+                    blob = payload[d["o"]:d["o"] + d["l"]]
                     cols[c] = _decode_column(blob, d["k"], n, ftype,
                                              nullable=bool(d.get("z")))
                 t = pa.table(cols)

@@ -185,7 +185,7 @@ def test_cli_groupby_and_topk(spark, src_dir, tmp_path, capsys):
     src = spark.read.parquet(src_dir)
 
     cli.cmd_groupby(_ns(spark, src=src_dir, out=out, col="role",
-                        distinct=False, limit=100))
+                        distinct=False, agg_col=None, limit=100))
     rows = [json.loads(l) for l in
             capsys.readouterr().out.strip().splitlines()]
     got = {r["role"]: r["n_rows"] for r in rows}
@@ -194,7 +194,7 @@ def test_cli_groupby_and_topk(spark, src_dir, tmp_path, capsys):
     assert got == exp
 
     cli.cmd_groupby(_ns(spark, src=src_dir, out=out, col="role",
-                        distinct=True, limit=100))
+                        distinct=True, agg_col=None, limit=100))
     vals = {json.loads(l)["role"] for l in
             capsys.readouterr().out.strip().splitlines()}
     assert vals == set(exp)
@@ -210,3 +210,25 @@ def test_cli_groupby_and_topk(spark, src_dir, tmp_path, capsys):
     # within the key nondeterministic; compare as multisets of keys
     assert sorted(r["conv_id"] for r in rows) == \
         sorted(k for k, _ in exp_rows)
+
+
+def test_cli_groupby_agg(spark, src_dir, tmp_path, capsys):
+    out = str(tmp_path / "enc4")
+    cli.cmd_encode(_ns(spark, src=src_dir, out=out,
+                       keys="conv_id,turn_idx",
+                       text_cols="text", mode="maponly", buckets=4,
+                       block_rows=512, buckets_per_stage=None,
+                       snapshot_id=None))
+    capsys.readouterr()
+    from pyspark.sql import functions as F
+    src = spark.read.parquet(src_dir)
+    cli.cmd_groupby(_ns(spark, src=src_dir, out=out, col="role",
+                        distinct=False, agg_col="turn_idx", limit=100))
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    got = {r["role"]: (r["n_rows"], r["sum_v"]) for r in rows}
+    exp = {r["role"]: (r["n"], r["s"]) for r in
+           src.groupBy("role").agg(F.count("*").alias("n"),
+                                   F.sum("turn_idx").alias("s"))
+           .collect()}
+    assert got == exp
