@@ -328,6 +328,29 @@ def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_events", "min_id", "max_id"))
 
 
+def _q_rt_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource surface, driver-proven: write the events
+    table with ``df.write.format("oroch")`` (map-only block encode +
+    sidecar commit) and read it back with ``spark.read.format("oroch")``
+    (one row-group per input partition, executor-side decode). A value
+    hash against DuckDB on the raw parquet is the round-trip proof at
+    the source/sink boundary."""
+    import os
+    import tempfile
+
+    from oroch_spark.sources import datasource as ds
+
+    ds.register(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"oroch_ds_events_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src = _read(spark, sf_dir, "events")
+        (src.repartition(8, "event_id").sortWithinPartitions("event_id")
+            .write.format("oroch").mode("overwrite")
+            .option("key_cols", "event_id").save(path))
+    return spark.read.format("oroch").load(path)
+
+
 def _q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full GROUP BY aggregate pushdown (`engine.group_agg`): per
     block, Arrow's C++ hash group-by reduces (event_type, user_id) to
@@ -654,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "null_count_events": _q_null_count,
         "group_agg_events": _q_group_agg,
+        "rt_datasource_events": _q_rt_datasource,
         "lookup_conv_transcripts": _q_lookup_conv,
         "conv_stats_transcripts": _q_conv_stats,
         "codec_histogram": _q_codec_histogram,          # rows-only
@@ -790,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_events": """
             SELECT * FROM events ORDER BY event_id DESC LIMIT 10
         """,
+        "rt_datasource_events": "SELECT * FROM events",
         "group_agg_events": """
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_rows,
