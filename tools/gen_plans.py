@@ -134,6 +134,16 @@ def main() -> None:
             engine.column_kinds(events.schema), "event_type"))))
 
     sections.append((
+        "group_agg (multi-column GROUP BY aggregates via Arrow hash group-by)",
+        "Each block reduces C++-side to one partial row per distinct "
+        "group; HashAggregate partial-aggregates those map-side and "
+        "the single exchange carries O(groups), not O(rows).",
+        plan_of(engine.group_agg(
+            spark.read.parquet(bdir),
+            engine.column_kinds(events.schema), "event_type",
+            "user_id"))))
+
+    sections.append((
         "agg_where (metadata aggregates under a secondary predicate)",
         "Blocks whose PREDICATE-column stats prove containment answer "
         "from the AGGREGATE column's stored (lo, hi, s) stats — no "
