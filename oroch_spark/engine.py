@@ -1724,15 +1724,16 @@ def make_lookup_fn(kinds: list[tuple[str, str]], key_col: str, value,
                 key_d = by_name[key_col]
                 kb = payload[key_d["o"]:key_d["o"] + key_d["l"]]
                 if key_kind == K_STR:
-                    if len(values) == 1 and not key_d.get("z"):
-                        # dictionary-aware: dict/RLE blocks match the
-                        # dictionary and never rebuild row strings
+                    if not key_d.get("z"):
+                        # dictionary-aware (scalar and IN forms):
+                        # dict/RLE blocks match the dictionary and
+                        # never rebuild row strings
                         idxs = sc.str_block_eq_indices(
-                            kb, n, str(values[0]))
+                            kb, n, [str(v) for v in values])
                     else:
                         keys = _decode_column(
                             kb, key_kind, n, pa.string(),
-                            nullable=bool(key_d.get("z")))
+                            nullable=True)
                         eq = pc.is_in(keys, value_set=pa.array(
                             [str(v) for v in values], type=keys.type))
                         idxs = np.flatnonzero(

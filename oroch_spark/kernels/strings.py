@@ -384,49 +384,53 @@ def decode_str_block(blob: bytes, n: int) -> pd.Series:
     return decode_str_block_arrow(blob, n).to_pandas()
 
 
-def str_block_eq_indices(blob: bytes, n: int, value: str) -> np.ndarray:
-    """Row indices where the block equals ``value``, touching as little
-    data as the codec allows: DICT blocks compare the (small)
-    dictionary and scan only the int code stream for the one matching
-    code; RLE blocks compare the dictionary and expand only the
-    matching RUNS into index ranges (non-matching rows never
-    materialize in any form); PLAIN/FSST/WSDICT decode and compare
-    C++-side. The equality-probe analogue of the reference's find
+def str_block_eq_indices(blob: bytes, n: int, value) -> np.ndarray:
+    """Row indices where the block equals ``value`` (a str, or a
+    list/tuple of str for the IN form), touching as little data as the
+    codec allows: DICT blocks compare the (small) dictionary and scan
+    only the int code stream for the matching code set; RLE blocks
+    compare the dictionary and expand only the matching RUNS into
+    index ranges (non-matching rows never materialize in any form);
+    PLAIN/FSST/WSDICT decode and compare C++-side. The equality-probe
+    analogue of the reference's find
     (`/root/reference/oroch/integer_array.h:192-208`) for string
     payloads."""
     tag = blob[0]
+    values = list(value) if isinstance(value, (list, tuple)) else [value]
 
-    def _dict_hit(dict_arr: pa.Array):
-        eq = pc.equal(dict_arr, pa.scalar(value, type=dict_arr.type))
-        hits = np.flatnonzero(eq.to_numpy(zero_copy_only=False))
-        return int(hits[0]) if len(hits) else None  # dict entries unique
+    def _dict_hits(dict_arr: pa.Array) -> np.ndarray:
+        m = pc.is_in(dict_arr, value_set=pa.array(values,
+                                                  type=dict_arr.type))
+        return np.flatnonzero(m.to_numpy(zero_copy_only=False))
 
     if tag == DICT_STR:
         dict_arr, pos = _read_dict_section(blob, 1)
-        code = _dict_hit(dict_arr)
-        if code is None:
+        hits = _dict_hits(dict_arr)
+        if not len(hits):
             return np.empty(0, dtype=np.int64)
         codes = ic.decode_block(blob[pos:], n, width=4)
-        return np.flatnonzero(codes == code)
+        if len(hits) == 1:
+            return np.flatnonzero(codes == hits[0])
+        return np.flatnonzero(np.isin(codes, hits))
     if tag == RLE_STR:
         nruns, pos = ic.varint_decode_scalar(blob, 1)
         rl_blob, pos = _read_sized(blob, pos)
         run_len = ic.decode_block(rl_blob, nruns, width=4)
         dict_arr, pos = _read_dict_section(blob, pos)
-        code = _dict_hit(dict_arr)
-        if code is None:
+        hits = _dict_hits(dict_arr)
+        if not len(hits):
             return np.empty(0, dtype=np.int64)
         run_idx = ic.decode_block(blob[pos:], nruns, width=4)
         starts = np.zeros(nruns, dtype=np.int64)
         np.cumsum(run_len[:-1], out=starts[1:])
-        hit = np.flatnonzero(run_idx == code)
+        hit = np.flatnonzero(np.isin(run_idx, hits))
         if not len(hit):
             return np.empty(0, dtype=np.int64)
         return np.concatenate([np.arange(starts[r], starts[r] + run_len[r])
                                for r in hit])
     arr = decode_str_block_arrow(blob, n)
-    eq = pc.equal(arr, pa.scalar(value, type=arr.type))
-    return np.flatnonzero(pc.fill_null(eq, False)
+    m = pc.is_in(arr, value_set=pa.array(values, type=arr.type))
+    return np.flatnonzero(pc.fill_null(m, False)
                           .to_numpy(zero_copy_only=False))
 
 

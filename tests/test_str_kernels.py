@@ -173,3 +173,20 @@ class TestEqIndices:
         blob, d = sc.encode_str_block(pa.array(vals), text_hint=True)
         got = sc.str_block_eq_indices(blob, len(vals), vals[5])
         assert 5 in got.tolist() and len(vals) - 1 in got.tolist()
+
+    def test_in_list_probe(self):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for vals, tags in [ (["a","b","a","c"]*100, sc.DICT_STR),
+                            (["x"]*300+["y"]*100+["x"]*41, sc.RLE_STR),
+                            ([f"u{i}" for i in range(64)], None) ]:
+            arr = pa.array(list(vals))
+            blob, d = sc.encode_str_block(arr)
+            if tags is not None:
+                assert d.codec == tags
+            probe = [vals[0], vals[-1], "zz-missing"]
+            got = sc.str_block_eq_indices(blob, len(arr), probe)
+            exp = [i for i, v in enumerate(vals) if v in set(probe)]
+            assert got.tolist() == sorted(exp) or \
+                sorted(got.tolist()) == sorted(exp)
