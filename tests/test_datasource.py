@@ -252,3 +252,17 @@ def test_secondary_pushdown_never_false_negative(dsspark, events_table):
     probe = src.select("props").first()["props"]
     assert back.filter(F.col("props") == probe).count() == \
         src.filter(F.col("props") == probe).count()
+
+
+def test_projection_plus_secondary_pushdown(dsspark, events_table):
+    """columns option + an accepted SECONDARY-column filter work
+    together (the filter column is inside the projection, so it is
+    accepted and enforced by the reader)."""
+    path, src = events_table
+    back = (dsspark.read.format("oroch")
+            .option("columns", "event_id,event_type").load(path))
+    got = back.filter("event_type = 'signup'") \
+        .orderBy("event_id").toPandas()
+    exp = src.filter("event_type = 'signup'") \
+        .select("event_id", "event_type").orderBy("event_id").toPandas()
+    assert got.equals(exp)
