@@ -342,7 +342,9 @@ def _q_rt_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ds.register(spark)
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"oroch_ds_events_{tag}")
+    # versioned like the blocks caches: bump on any wire-format change
+    path = os.path.join(tempfile.gettempdir(),
+                        f"oroch_ds_events_v1_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         src = _read(spark, sf_dir, "events")
         (src.repartition(8, "event_id").sortWithinPartitions("event_id")
