@@ -353,6 +353,26 @@ def _q_rt_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("oroch").load(path)
 
 
+def _q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE at metadata speed (`engine.table_stats`): per
+    column, the table's row count, exact null count, and global
+    min/max — straight off the block descriptors, no payload decode.
+    Oracle recomputes the same aggregates by scanning the raw parquet;
+    the ts minima compare in the engine's epoch-micros domain."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    st = engine.table_stats(
+        blocks, kinds, columns=["event_id", "user_id", "ts",
+                                "event_type"])
+    return st.select(
+        "col", "n_rows", "n_nulls",
+        F.coalesce(F.col("min_long").cast("string"),
+                   F.col("min_str")).alias("min_v"),
+        F.coalesce(F.col("max_long").cast("string"),
+                   F.col("max_str")).alias("max_v"))
+
+
 def _q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full GROUP BY aggregate pushdown (`engine.group_agg`): per
     block, Arrow's C++ hash group-by reduces (event_type, user_id) to
@@ -679,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "null_count_events": _q_null_count,
         "group_agg_events": _q_group_agg,
+        "table_stats_events": _q_table_stats,
         "rt_datasource_events": _q_rt_datasource,
         "lookup_conv_transcripts": _q_lookup_conv,
         "conv_stats_transcripts": _q_conv_stats,
@@ -817,6 +838,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM events ORDER BY event_id DESC LIMIT 10
         """,
         "rt_datasource_events": "SELECT * FROM events",
+        "table_stats_events": """
+            SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+                   CAST(min(event_id) AS VARCHAR) AS min_v,
+                   CAST(max(event_id) AS VARCHAR) AS max_v FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(user_id) AS BIGINT),
+                   CAST(min(user_id) AS VARCHAR),
+                   CAST(max(user_id) AS VARCHAR) FROM events
+            UNION ALL
+            SELECT 'ts', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(ts) AS BIGINT),
+                   CAST(epoch_us(min(ts)) AS VARCHAR),
+                   CAST(epoch_us(max(ts)) AS VARCHAR) FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(event_type) AS BIGINT),
+                   min(event_type), max(event_type) FROM events
+        """,
         "group_agg_events": """
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_rows,

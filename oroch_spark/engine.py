@@ -1463,6 +1463,48 @@ def null_count(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
                  .alias("n_nulls")))
 
 
+def table_stats(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+                columns: Optional[list[str]] = None) -> DataFrame:
+    """ANALYZE TABLE from block metadata alone: one row per column with
+    the table's row count, exact null count, and global min/max — no
+    payload byte is ever read. Integer-domain minima/maxima come from
+    the per-block (lo, hi) stats (``min_long/max_long``, int64 codec
+    domain: ts = epoch-micros, date = days), string columns from the
+    lexicographic (slo, shi) pair (``min_str/max_str``). A NULL result
+    means "not derivable from metadata" (declared text/payload columns,
+    float/binary/array columns, legacy blocks) — the surface never
+    silently falls back to a scan; decode-based stats are one
+    ``decode_df`` away if a column needs them. Single metadata scan,
+    one O(columns)-row exchange."""
+    cols = [n for n, _ in schema_kinds] if columns is None else columns
+    entries = []
+    for c in cols:
+        st = _col_stats(c)
+        nulls = (F.when(st.isNull(), F.col("n"))       # column absent
+                  .when(st["z"].isNull(), F.lit(0))    # non-nullable
+                  .otherwise(st["nc"]))                # stored count
+        entries.append(F.struct(
+            F.lit(c).alias("col"), F.col("n").alias("n"),
+            nulls.alias("nulls"), st["lo"].alias("lo"),
+            st["hi"].alias("hi"), st["slo"].alias("slo"),
+            st["shi"].alias("shi")))
+    ex = blocks.select(F.explode(F.array(*entries)).alias("e")) \
+        .select("e.*")
+
+    def known(agg, src):
+        # any block without the stat => the global value is unknown
+        return F.when(F.max(F.col(src).isNull().cast("int")) == 1,
+                      F.lit(None)).otherwise(agg)
+
+    return ex.groupBy("col").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        known(F.sum("nulls"), "nulls").cast("long").alias("n_nulls"),
+        known(F.min("lo"), "lo").cast("long").alias("min_long"),
+        known(F.max("hi"), "hi").cast("long").alias("max_long"),
+        known(F.min("slo"), "slo").alias("min_str"),
+        known(F.max("shi"), "shi").alias("max_str"))
+
+
 def with_stat_columns(blocks: DataFrame, cols: list[str]) -> DataFrame:
     """Materialize per-column (lo, hi) descriptor stats as top-level
     columns ``<c>__lo`` / ``<c>__hi`` — call before persisting a blocks

@@ -362,3 +362,46 @@ def test_null_count_schema_evolution_counts_absent_column(spark):
     kinds = [("k", "i64"), ("b", "str")]
     got = engine.null_count(blocks, kinds, "b").collect()[0]["n_nulls"]
     assert got == 50  # every pre-evolution row is null under the new schema
+
+
+def test_table_stats_metadata_only(spark):
+    from pyspark.sql import Row, functions as F
+
+    from oroch_spark import engine
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["event_id"], n_buckets=4,
+                              block_rows=512)
+    st = {r["col"]: r for r in
+          engine.table_stats(blocks, kinds).collect()}
+    exp = src.agg(F.count("*").alias("n"),
+                  F.min("event_id").alias("lo"),
+                  F.max("event_id").alias("hi"),
+                  F.min("event_type").alias("slo"),
+                  F.max("event_type").alias("shi")).collect()[0]
+    assert st["event_id"]["n_rows"] == exp["n"]
+    assert (st["event_id"]["min_long"], st["event_id"]["max_long"]) == \
+        (exp["lo"], exp["hi"])
+    assert (st["event_type"]["min_str"], st["event_type"]["max_str"]) \
+        == (exp["slo"], exp["shi"])
+    # float column: honestly unknown, never silently scanned
+    assert st["value"]["min_long"] is None
+    assert st["value"]["min_str"] is None
+    assert st["value"]["n_nulls"] == 0  # non-nullable is still exact
+
+
+def test_table_stats_nullable_unknown_bounds(spark):
+    from pyspark.sql import Row
+
+    from oroch_spark import engine
+
+    rows = [Row(k=i, v=(None if i % 4 == 0 else i * 2))
+            for i in range(400)]
+    src = spark.createDataFrame(rows, "k long, v long")
+    blocks = engine.encode_df(src, ["k"], n_buckets=2, block_rows=64)
+    st = {r["col"]: r for r in engine.table_stats(
+        blocks, engine.column_kinds(src.schema)).collect()}
+    assert st["v"]["n_nulls"] == 100
+    assert st["v"]["min_long"] is None  # nullable blocks carry no lo/hi
+    assert st["k"]["n_nulls"] == 0 and st["k"]["min_long"] == 0
