@@ -329,6 +329,20 @@ def cmd_topk(args) -> None:
         spark.stop()
 
 
+def cmd_analyze(args) -> None:
+    """ANALYZE TABLE at metadata speed: per-column row count, exact
+    null count, global min/max from the block descriptors — no payload
+    decode."""
+    from oroch_spark import engine
+
+    spark, own = build_session(args)
+    blocks, kinds = _blocks_and_kinds(args, spark)
+    for r in engine.table_stats(blocks, kinds).orderBy("col").collect():
+        print(json.dumps(r.asDict(), default=str))
+    if own:
+        spark.stop()
+
+
 def cmd_metrics(args) -> None:
     spark, own = build_session(args)
     m = spark.read.parquet(os.path.join(args.out, "manifest"))
@@ -420,6 +434,11 @@ def main() -> None:
     tk.add_argument("--columns", default=None,
                     help="comma-separated projection (default: all)")
 
+    an = sub.add_parser("analyze")
+    common(an)
+    an.add_argument("--src", required=True,
+                    help="source parquet dir (schema only)")
+
     d = sub.add_parser("decode")
     common(d)
     d.add_argument("--src", required=True)
@@ -453,6 +472,8 @@ def main() -> None:
         cmd_groupby(args)
     elif args.cmd == "topk":
         cmd_topk(args)
+    elif args.cmd == "analyze":
+        cmd_analyze(args)
 
 
 if __name__ == "__main__":

@@ -232,3 +232,21 @@ def test_cli_groupby_agg(spark, src_dir, tmp_path, capsys):
                                    F.sum("turn_idx").alias("s"))
            .collect()}
     assert got == exp
+
+
+def test_cli_analyze(spark, src_dir, tmp_path, capsys):
+    out = str(tmp_path / "enc5")
+    cli.cmd_encode(_ns(spark, src=src_dir, out=out,
+                       keys="conv_id,turn_idx",
+                       text_cols="text", mode="maponly", buckets=4,
+                       block_rows=512, buckets_per_stage=None,
+                       snapshot_id=None))
+    capsys.readouterr()
+    cli.cmd_analyze(_ns(spark, src=src_dir, out=out))
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    by_col = {r["col"]: r for r in rows}
+    n = spark.read.parquet(src_dir).count()
+    assert by_col["turn_idx"]["n_rows"] == n
+    assert by_col["turn_idx"]["min_long"] == 0
+    assert by_col["conv_id"]["min_str"].startswith("conv-")
