@@ -353,6 +353,17 @@ def _q_rt_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("oroch").load(path)
 
 
+def _q_topk_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY a SECONDARY column LIMIT k (`engine.topk_by`): the
+    overlap-safe prefix rule driven by per-column (lo, hi) stats —
+    "latest 10 by ts" over the event_id-keyed table decodes only the
+    tail blocks (ts correlates with the key order)."""
+    src = _read(spark, sf_dir, "events")
+    kinds = engine.column_kinds(src.schema)
+    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
+    return engine.topk_by(blocks, kinds, "ts", 10)
+
+
 def _q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE at metadata speed (`engine.table_stats`): per
     column, the table's row count, exact null count, and global
@@ -700,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_count_events": _q_null_count,
         "group_agg_events": _q_group_agg,
         "table_stats_events": _q_table_stats,
+        "topk_by_ts_events": _q_topk_by_ts,
         "rt_datasource_events": _q_rt_datasource,
         "lookup_conv_transcripts": _q_lookup_conv,
         "conv_stats_transcripts": _q_conv_stats,
@@ -836,6 +848,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "topk_events": """
             SELECT * FROM events ORDER BY event_id DESC LIMIT 10
+        """,
+        "topk_by_ts_events": """
+            SELECT * FROM events ORDER BY ts DESC LIMIT 10
         """,
         "rt_datasource_events": "SELECT * FROM events",
         "table_stats_events": """

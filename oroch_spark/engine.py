@@ -2200,6 +2200,59 @@ def topk_key(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
     return out
 
 
+def topk_by(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+            col: str, k: int, ascending: bool = False,
+            columns: Optional[list[str]] = None) -> DataFrame:
+    """ORDER BY any stats-carrying column LIMIT k — :func:`topk_key`'s
+    overlap-safe block-prefix rule driven by the per-column (lo, hi)
+    descriptor stats instead of the lead-key bounds, so "latest k by
+    ts" over an id-keyed table decodes only the blocks that can
+    contribute (exactly as prunable as the column is correlated with
+    block order; uncorrelated columns degrade to a full scan — never a
+    wrong answer). The walk runs on a metadata projection reduced to
+    one threshold row per bucket; payloads never shuffle."""
+    st = _col_stats(col)
+    meta = blocks.select("bucket", "n",
+                         (st["lo"] if not ascending
+                          else st["hi"]).alias("_lo"),
+                         (st["hi"] if not ascending
+                          else st["lo"]).alias("_hi"))
+    from pyspark.sql import Window
+
+    order = (F.col("_lo").desc_nulls_last() if not ascending
+             else F.col("_lo").asc_nulls_last())
+    w = Window.partitionBy("bucket").orderBy(order)
+    prev = F.coalesce(
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))
+    pref_lo = F.when(F.col("_pref"), F.col("_lo"))
+    th = (meta.withColumn("_prev", prev)
+          .withColumn("_pref",
+                      (F.col("_prev") < k) & F.col("_lo").isNotNull())
+          .groupBy("bucket")
+          .agg((F.min(pref_lo) if not ascending
+                else F.max(pref_lo)).alias("_t"),
+               (F.max(F.when(F.col("_pref"),
+                             F.col("_prev") + F.col("n"))) >= k)
+               .alias("_enough")))
+    edge = st["lo"] if ascending else st["hi"]
+    kept = blocks.join(F.broadcast(th), "bucket", "left")
+    keep = (edge.isNull() | F.col("_t").isNull()
+            | ~F.coalesce(F.col("_enough"), F.lit(False))
+            | (edge >= F.col("_t") if not ascending
+               else edge <= F.col("_t")))
+    kept = kept.filter(keep).drop("_t", "_enough")
+    decode_cols = columns
+    if columns is not None and col not in columns:
+        decode_cols = [col] + columns
+    dec = decode_df(kept, schema_kinds, columns=decode_cols)
+    order = F.col(col).asc() if ascending else F.col(col).desc()
+    out = dec.orderBy(order).limit(k)
+    if columns is not None and col not in columns:
+        out = out.select(*columns)
+    return out
+
+
 def pruned_lookup(df: DataFrame, key_col: str, value: int,
                   n_buckets: int = 8, block_rows: int = 4096) -> DataFrame:
     """Metadata-pruned point lookup over a source DataFrame: encode,

@@ -338,3 +338,47 @@ def test_group_agg_rejects_float_agg(spark, events):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         engine.group_agg(blocks, kinds, "event_type", "value")
+
+
+# --- topk_by (secondary column) ---------------------------------------------
+
+def test_topk_by_secondary_column(spark, events):
+    src, blocks, kinds = events
+    for asc in (False, True):
+        got = [r["event_id"] for r in engine.topk_by(
+            blocks, kinds, "ts", 8, ascending=asc).collect()]
+        exp = [r["event_id"] for r in src.orderBy(
+            F.col("ts").asc() if asc else F.col("ts").desc())
+            .limit(8).collect()]
+        assert got == exp
+
+
+def test_topk_by_prunes_on_correlated_column(spark):
+    """ts correlates with the event_id block order, so the per-column
+    stats prefix rule keeps only the tail blocks."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [Row(k=i, ts=base + datetime.timedelta(seconds=i))
+            for i in range(4096)]
+    src = spark.createDataFrame(rows, "k long, ts timestamp")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["k"], n_buckets=1,
+                              block_rows=256).persist()
+    try:
+        st = engine._col_stats("ts")
+        meta = blocks.select("bucket", "n", st["lo"].alias("_lo"))
+        from pyspark.sql import Window
+        w = Window.partitionBy("bucket") \
+            .orderBy(F.col("_lo").desc_nulls_last())
+        prev = F.coalesce(F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+        t = meta.withColumn("_p", prev).filter("_p < 10") \
+            .agg(F.min("_lo")).collect()[0][0]
+        kept = blocks.filter(st["hi"] >= t).count()
+        assert kept == 1  # 16 blocks, top-10 by ts needs the last one
+        got = [r["k"] for r in engine.topk_by(blocks, kinds, "ts",
+                                              10).collect()]
+        assert got == list(range(4095, 4085, -1))
+    finally:
+        blocks.unpersist()
