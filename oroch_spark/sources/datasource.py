@@ -45,9 +45,13 @@ want the salted-shuffle layout repartition first (or use
 
 Scale notes (100 TB): the reader's driver-side work is footer metadata
 only (row-group stats), O(files); bulk bytes move executor-side. The
-writer is shuffle-free; one parquet file per task, unique names, so
-speculative/retried tasks can't collide, and commit is a single
-sidecar+_SUCCESS rename-style publish.
+writer is shuffle-free; one parquet file per task, job-prefixed unique
+names, so speculative/retried tasks and concurrent jobs can't collide.
+Nothing destructive happens before commit: overwrite's sweep of the
+previous table runs only after every task reports success, and
+``mode("append")`` adds manifest-compatible blocks (merged sidecar
+schema; old blocks null-fill new columns at decode) without ever
+touching pre-existing files.
 """
 from __future__ import annotations
 
@@ -79,6 +83,7 @@ from pyspark.sql.datasource import (
 from .. import engine
 
 SIDECAR = "_oroch_table.json"
+_BATCH_DIR = "_batches"   # streaming sink's per-batch manifests
 
 # Parquet leaf columns of the block schema the reader needs besides the
 # payload; bounds columns are read first (tiny) to prune blocks.
@@ -506,53 +511,121 @@ def _write_task(path: str, kinds, key_cols, block_rows, text_cols,
 
 
 class OrochWriter(DataSourceArrowWriter):
+    """Batch writer with snapshot-style publish semantics:
+
+    - every part file carries a job-unique prefix (``part-<job>-``),
+      so concurrent/failed/aborted jobs can never claim or clobber
+      each other's files;
+    - NOTHING destructive happens before ``commit`` — an aborted or
+      crashed overwrite leaves the previous table fully intact (the
+      new job's parts are swept by ``abort``/the next commit);
+    - ``mode("overwrite")`` replaces the table atomically-enough for
+      a single-writer file layout: old files are removed only AFTER
+      every task has reported success and the new sidecar is
+      published;
+    - ``mode("append")`` adds this job's blocks to the existing
+      table. The sidecar schema is merged (columns added by this job
+      are appended; old blocks null-fill them at decode — the
+      engine's schema-evolution contract), key columns must match,
+      and appending into a STREAMING sink directory is rejected (its
+      committed view is manifest-scoped; batch parts would be
+      invisible to manifest readers and resurrect as orphans).
+    """
+
     def __init__(self, options: dict, kinds: list[tuple[str, str]],
                  overwrite: bool):
         self.path = options["path"]
         self.kinds = kinds
+        self.overwrite = overwrite
+        self.job_id = uuid.uuid4().hex
         (self.key_cols, self.block_rows, self.text_cols,
          self.bloom_cols) = _parse_write_options(options, kinds)
         os.makedirs(self.path, exist_ok=True)
-        if overwrite:  # driver-side, before any task runs
-            for f in glob.glob(os.path.join(self.path, "*.parquet")):
-                os.remove(f)
-            for f in (SIDECAR, "_SUCCESS"):
-                p = os.path.join(self.path, f)
-                if os.path.exists(p):
-                    os.remove(p)
+        self.merged_kinds = list(kinds)
+        if not overwrite:
+            if glob.glob(os.path.join(self.path, _BATCH_DIR, "*.json")):
+                raise ValueError(
+                    "append into a streaming oroch sink is not "
+                    "supported: the sink's committed view is its batch "
+                    "manifests, which a batch append cannot join. Use "
+                    "writeStream.format('oroch'), or compact + "
+                    "mode('overwrite') to convert it to a batch table.")
+            if os.path.exists(os.path.join(self.path, SIDECAR)):
+                prev = read_sidecar(self.path)
+                if list(prev["key_cols"]) != list(self.key_cols):
+                    raise ValueError(
+                        f"append key_cols {self.key_cols} != existing "
+                        f"table key_cols {prev['key_cols']}")
+                old = dict(prev["kinds"])
+                for n, k in kinds:
+                    if n in old and old[n] != k:
+                        raise ValueError(
+                            f"append column {n!r} kind {k!r} != "
+                            f"existing kind {old[n]!r}")
+                new = dict(kinds)
+                self.merged_kinds = list(prev["kinds"]) + [
+                    (n, k) for n, k in kinds if n not in old]
+                missing = [n for n, _ in prev["kinds"] if n not in new]
+                if missing:
+                    raise ValueError(
+                        f"append is missing existing columns {missing}; "
+                        "write them (nullable) or overwrite the table")
+            elif glob.glob(os.path.join(self.path, "*.parquet")):
+                raise ValueError(
+                    f"{self.path} holds parquet files but no {SIDECAR}: "
+                    "refusing to append into a directory that is not a "
+                    "committed oroch table")
 
     def write(self, iterator: Iterator) -> _Committed:
         return _write_task(self.path, self.kinds, self.key_cols,
                            self.block_rows, self.text_cols,
-                           self.bloom_cols, iterator)
+                           self.bloom_cols, iterator,
+                           prefix=f"part-{self.job_id}")
 
     def commit(self, messages) -> None:
         keep = {m.file for m in messages if m and m.file}
-        # drop orphans from failed/speculative attempts
-        for f in glob.glob(os.path.join(self.path, "*.parquet")):
+        # sweep THIS JOB's orphans (failed/speculative attempts); other
+        # jobs' files are never this job's to delete on the append path
+        for f in glob.glob(os.path.join(self.path,
+                                        f"part-{self.job_id}-*.parquet")):
             if os.path.basename(f) not in keep:
                 os.remove(f)
-        write_sidecar(self.path, self.kinds, self.key_cols)
         stats = {"blocks": sum(m.blocks for m in messages if m),
                  "bytes_in": sum(m.bytes_in for m in messages if m),
                  "bytes_out": sum(m.bytes_out for m in messages if m)}
+        if self.overwrite:
+            # all tasks succeeded: publish the new sidecar, then drop
+            # every file that is not part of this job's snapshot
+            # (previous batch parts, stale stream parts + manifests)
+            write_sidecar(self.path, self.kinds, self.key_cols)
+            for f in glob.glob(os.path.join(self.path, "*.parquet")):
+                if os.path.basename(f) not in keep:
+                    os.remove(f)
+            bdir = os.path.join(self.path, _BATCH_DIR)
+            if os.path.isdir(bdir):
+                import shutil
+                shutil.rmtree(bdir, ignore_errors=True)
+        else:
+            write_sidecar(self.path, self.merged_kinds, self.key_cols)
+            succ = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(succ):
+                with open(succ) as f:
+                    prev = json.load(f)
+                for k in stats:
+                    stats[k] += int(prev.get(k, 0))
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             json.dump(stats, f)
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m and m.file:
-                p = os.path.join(self.path, m.file)
-                if os.path.exists(p):
-                    os.remove(p)
+        # this job's files only — previous table contents are untouched
+        for f in glob.glob(os.path.join(self.path,
+                                        f"part-{self.job_id}-*.parquet")):
+            os.remove(f)
 
 
 # ---------------------------------------------------------------------------
 # Streaming writer
 # ---------------------------------------------------------------------------
-
-_BATCH_DIR = "_batches"
-
 
 class OrochStreamWriter(DataSourceStreamArrowWriter):
     """``df.writeStream.format("oroch")``: the incremental-encode

@@ -266,3 +266,103 @@ def test_projection_plus_secondary_pushdown(dsspark, events_table):
     exp = src.filter("event_type = 'signup'") \
         .select("event_id", "event_type").orderBy("event_id").toPandas()
     assert got.equals(exp)
+
+
+# ---------------------------------------------------------------------------
+# append mode (round 4): job-scoped parts, no pre-commit destruction
+# ---------------------------------------------------------------------------
+
+def test_append_preserves_existing(dsspark, tmp_path):
+    path = str(tmp_path / "app")
+    dsspark.range(100).withColumnRenamed("id", "k") \
+        .coalesce(1).write.format("oroch").mode("overwrite") \
+        .option("key_cols", "k").save(path)
+    dsspark.range(100, 200).withColumnRenamed("id", "k") \
+        .coalesce(1).write.format("oroch").mode("append") \
+        .option("key_cols", "k").save(path)
+    back = dsspark.read.format("oroch").load(path)
+    assert back.count() == 200
+    assert sorted(r.k for r in back.collect()) == list(range(200))
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 2
+    with open(os.path.join(path, "_SUCCESS")) as f:
+        stats = json.load(f)
+    assert stats["blocks"] == 2  # accumulated across both jobs
+
+
+def test_append_twice_then_overwrite(dsspark, tmp_path):
+    path = str(tmp_path / "app2")
+    for lo, hi in ((0, 10), (10, 30), (30, 60)):
+        dsspark.range(lo, hi).withColumnRenamed("id", "k") \
+            .coalesce(1).write.format("oroch").mode("append") \
+            .option("key_cols", "k").save(path)
+    assert dsspark.read.format("oroch").load(path).count() == 60
+    dsspark.range(5).withColumnRenamed("id", "k") \
+        .coalesce(1).write.format("oroch").mode("overwrite") \
+        .option("key_cols", "k").save(path)
+    assert dsspark.read.format("oroch").load(path).count() == 5
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 1
+
+
+def test_append_key_mismatch_raises(dsspark, tmp_path):
+    path = str(tmp_path / "appkey")
+    df = dsspark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    df.write.format("oroch").mode("overwrite") \
+        .option("key_cols", "k").save(path)
+    with pytest.raises(Exception, match="key_cols"):
+        df.write.format("oroch").mode("append") \
+            .option("key_cols", "v").save(path)
+
+
+def test_append_missing_column_raises(dsspark, tmp_path):
+    path = str(tmp_path / "appmiss")
+    dsspark.range(5).select(F.col("id").alias("k"),
+                            (F.col("id") * 2).alias("v")) \
+        .write.format("oroch").mode("overwrite") \
+        .option("key_cols", "k").save(path)
+    with pytest.raises(Exception, match="missing existing columns"):
+        dsspark.range(5).withColumnRenamed("id", "k") \
+            .write.format("oroch").mode("append") \
+            .option("key_cols", "k").save(path)
+
+
+def test_append_into_stream_sink_raises(dsspark, tmp_path):
+    path = str(tmp_path / "appsink")
+    os.makedirs(os.path.join(path, ds._BATCH_DIR))
+    with open(os.path.join(path, ds._BATCH_DIR, "0.json"), "w") as f:
+        json.dump({"batch_id": 0, "files": []}, f)
+    with pytest.raises(Exception, match="streaming"):
+        dsspark.range(5).withColumnRenamed("id", "k") \
+            .write.format("oroch").mode("append") \
+            .option("key_cols", "k").save(path)
+
+
+def test_append_foreign_dir_raises(dsspark, tmp_path):
+    path = str(tmp_path / "appforeign")
+    dsspark.range(5).write.parquet(path)  # plain parquet, no sidecar
+    with pytest.raises(Exception, match="not a\n?.*committed oroch"):
+        dsspark.range(5).withColumnRenamed("id", "k") \
+            .write.format("oroch").mode("append") \
+            .option("key_cols", "k").save(path)
+
+
+def test_overwrite_is_not_destructive_before_commit(dsspark, tmp_path):
+    """Constructing the overwrite writer (driver-side, pre-task) must
+    leave the previous table intact; only commit sweeps it. abort()
+    removes only this job's files."""
+    path = str(tmp_path / "latecommit")
+    dsspark.range(50).withColumnRenamed("id", "k") \
+        .coalesce(1).write.format("oroch").mode("overwrite") \
+        .option("key_cols", "k").save(path)
+    before = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    kinds = [("k", "i64")]
+    w = ds.OrochWriter({"path": path, "key_cols": "k"}, kinds, True)
+    assert sorted(glob.glob(os.path.join(path, "*.parquet"))) == before
+    # a stray part from this job is cleaned by abort, old table kept
+    stray = os.path.join(path, f"part-{w.job_id}-00000-dead.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"x")
+    w.abort([])
+    assert not os.path.exists(stray)
+    assert sorted(glob.glob(os.path.join(path, "*.parquet"))) == before
+    assert dsspark.read.format("oroch").load(path).count() == 50
