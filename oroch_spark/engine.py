@@ -1763,7 +1763,12 @@ def make_lookup_fn(kinds: list[tuple[str, str]], key_col: str, value,
                 payload = payloads[i].as_py()
                 n = int(ns[i])
                 by_name = {d["n"]: d for d in desc["cols"]}
-                key_d = by_name[key_col]
+                key_d = by_name.get(key_col)
+                if key_d is None:
+                    # schema evolution: block predates the probe
+                    # column, so every row's value is null there —
+                    # a non-null probe can't match; zero rows
+                    continue
                 kb = payload[key_d["o"]:key_d["o"] + key_d["l"]]
                 if key_kind == K_STR:
                     if not key_d.get("z"):
@@ -1796,7 +1801,11 @@ def make_lookup_fn(kinds: list[tuple[str, str]], key_col: str, value,
                     continue
                 cols = []
                 for field in out_schema:
-                    d = by_name[field.name]
+                    d = by_name.get(field.name)
+                    if d is None:  # added after this block: null-fill
+                        cols.append(pa.nulls(len(idxs),
+                                             type=field.type))
+                        continue
                     blob = payload[d["o"]:d["o"] + d["l"]]
                     cols.append(_column_at_indices(
                         blob, d["k"], n, field.type,
@@ -1876,9 +1885,18 @@ def make_group_count_fn(col: str, arrow_schema_bytes: bytes):
             ns = batch.column("n").to_pylist()
             for i in range(batch.num_rows):
                 desc = json.loads(descs[i])
-                d = next(c for c in desc["cols"] if c["n"] == col)
-                blob = payloads[i].as_py()[d["o"]:d["o"] + d["l"]]
+                d = next((c for c in desc["cols"] if c["n"] == col),
+                         None)
                 n = int(ns[i])
+                if d is None:
+                    # schema evolution: the column was added after
+                    # this block was written — all n rows are null
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.nulls(1, type=vtype),
+                         pa.array([n], type=pa.int64())],
+                        schema=out_schema)
+                    continue
+                blob = payloads[i].as_py()[d["o"]:d["o"] + d["l"]]
                 if d["k"] == K_STR and not d.get("z"):
                     vals, np_cnts = sc.str_block_value_counts(blob, n)
                     vals = vals.cast(vtype)

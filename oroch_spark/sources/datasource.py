@@ -411,7 +411,10 @@ class OrochReader(DataSourceReader):
             n = int(n_arr[i])
             arrs = []
             for field in out_schema:
-                d = by_name[field.name]
+                d = by_name.get(field.name)
+                if d is None:  # schema evolution: null-fill
+                    arrs.append(pa.nulls(n, type=field.type))
+                    continue
                 blob = payload[d["o"]:d["o"] + d["l"]]
                 arrs.append(engine._decode_column(
                     blob, d["k"], n, field.type,
@@ -862,7 +865,10 @@ class OrochStreamReader(DataSourceStreamReader):
             payload = payloads[i].as_py()
             arrs = []
             for field in out_schema:
-                d = by_name[field.name]
+                d = by_name.get(field.name)
+                if d is None:  # schema evolution: null-fill
+                    arrs.append(pa.nulls(int(ns[i]), type=field.type))
+                    continue
                 blob = payload[d["o"]:d["o"] + d["l"]]
                 arrs.append(engine._decode_column(
                     blob, d["k"], int(ns[i]), field.type,

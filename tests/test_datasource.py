@@ -366,3 +366,44 @@ def test_overwrite_is_not_destructive_before_commit(dsspark, tmp_path):
     assert not os.path.exists(stray)
     assert sorted(glob.glob(os.path.join(path, "*.parquet"))) == before
     assert dsspark.read.format("oroch").load(path).count() == 50
+
+
+def test_append_with_added_column_reads_evolved(dsspark, tmp_path):
+    """Append a new column: sidecar schema widens, old blocks
+    null-fill it through the format('oroch') reader."""
+    path = str(tmp_path / "appevo")
+    dsspark.range(100).select(F.col("id").alias("k"),
+                              (F.col("id") * 2).alias("a")) \
+        .coalesce(1).write.format("oroch").mode("overwrite") \
+        .option("key_cols", "k").save(path)
+    dsspark.range(100, 150).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a"),
+        F.concat(F.lit("x"), F.col("id")).alias("b")) \
+        .coalesce(1).write.format("oroch").mode("append") \
+        .option("key_cols", "k").save(path)
+    back = dsspark.read.format("oroch").load(path)
+    assert set(back.columns) == {"k", "a", "b"}
+    assert back.count() == 150
+    assert back.filter("b IS NULL").count() == 100
+    assert back.filter("k = 120").collect()[0]["b"] == "x120"
+    # pushdown on the ADDED column stays correct over old blocks
+    assert back.filter(F.col("b") == "x120").count() == 1
+
+
+def test_stream_reader_null_fills_pre_evolution_block(dsspark, tmp_path):
+    """OrochStreamReader.read on a block written before a column
+    existed must null-fill, not crash."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "evoblocks")
+    old = dsspark.createDataFrame([Row(k=i, a=i * 2) for i in range(40)])
+    engine.encode_df(old, ["k"], n_buckets=1, block_rows=32) \
+        .write.mode("overwrite").parquet(path)
+    fpath = glob.glob(os.path.join(path, "*.parquet"))[0]
+    rdr = ds.OrochStreamReader(
+        {"path": path}, [("k", "i64"), ("a", "i64"), ("b", "str")])
+    batches = list(rdr.read(ds._BatchFilePartition(fpath)))
+    assert sum(b.num_rows for b in batches) == 40
+    for b in batches:
+        assert b.column("b").null_count == b.num_rows

@@ -306,3 +306,39 @@ def test_decode_schema_evolution_null_fills_added_column(spark):
     assert dec.filter("b IS NULL").count() == 100
     assert dec.filter("k = 120").collect()[0]["b"] == "x120"
     assert dec.filter("k = 20").collect()[0]["a"] == 40
+
+
+def test_lookup_and_group_count_on_evolved_table(spark):
+    """Round-4 fix: every kernel — not just decode — must tolerate
+    blocks written before a column existed. lookup on the ADDED column
+    treats pre-evolution blocks as zero matches; lookup on the key
+    null-fills the added output column; group_count on the added
+    column counts pre-evolution rows under NULL."""
+    from pyspark.sql import Row
+
+    old = spark.createDataFrame([Row(k=i, a=i * 2) for i in range(100)])
+    new = spark.createDataFrame(
+        [Row(k=i, a=i * 2, b=f"x{i % 3}") for i in range(100, 150)])
+    blocks = engine.encode_df(old, ["k"], n_buckets=2, block_rows=32) \
+        .unionByName(engine.encode_df(new, ["k"], n_buckets=2,
+                                      block_rows=32))
+    kinds_v2 = engine.column_kinds(new.schema)
+
+    # lookup by key: an old block's row null-fills the added column
+    got = engine.lookup(blocks, kinds_v2, "k", 20).collect()
+    assert len(got) == 1 and got[0]["a"] == 40 and got[0]["b"] is None
+    # lookup on the ADDED column: old blocks contribute zero matches
+    rows = engine.lookup_where(blocks, kinds_v2, "b", "x1").collect()
+    assert {r.k for r in rows} == {k for k in range(100, 150)
+                                   if k % 3 == 1}
+    # lookup_in spanning both eras
+    got = engine.lookup_in(blocks, kinds_v2, "k", [20, 120]).collect()
+    assert {(r.k, r.b) for r in got} == {(20, None), (120, "x0")}
+    # group_count on the added column: NULL group absorbs old rows
+    gc = {r.b: r.n_rows
+          for r in engine.group_count(blocks, kinds_v2, "b").collect()}
+    assert gc[None] == 100
+    assert sum(v for k, v in gc.items() if k is not None) == 50
+    # group_agg grouped by the added column (was already tolerant)
+    ga = engine.group_agg(blocks, kinds_v2, ["b"], "a").collect()
+    assert {r.b for r in ga} == {None, "x0", "x1", "x2"}
