@@ -479,8 +479,11 @@ def _encode_column(arr: "pa.Array", kind: str, text_hint: bool,
             # min/max of prose isn't a useful pruning domain and the
             # strings would bloat the descriptor
             mm = pc.min_max(arr)
-            slo, shi = mm["min"].as_py(), mm["max"].as_py()
-            if len(slo) <= 256 and len(shi) <= 256:  # keep desc small
+            # keep desc small: long bounds are widened, not dropped
+            # (floor the low / ceil the high — still superset-safe)
+            slo, shi = _str_bounds_capped(mm["min"].as_py(),
+                                          mm["max"].as_py())
+            if shi is not None:
                 desc["slo"], desc["shi"] = slo, shi
         return (vblob + blob, desc, nbytes + 4 * n,
                 d.ref_total + len(vblob))
@@ -647,6 +650,53 @@ def _block_arrow_schema():
     ])
 
 
+# Lead-key string zone bounds are capped at this many characters.
+# Long keys (URLs, file paths) would otherwise replicate into every
+# block row AND into the parquet min/max stats the pruning rides on.
+# Truncation must stay superset-safe: the low bound is floored (a
+# prefix is <= the original), the high bound is ceiled (prefix with
+# its last incrementable code point bumped is > every string sharing
+# the prefix), so a pruned block provably cannot hold the probe.
+_KEY_BOUND_MAX = 256
+
+
+def _floor_str_bound(s: Optional[str],
+                     limit: int = _KEY_BOUND_MAX) -> Optional[str]:
+    if s is None or len(s) <= limit:
+        return s
+    return s[:limit]
+
+
+def _ceil_str_bound(s: Optional[str],
+                    limit: int = _KEY_BOUND_MAX) -> Optional[str]:
+    """Upper bound of length <= ``limit`` for every string with the
+    same ``limit``-char prefix: bump the last code point of the prefix
+    that has a successor (skipping the surrogate gap — bounds must
+    stay valid UTF-8, and code-point order == UTF-8 byte order, the
+    collation Spark/Arrow/parquet stats compare strings in). Returns
+    None ("unbounded above") only for the degenerate all-U+10FFFF
+    prefix."""
+    if s is None or len(s) <= limit:
+        return s
+    p = s[:limit]
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            nxt = 0xE000 if c == 0xD7FF else c + 1
+            return p[:i] + chr(nxt)
+    return None
+
+
+def _str_bounds_capped(slo: Optional[str], shi: Optional[str]):
+    """(floor(lo), ceil(hi)) — or (None, None) when the high side has
+    no finite bound, because the prune predicates test both sides and
+    a one-sided bound would read as "empty range", wrongly pruning."""
+    hi = _ceil_str_bound(shi)
+    if shi is not None and hi is None:
+        return None, None
+    return _floor_str_bound(slo), hi
+
+
 def _lead_bounds(lead: "pa.Array"):
     """TRUE (min, max) of the leading key column for the block's zone
     map — (key_lo, key_hi, key_slo, key_shi). The reference prunes its
@@ -679,7 +729,9 @@ def _lead_bounds(lead: "pa.Array"):
         return int(mm["min"].as_py()), int(mm["max"].as_py()), None, None
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         mm = pc.min_max(lead)
-        return None, None, mm["min"].as_py(), mm["max"].as_py()
+        slo, shi = _str_bounds_capped(mm["min"].as_py(),
+                                      mm["max"].as_py())
+        return None, None, slo, shi
     return None, None, None, None
 
 
@@ -798,8 +850,10 @@ def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
         bytes_in += b_in
         ref_bytes += b_ref
     payload = b"".join(pieces)
-    key = lambda i: "|".join(str(table.column(k)[i].as_py())
-                             for k in key_cols)
+    # display/legacy composite key (capped: any numeric string the
+    # legacy try_cast prune can use is <20 chars, untouched by the cap)
+    key = lambda i: _floor_str_bound("|".join(
+        str(table.column(k)[i].as_py()) for k in key_cols))
     key_lo, key_hi, key_slo, key_shi = _lead_bounds(
         table.column(key_cols[0]).combine_chunks())
     return {

@@ -405,3 +405,59 @@ def test_table_stats_nullable_unknown_bounds(spark):
     assert st["v"]["n_nulls"] == 100
     assert st["v"]["min_long"] is None  # nullable blocks carry no lo/hi
     assert st["k"]["n_nulls"] == 0 and st["k"]["min_long"] == 0
+
+
+# ---------------------------------------------------------------------------
+# round 4: long string keys — bounds are capped, prune-safely widened
+# ---------------------------------------------------------------------------
+
+def test_ceil_floor_bound_properties():
+    from oroch_spark.engine import (_ceil_str_bound, _floor_str_bound,
+                                    _str_bounds_capped, _KEY_BOUND_MAX)
+    import random
+    rng = random.Random(7)
+    pool = "abczé中\U0001F600퟿\U0010FFFF"
+    for _ in range(200):
+        s = "".join(rng.choice(pool)
+                    for _ in range(rng.randint(0, 600)))
+        lo, hi = _floor_str_bound(s), _ceil_str_bound(s)
+        assert lo <= s
+        assert len(lo) <= _KEY_BOUND_MAX
+        if hi is not None:
+            assert hi >= s, (s[:20], hi[:20])
+            assert len(hi) <= _KEY_BOUND_MAX
+            # UTF-8 byte order agrees (parquet stats compare bytes)
+            assert lo.encode() <= s.encode() <= hi.encode()
+    # the degenerate all-max prefix has no finite upper bound
+    assert _ceil_str_bound("\U0010FFFF" * 300) is None
+    assert _str_bounds_capped("a" * 300, "\U0010FFFF" * 300) == (None,
+                                                                 None)
+    # short bounds pass through untouched
+    assert _str_bounds_capped("aa", "zz") == ("aa", "zz")
+
+
+def test_long_string_keys_capped_and_lookupable(spark):
+    """10 KB string keys: block zone-bound columns stay small, and
+    lookups at/around the truncation boundary still find their rows
+    (widened bounds are superset-safe, never false-negative)."""
+    from pyspark.sql import Row
+    from oroch_spark.engine import _KEY_BOUND_MAX
+
+    base = "k" * (_KEY_BOUND_MAX - 1)      # shared 255-char prefix
+    keys = [base + ("%05d" % i) * 2000 for i in range(40)]  # ~20 KB keys
+    keys += ["aa", "zz" + "q" * 500]        # short + >cap mixed
+    df = spark.createDataFrame([Row(k=k, v=i)
+                                for i, k in enumerate(keys)])
+    blocks = engine.encode_df(df, ["k"], n_buckets=2, block_rows=8)
+    meta = blocks.select("key_slo", "key_shi", "key_min",
+                         "key_max").collect()
+    for r in meta:
+        for c in ("key_slo", "key_shi", "key_min", "key_max"):
+            assert r[c] is None or len(r[c]) <= _KEY_BOUND_MAX + 1
+    kinds = engine.column_kinds(df.schema)
+    for probe_i in (0, 17, 39, 40, 41):
+        got = engine.lookup(blocks, kinds, "k", keys[probe_i]).collect()
+        assert len(got) == 1 and got[0]["v"] == probe_i
+    # a probe that shares the truncated prefix but matches nothing
+    miss = base + "99999" * 2000 + "X"
+    assert engine.lookup(blocks, kinds, "k", miss).count() == 0
