@@ -2146,6 +2146,72 @@ def agg_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
         F.max("_hi").cast("long").alias("max_v")))
 
 
+# lookup_join block-prune grid: the bucket width is the AVERAGE block
+# bound span, so a typical block covers 1-2 buckets; a block spanning
+# more than _LJ_SPAN_CAP buckets (an outlier interleaving most of the
+# key domain — it overlaps nearly any probe anyway) skips the prune
+# and is kept unconditionally, bounding the explode at O(blocks x
+# small-constant).
+_LJ_SPAN_CAP = 64
+
+
+def _str_surrogate(c: "F.Column") -> "F.Column":
+    """Order-preserving int64 surrogate of a string: the first 7 UTF-8
+    bytes, zero-padded, read big-endian. Monotone w.r.t. the UTF-8
+    binary order Spark compares strings in (fixed-width BE prefix), so
+    bucket(surr(lo)) <= bucket(surr(k)) <= bucket(surr(hi)) whenever
+    lo <= k <= hi — prefix collisions only widen the candidate set."""
+    return F.conv(F.rpad(F.hex(F.substring(c.cast("binary"), 1, 7)),
+                         14, "0"), 16, 10).cast("long")
+
+
+def _bucketed_block_prune(blocks: DataFrame, bounds: tuple[str, str],
+                          kind: str, probe: DataFrame,
+                          k_dom: "F.Column") -> DataFrame:
+    """Keep the blocks whose zone-bound interval may contain a probe
+    key — computed with an EQUI-join on coarse key-domain buckets (the
+    containment check is the residual condition of a
+    BroadcastHashJoin), never a nested loop. See lookup_join."""
+    blo, bhi = F.col(bounds[0]), F.col(bounds[1])
+    if kind == K_STR:
+        blo_s, bhi_s = _str_surrogate(blo), _str_surrogate(bhi)
+        k_surr = _str_surrogate(k_dom)
+    else:
+        blo_s, bhi_s, k_surr = blo, bhi, k_dom
+    meta = blocks.select(
+        "bucket", "block_idx", blo.alias("_lo"), bhi.alias("_hi"),
+        blo_s.alias("_los"), bhi_s.alias("_his"))
+    g = meta.agg(F.min("_los").alias("a"), F.max("_his").alias("b"),
+                 F.avg(F.col("_his") - F.col("_los")).alias("s")
+                 ).first()
+    if g is None or g["a"] is None or g["b"] is None \
+            or int(g["b"]) - int(g["a"]) >= (1 << 62):
+        # no usable bounds anywhere (or a pathological span that would
+        # overflow the shifted grid): pruning is an optimization only
+        return blocks
+    a = int(g["a"])
+    w = max(1, int(g["s"]) + 1)
+    bkt = lambda c: F.expr(f"(({c}) - {a}L) div {w}L")
+    spanned = meta.withColumn("_b0", bkt("_los")) \
+                  .withColumn("_b1", bkt("_his"))
+    prunable = (F.col("_b0").isNotNull() & F.col("_b1").isNotNull()
+                & (F.col("_b1") - F.col("_b0") < _LJ_SPAN_CAP))
+    probe_b = F.broadcast(
+        probe.select(k_dom.alias("_kd"), k_surr.alias("_ks"))
+             .withColumn("_kbkt", bkt("_ks")))
+    ids = (spanned.where(prunable)
+           .withColumn("_bkt", F.explode(F.sequence("_b0", "_b1")))
+           .join(probe_b, (F.col("_bkt") == F.col("_kbkt"))
+                 & (F.col("_lo") <= F.col("_kd"))
+                 & (F.col("_hi") >= F.col("_kd")), "left_semi")
+           .select("bucket", "block_idx"))
+    keep_all = spanned.where(~prunable | prunable.isNull()) \
+        .select("bucket", "block_idx")
+    cand_ids = ids.union(keep_all).distinct()
+    return blocks.join(F.broadcast(cand_ids),
+                       ["bucket", "block_idx"], "left_semi")
+
+
 def lookup_join(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
                 key_col: str, keys: DataFrame,
                 columns: Optional[list[str]] = None) -> DataFrame:
@@ -2167,7 +2233,20 @@ def lookup_join(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
     fact table — for fact-to-fact joins decode and use a regular join).
     The keys column must have the key's type; integer-domain keys
     compare in the int64 codec domain (ts as epoch-micros, date as
-    days — the same domain the bounds are stored in)."""
+    days — the same domain the bounds are stored in).
+
+    The block prune never nested-loops: probe keys and block bound
+    intervals are both mapped to COARSE BUCKETS of a shared key-domain
+    grid (string keys through an order-preserving 7-byte big-endian
+    prefix surrogate), the bucket is the equi key of a
+    BroadcastHashJoin and the true containment check rides along as
+    the residual condition, so the prune costs O(blocks x
+    spanned_buckets) hash probes instead of O(blocks x keys)
+    comparisons. Wide blocks (> _LJ_SPAN_CAP buckets — they overlap
+    nearly any probe anyway) and blocks without bounds skip straight
+    to the candidate set. The blocks table itself never shuffles: the
+    walk runs on a metadata projection, reduces to a (bucket,
+    block_idx) candidate-id set, and joins back broadcast."""
     kind = dict(schema_kinds)[key_col]
     if kind not in (K_STR, K_TS, K_DATE, K_I8, K_I16, K_I32, K_I64,
                     K_BOOL):
@@ -2175,11 +2254,6 @@ def lookup_join(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
             f"lookup_join does not support lead-key kind {kind!r}")
     bounds = ("key_slo", "key_shi") if kind == K_STR \
         else ("key_lo", "key_hi")
-    if bounds[0] in blocks.columns:
-        blo, bhi = F.col(bounds[0]), F.col(bounds[1])
-    else:  # legacy table without bounds: no pruning, still correct
-        blo = bhi = F.lit(None).cast(
-            "string" if kind == K_STR else "long")
     probe = F.broadcast(keys.select(keys.columns[0])
                         .withColumnRenamed(keys.columns[0], "_probe_k")
                         .distinct())
@@ -2188,9 +2262,8 @@ def lookup_join(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
              K_TS: F.unix_micros(kc.cast("timestamp")),
              K_DATE: F.datediff(kc.cast("date"), F.lit("1970-01-01"))
              }.get(kind, kc.cast("long"))
-    cand = blocks.join(probe,
-                       blo.isNull() | ((blo <= k_dom) & (bhi >= k_dom)),
-                       "left_semi")
+    cand = _bucketed_block_prune(blocks, bounds, kind, probe, k_dom) \
+        if bounds[0] in blocks.columns else blocks
     decode_cols = columns
     if columns is not None and key_col not in columns:
         decode_cols = [key_col] + columns

@@ -160,8 +160,8 @@ def test_lookup_join_projection(spark, events):
 
 
 def test_lookup_join_prunes_blocks(spark):
-    """The semi-join on zone bounds must keep only blocks whose range
-    can contain a probe key: single sorted bucket, 16 disjoint blocks,
+    """The bucketed prune must keep only blocks whose range can
+    contain a probe key: single sorted bucket, 16 disjoint blocks,
     two point keys in the same block -> 1 candidate."""
     src = spark.createDataFrame([Row(k=i, v=i) for i in range(4096)])
     blocks = engine.encode_df(src, ["k"], n_buckets=1,
@@ -169,12 +169,47 @@ def test_lookup_join_prunes_blocks(spark):
     total = blocks.count()
     keys = spark.createDataFrame([Row(k=1), Row(k=2)])
     probe = F.broadcast(keys.selectExpr("k AS _probe_k").distinct())
-    cand = blocks.join(
-        probe, (F.col("key_lo") <= F.col("_probe_k").cast("long"))
-        & (F.col("key_hi") >= F.col("_probe_k").cast("long")),
-        "left_semi").count()
+    cand = engine._bucketed_block_prune(
+        blocks, ("key_lo", "key_hi"), "i64", probe,
+        F.col("_probe_k").cast("long")).count()
     assert total == 16 and cand == 1
     blocks.unpersist()
+
+
+def test_lookup_join_plan_has_no_nested_loop(spark):
+    """Round-4 plan pin: a large probe list must NOT prune via
+    BroadcastNestedLoopJoin (O(blocks x keys)); the bucket grid turns
+    it into BroadcastHashJoins, and the blocks table never shuffles."""
+    src = spark.createDataFrame([Row(k=i, v=i) for i in range(20000)])
+    blocks = engine.encode_df(src, ["k"], n_buckets=2, block_rows=256)
+    kinds = engine.column_kinds(src.schema)
+    keys = spark.range(0, 100000, 3).withColumnRenamed("id", "k")
+    out = engine.lookup_join(blocks, kinds, "k", keys)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() == len(range(0, 20000, 3))
+
+
+def test_lookup_join_wide_and_null_bound_blocks_kept(spark):
+    """Blocks spanning more coarse buckets than the explode cap (or
+    carrying null bounds) skip the prune but stay in the candidate
+    set — pruning is never a correctness filter."""
+    import pyspark.sql.types as T
+    # one block spans the whole domain (interleaved keys), the rest
+    # are narrow: prune must keep the wide block for any probe
+    wide = [Row(k=i, v=i) for i in (0, 10**12)]
+    narrow = [Row(k=i, v=i) for i in range(1000, 1512)]
+    src = spark.createDataFrame(wide + narrow)
+    blocks = engine.encode_df(src, ["k"], n_buckets=1, block_rows=512)
+    kinds = engine.column_kinds(src.schema)
+    keys = spark.createDataFrame([Row(k=0)])
+    got = engine.lookup_join(blocks, kinds, "k", keys).collect()
+    assert [(r.k, r.v) for r in got] == [(0, 0)]
+    # null bounds: blank out the bound columns entirely
+    nb = blocks.withColumn("key_lo", F.lit(None).cast("long")) \
+               .withColumn("key_hi", F.lit(None).cast("long"))
+    got = engine.lookup_join(nb, kinds, "k", keys).collect()
+    assert [(r.k, r.v) for r in got] == [(0, 0)]
 
 
 def test_lookup_join_string_key(spark):
