@@ -24,6 +24,20 @@ decoded rows with
 - **partition-per-row-group parallelism**: each surviving (file,
   row-group) pair is one ``InputPartition``, so decode scales out to
   however many executors the cluster has — no driver-side decode.
+- **streaming-sink awareness**: a directory carrying ``_batches/``
+  manifests reads as its COMMITTED view (uncommitted attempt files
+  are invisible — the sink's exactly-once contract now holds for
+  batch readers too), ``option("as_of_batch", n)`` time-travels to
+  batches <= n, and ``option("latest_wins", "true")`` (+ optional
+  ``option("tombstone_col", c)``) resolves max-batch-id-wins per key
+  WITHOUT a shuffle: the lead-key domain splits into ranges from
+  parquet footer stats, each range-partition reads every candidate
+  (file, row-group, batch) overlapping it, and the merge is one
+  vectorized Arrow sort + group-boundary scan per partition — the
+  declarative face of ``streaming/incremental.read_latest``. In
+  latest-wins mode no filter is pushed down (a pre-merge filter
+  could resurrect a stale version); Spark applies them on the
+  merged view.
 - **projection** via ``option("columns", "a,b")``: only the named
   columns' blobs are decoded (the descriptor's (offset, length) slices
   — the block-format analogue of parquet column pruning). The Python
@@ -267,6 +281,34 @@ class _RGPartition(InputPartition):
         self.row_group = row_group
 
 
+class _MergePartition(InputPartition):
+    """One lead-key range of a latest-wins read: every (file,
+    row-group, batch_id) whose bounds overlap [lo, hi) — so the
+    partition holds ALL candidate versions of its keys and can
+    resolve latest-wins locally, without a shuffle (the Python
+    DataSource API cannot express one)."""
+
+    def __init__(self, lo, hi, items: list):
+        self.lo = lo            # None = open below
+        self.hi = hi            # None = open above (last range)
+        self.items = items      # [(file, row_group, batch_id)]
+
+
+def _sink_manifest_files(path: str, as_of_batch: Optional[int] = None):
+    """(relative file, batch_id) pairs of the committed streaming-sink
+    view — files not named by a manifest (aborted or in-flight write
+    attempts) are invisible, the sink's exactly-once contract. With
+    ``as_of_batch`` only batches <= it are visible (time travel)."""
+    out = []
+    for mf in sorted(glob.glob(os.path.join(path, _BATCH_DIR,
+                                            "*.json"))):
+        with open(mf) as f:
+            doc = json.load(f)
+        if as_of_batch is None or int(doc["batch_id"]) <= as_of_batch:
+            out += [(f, int(doc["batch_id"])) for f in doc["files"]]
+    return out
+
+
 def _projected_kinds(options: dict,
                      kinds: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """Apply the explicit ``columns`` projection option (must agree
@@ -286,13 +328,60 @@ _PRUNABLE_KINDS = ("str", "i8", "i16", "i32", "i64", "ts", "date",
                    "bool")
 
 
+def _reader_view_kinds(options: dict, kinds: list[tuple[str, str]]):
+    """The schema a read with these options produces: the ``columns``
+    projection, minus the tombstone column in latest-wins mode (a
+    delete marker is resolution input, not output — compact_sink drops
+    it the same way)."""
+    out = _projected_kinds(options, kinds)
+    if str(options.get("latest_wins", "")).lower() == "true":
+        ts = options.get("tombstone_col")
+        if ts:
+            out = [kv for kv in out if kv[0] != ts]
+    return out
+
+
 class OrochReader(DataSourceReader):
     def __init__(self, options: dict, kinds: list[tuple[str, str]],
                  key_cols: list[str]):
         self.path = options["path"]
+        self.key_cols = list(key_cols)
         self.key_col = key_cols[0]
-        self.kinds = _projected_kinds(options, kinds)
+        self.latest = str(options.get("latest_wins", "")).lower() \
+            == "true"
+        ab = options.get("as_of_batch")
+        self.as_of = int(ab) if ab is not None else None
+        self.tombstone = options.get("tombstone_col") or None
+        self.merge_parts = int(options.get("merge_partitions", 32))
+        self.kinds = _reader_view_kinds(options, kinds)
         self.schema_bytes = _arrow_schema_bytes(self.kinds)
+        # committed streaming-sink view: when the directory carries
+        # batch manifests, only manifest-named files are the table
+        # (uncommitted attempts stay invisible); batch ids feed
+        # latest-wins resolution and as-of time travel
+        pairs = _sink_manifest_files(self.path, self.as_of)
+        self.batch_of = {f: b for f, b in pairs} \
+            if (pairs or os.path.isdir(os.path.join(self.path,
+                                                    _BATCH_DIR))) \
+            else None
+        if (self.latest or self.as_of is not None) \
+                and self.batch_of is None:
+            raise ValueError(
+                "latest_wins / as_of_batch need a streaming-sink "
+                f"directory with {_BATCH_DIR}/ manifests; {self.path} "
+                "is a plain batch table (already a single snapshot)")
+        if self.latest:
+            # latest-wins merge needs the key + batch id, and reads
+            # the tombstone marker even though it is not output
+            by_name = dict(kinds)
+            need = {n for n, _ in self.kinds} | set(self.key_cols) \
+                | ({self.tombstone} if self.tombstone else set())
+            unknown = need - set(by_name)
+            if unknown:
+                raise ValueError(f"unknown columns {sorted(unknown)}")
+            self.dec_kinds = [kv for kv in kinds if kv[0] in need]
+            self.dec_schema_bytes = _arrow_schema_bytes(self.dec_kinds)
+            self.key_kind = by_name[self.key_col]
         self.preds: dict[str, _KeyPred] = {}
 
     # -- pushdown ----------------------------------------------------------
@@ -302,18 +391,31 @@ class OrochReader(DataSourceReader):
         # column anyway; the win is the per-block desc-stats + Bloom
         # skip (and row-group stats for the lead key / materialized
         # secondary bounds)
+        if self.latest:
+            # a filter evaluated BEFORE latest-wins resolution could
+            # drop the newest version of a key and resurrect a stale
+            # one — Spark must apply every filter on the merged view
+            return iter(filters)
         cols_ok = {n for n, k in self.kinds if k in _PRUNABLE_KINDS}
         accepted, unsupported, preds = _translate(filters, cols_ok)
         self.preds = preds
         return iter(unsupported)
 
+    def _files(self) -> list[tuple[str, Optional[int]]]:
+        if self.batch_of is not None:
+            return [(os.path.join(self.path, f), b)
+                    for f, b in sorted(self.batch_of.items())]
+        return [(f, None) for f in
+                sorted(glob.glob(os.path.join(self.path, "*.parquet")))]
+
     # -- planning ----------------------------------------------------------
     def partitions(self) -> list[InputPartition]:
         import pyarrow.parquet as pq
 
+        if self.latest:
+            return self._merge_partitions()
         parts: list[InputPartition] = []
-        for fpath in sorted(glob.glob(os.path.join(self.path,
-                                                   "*.parquet"))):
+        for fpath, _ in self._files():
             md = pq.ParquetFile(fpath).metadata
             name_to_idx = {md.schema.column(i).name: i
                            for i in range(md.num_columns)}
@@ -350,11 +452,70 @@ class OrochReader(DataSourceReader):
                     parts.append(_RGPartition(fpath, rg))
         return parts
 
+    def _merge_partitions(self) -> list[InputPartition]:
+        """Latest-wins planning: split the lead-key domain into ranges
+        (driver-side, parquet footer stats only) and give each range
+        every (file, row-group, batch) whose bounds overlap it. All
+        versions of a key land in exactly one partition, so the merge
+        is partition-local — merge-on-read without a shuffle. A
+        row-group without usable bounds collapses the plan to a single
+        partition (correct, not parallel)."""
+        import pyarrow.parquet as pq
+
+        lo_col, hi_col = (("key_slo", "key_shi")
+                          if self.key_kind == "str"
+                          else ("key_lo", "key_hi"))
+        intervals = []   # (lo, hi, file, rg, batch_id)
+        degenerate = False
+        for fpath, bid in self._files():
+            md = pq.ParquetFile(fpath).metadata
+            name_to_idx = {md.schema.column(i).name: i
+                           for i in range(md.num_columns)}
+            ilo, ihi = name_to_idx.get(lo_col), name_to_idx.get(hi_col)
+            for rg in range(md.num_row_groups):
+                lo = hi = None
+                if ilo is not None and ihi is not None:
+                    slo = md.row_group(rg).column(ilo).statistics
+                    shi = md.row_group(rg).column(ihi).statistics
+                    if slo is not None and slo.has_min_max \
+                            and shi is not None and shi.has_min_max:
+                        lo, hi = slo.min, shi.max
+                if lo is None or hi is None:
+                    degenerate = True
+                intervals.append((lo, hi, fpath, rg, bid))
+        if not intervals:
+            return []
+        if degenerate or len(intervals) == 1 or self.merge_parts <= 1:
+            return [_MergePartition(None, None,
+                                    [(f, rg, b)
+                                     for _, _, f, rg, b in intervals])]
+        los = sorted(iv[0] for iv in intervals)
+        nparts = min(self.merge_parts, len(intervals))
+        cuts, seen = [], set()
+        for i in range(1, nparts):
+            c = los[len(los) * i // nparts]
+            if c not in seen:
+                seen.add(c)
+                cuts.append(c)
+        edges = [None] + sorted(cuts) + [None]
+        parts = []
+        for j in range(len(edges) - 1):
+            rlo, rhi = edges[j], edges[j + 1]
+            items = [(f, rg, b) for lo, hi, f, rg, b in intervals
+                     if (rhi is None or lo < rhi)
+                     and (rlo is None or hi >= rlo)]
+            if items:
+                parts.append(_MergePartition(rlo, rhi, items))
+        return parts
+
     # -- execution ---------------------------------------------------------
-    def read(self, partition: _RGPartition) -> Iterator:
+    def read(self, partition) -> Iterator:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if isinstance(partition, _MergePartition):
+            yield from self._read_merge(partition)
+            return
         out_schema = pa.ipc.read_schema(pa.py_buffer(self.schema_bytes))
         pf = pq.ParquetFile(partition.file)
         # metadata first: if every block in the group is pruned, the
@@ -450,6 +611,104 @@ class OrochReader(DataSourceReader):
                           ">": pc.greater,
                           ">=": pc.greater_equal}[op](arr, s))
         return batch.filter(mask) if mask is not None else batch
+
+    def _read_merge(self, part: _MergePartition) -> Iterator:
+        """Latest-wins execution for one key range: decode the
+        surviving blocks of every candidate row-group, keep only this
+        range's rows, and resolve max-batch-id-wins per key with one
+        vectorized sort + group-boundary scan — no Python per row."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        dec_schema = pa.ipc.read_schema(
+            pa.py_buffer(self.dec_schema_bytes))
+        full_schema = dec_schema.append(pa.field("__b", pa.int64()))
+        lo_name, hi_name = (("key_slo", "key_shi")
+                            if self.key_kind == "str"
+                            else ("key_lo", "key_hi"))
+        batches = []
+        for fpath, rg, bid in part.items:
+            pf = pq.ParquetFile(fpath)
+            meta = pf.read_row_group(rg, columns=_META_COLS + ["desc"])
+            ns = meta.column("n").to_pylist()
+            descs = meta.column("desc").to_pylist()
+            keep = []
+            for i in range(meta.num_rows):
+                blo = meta.column(lo_name)[i].as_py()
+                bhi = meta.column(hi_name)[i].as_py()
+                if blo is not None and bhi is not None:
+                    if part.hi is not None and not blo < part.hi:
+                        continue
+                    if part.lo is not None and not bhi >= part.lo:
+                        continue
+                keep.append(i)
+            if not keep:
+                continue
+            payloads = pf.read_row_group(
+                rg, columns=["payload"]).column("payload")
+            for i in keep:
+                desc = json.loads(descs[i])
+                by_name = {d["n"]: d for d in desc["cols"]}
+                payload = payloads[i].as_py()
+                n = int(ns[i])
+                arrs = []
+                for field in dec_schema:
+                    d = by_name.get(field.name)
+                    if d is None:  # schema evolution: null-fill
+                        arrs.append(pa.nulls(n, type=field.type))
+                        continue
+                    blob = payload[d["o"]:d["o"] + d["l"]]
+                    arrs.append(engine._decode_column(
+                        blob, d["k"], n, field.type,
+                        nullable=bool(d.get("z"))))
+                arrs.append(pa.repeat(pa.scalar(int(bid),
+                                                type=pa.int64()), n))
+                batches.append(pa.RecordBatch.from_arrays(
+                    arrs, schema=full_schema))
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        key = tbl.column(self.key_col)
+        if key.null_count:
+            raise ValueError(
+                "latest_wins requires a non-null lead key (upsert keys "
+                "are identifiers; a NULL key has no latest version)")
+        mask = None
+        if part.lo is not None:
+            mask = pc.greater_equal(key, pa.scalar(part.lo,
+                                                   type=key.type))
+        if part.hi is not None:
+            m = pc.less(key, pa.scalar(part.hi, type=key.type))
+            mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            tbl = tbl.filter(mask)
+        if tbl.num_rows == 0:
+            return
+        order = [(k, "ascending") for k in self.key_cols] \
+            + [("__b", "descending")]
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=order))
+        n = tbl.num_rows
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        for k in self.key_cols:   # row i starts a key group iff any
+            col = tbl.column(k).combine_chunks()  # key col differs
+            if n == 1:
+                break
+            a, b = col.slice(1), col.slice(0, n - 1)
+            same = pc.fill_null(pc.equal(a, b), False)
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            first[1:] |= pc.invert(pc.or_(same, both_null)) \
+                .to_numpy(zero_copy_only=False)
+        tbl = tbl.filter(pa.array(first))
+        if self.tombstone:
+            tomb = pc.fill_null(tbl.column(self.tombstone), False)
+            tbl = tbl.filter(pc.invert(tomb))
+        out_schema = pa.ipc.read_schema(pa.py_buffer(self.schema_bytes))
+        out = pa.table({f.name: tbl.column(f.name)
+                        for f in out_schema}).cast(out_schema)
+        yield from out.to_batches()
 
 
 # ---------------------------------------------------------------------------
@@ -892,7 +1151,7 @@ class OrochDataSource(DataSource):
 
     def schema(self):
         doc = read_sidecar(self.options["path"])
-        kinds = _projected_kinds(self.options, doc["kinds"])
+        kinds = _reader_view_kinds(self.options, doc["kinds"])
         return T.StructType([
             T.StructField(n, engine.spark_type_of(k))
             for n, k in kinds])

@@ -167,3 +167,110 @@ def test_compact_sink(spark, tmp_path):
     assert spark.read.format("oroch").load(sink2).count() == 150
     assert after[(after.conv_id == "c1")
                  & (after.turn_idx == 0)].text.iloc[0] == "UPDATED"
+
+
+# ---------------------------------------------------------------------------
+# round 4: declarative sink reads — committed view, latest_wins,
+# as_of_batch, tombstones — through bare spark.read.format("oroch")
+# ---------------------------------------------------------------------------
+
+def test_bare_read_is_committed_view(spark, sink):
+    back = spark.read.format("oroch").load(sink)
+    assert back.count() == 151  # append-only committed view
+    blocks = ds.stream_sink_blocks(spark, sink)
+    exp = engine.decode_df(blocks, KINDS)
+    key = ["conv_id", "turn_idx", "text"]
+    assert sorted(map(tuple, back.select(*key).collect())) == \
+        sorted(map(tuple, exp.select(*key).collect()))
+
+
+def test_latest_wins_option(spark, sink):
+    back = (spark.read.format("oroch")
+            .option("latest_wins", "true")
+            .option("key_cols", "conv_id,turn_idx").load(sink))
+    assert back.count() == 150
+    got = back.filter("conv_id = 'c1' AND turn_idx = 0").collect()
+    assert [r["text"] for r in got] == ["UPDATED"]
+    # matches the library merge exactly
+    exp = inc.read_latest(spark, None, KINDS, ["conv_id", "turn_idx"],
+                          inc_blocks=ds.stream_sink_blocks(spark, sink))
+    cols = ["conv_id", "turn_idx", "text"]
+    assert sorted(map(tuple, back.select(*cols).collect())) == \
+        sorted(map(tuple, exp.select(*cols).collect()))
+
+
+def test_latest_wins_filter_never_resurrects_stale(spark, sink):
+    """A filter matching only the SHADOWED version of a key must
+    return nothing — filters apply on the merged view (none are
+    pushed below the resolution)."""
+    back = (spark.read.format("oroch")
+            .option("latest_wins", "true")
+            .option("key_cols", "conv_id,turn_idx").load(sink))
+    assert back.filter(
+        "conv_id = 'c1' AND turn_idx = 0 AND text = 't0'").count() == 0
+    assert back.filter("text = 'UPDATED'").count() == 1
+
+
+def test_as_of_batch_time_travel(spark, sink):
+    b0 = (spark.read.format("oroch")
+          .option("as_of_batch", "0").load(sink))
+    assert b0.count() == 100
+    lw0 = (spark.read.format("oroch")
+           .option("latest_wins", "true").option("as_of_batch", "0")
+           .option("key_cols", "conv_id,turn_idx").load(sink))
+    got = lw0.filter("conv_id = 'c1' AND turn_idx = 0").collect()
+    assert [r["text"] for r in got] == ["t0"]
+
+
+def test_latest_wins_on_batch_table_raises(spark, tmp_path):
+    path = str(tmp_path / "plainbatch")
+    spark.range(10).withColumnRenamed("id", "k") \
+        .write.format("oroch").mode("overwrite") \
+        .option("key_cols", "k").save(path)
+    with pytest.raises(Exception, match="latest_wins|manifest"):
+        spark.read.format("oroch").option("latest_wins", "true") \
+            .load(path).count()
+
+
+def test_latest_wins_key_cols_option(spark, sink):
+    """key_cols read option is optional — defaults to the sidecar's
+    key columns."""
+    back = (spark.read.format("oroch")
+            .option("latest_wins", "true").load(sink))
+    assert back.count() == 150
+
+
+@pytest.fixture(scope="module")
+def tomb_sink(spark, tmp_path_factory):
+    ds.register(spark)
+    td = tmp_path_factory.mktemp("tombsink")
+    srcdir = str(td / "in")
+    os.makedirs(srcdir)
+    schema = "k long, v string, deleted boolean"
+    rows1 = [Row(k=i, v=f"v{i}", deleted=False) for i in range(20)]
+    rows2 = [Row(k=3, v="", deleted=True),
+             Row(k=5, v="v5b", deleted=False)]
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.parquet(os.path.join(srcdir, "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.parquet(os.path.join(srcdir, "f2"))
+    path = str(td / "out")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(srcdir + "/*"))
+    q = (stream.writeStream.format("oroch")
+         .option("path", path).option("key_cols", "k")
+         .option("checkpointLocation", str(td / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return path
+
+
+def test_latest_wins_tombstones(spark, tomb_sink):
+    back = (spark.read.format("oroch")
+            .option("latest_wins", "true")
+            .option("tombstone_col", "deleted").load(tomb_sink))
+    assert "deleted" not in back.columns
+    rows = {r.k: r.v for r in back.collect()}
+    assert 3 not in rows            # tombstoned key disappears
+    assert rows[5] == "v5b"         # upsert wins
+    assert len(rows) == 19
