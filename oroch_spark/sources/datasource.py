@@ -294,14 +294,44 @@ class _MergePartition(InputPartition):
         self.items = items      # [(file, row_group, batch_id)]
 
 
+_VERSION_FILE = "_VERSION.json"
+
+
+def _manifest_paths(path: str) -> list[str]:
+    """The authoritative manifest set of a sink directory. When the
+    version pointer exists, it IS the table version — one atomic
+    ``os.replace`` swaps the whole manifest set, so a reader racing a
+    compaction resolves either the old set or the new set, never a mix
+    (the round-3 manifest-swap race). Directories written before the
+    pointer existed fall back to the directory listing."""
+    bdir = os.path.join(path, _BATCH_DIR)
+    vp = os.path.join(bdir, _VERSION_FILE)
+    if os.path.exists(vp):
+        with open(vp) as f:
+            doc = json.load(f)
+        return [os.path.join(bdir, m) for m in doc["manifests"]]
+    return sorted(f for f in glob.glob(os.path.join(bdir, "*.json"))
+                  if os.path.basename(f) != _VERSION_FILE)
+
+
+def _publish_version(path: str, manifest_names: list[str]) -> None:
+    """Atomically point the sink at exactly this manifest set (write
+    tmp + rename — the publish step; the named manifests must already
+    be durable)."""
+    bdir = os.path.join(path, _BATCH_DIR)
+    tmp = os.path.join(bdir, f".version.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"manifests": sorted(set(manifest_names))}, f)
+    os.replace(tmp, os.path.join(bdir, _VERSION_FILE))
+
+
 def _sink_manifest_files(path: str, as_of_batch: Optional[int] = None):
     """(relative file, batch_id) pairs of the committed streaming-sink
     view — files not named by a manifest (aborted or in-flight write
     attempts) are invisible, the sink's exactly-once contract. With
     ``as_of_batch`` only batches <= it are visible (time travel)."""
     out = []
-    for mf in sorted(glob.glob(os.path.join(path, _BATCH_DIR,
-                                            "*.json"))):
+    for mf in _manifest_paths(path):
         with open(mf) as f:
             doc = json.load(f)
         if as_of_batch is None or int(doc["batch_id"]) <= as_of_batch:
@@ -933,11 +963,14 @@ class OrochStreamWriter(DataSourceStreamArrowWriter):
         with open(tmp, "w") as f:
             json.dump(doc, f)
         os.replace(tmp, os.path.join(bdir, f"{batchId}.json"))
+        _publish_version(self.path, [
+            os.path.basename(m) for m in _manifest_paths(self.path)
+        ] + [f"{batchId}.json"])
         write_sidecar(self.path, self.kinds, self.key_cols)
         # sweep orphans (failed attempts, superseded replays): a file
         # is live iff some committed manifest names it
         live = set()
-        for mf in glob.glob(os.path.join(bdir, "*.json")):
+        for mf in _manifest_paths(self.path):
             with open(mf) as f:
                 live.update(json.load(f)["files"])
         for f in glob.glob(os.path.join(self.path, "stream-*.parquet")):
@@ -967,7 +1000,7 @@ def stream_sink_blocks(spark, path: str, as_of_batch: int | None = None):
     from pyspark.sql import functions as F
 
     batches = []
-    for mf in sorted(glob.glob(os.path.join(path, _BATCH_DIR, "*.json"))):
+    for mf in _manifest_paths(path):
         with open(mf) as f:
             batches.append(json.load(f))
     if as_of_batch is not None:
@@ -988,33 +1021,74 @@ def stream_sink_blocks(spark, path: str, as_of_batch: int | None = None):
 def compact_sink(spark, path: str, n_buckets: int = 32,
                  block_rows: int = 65536,
                  latest_wins: bool = True,
-                 tombstone_col: Optional[str] = None) -> dict:
-    """Maintenance compaction for a streaming sink: decode every
-    committed batch, optionally resolve latest-wins (+ tombstone
-    deletes) once and for all, re-encode at full block size, and
-    publish the result as a SINGLE batch manifest carrying the highest
-    existing batch id — replacing all prior manifests. Readers after
-    compaction see identical rows (latest-wins view) with none of the
-    per-read merge cost; the streaming reader's offsets stay monotone
-    because the compacted manifest keeps the top id and later batches
-    continue above it. The small-increment debt of the append-only
-    contract (`streaming/incremental.py`) is paid here, batch-style —
-    the engine's `recompact` applied at the sink boundary.
+                 tombstone_col: Optional[str] = None,
+                 retain_from_batch: Optional[int] = None) -> dict:
+    """Maintenance compaction for a streaming sink: decode the folded
+    batches, optionally resolve latest-wins (+ tombstone deletes) once
+    and for all, re-encode at full block size, and publish the result
+    as ONE batch manifest carrying the highest folded batch id. The
+    small-increment debt of the append-only contract
+    (`streaming/incremental.py`) is paid here, batch-style — the
+    engine's `recompact` applied at the sink boundary.
 
-    Run in a maintenance window: like any file-based compaction
-    without a lock service, a reader racing the manifest swap can see
-    a mixed view. Single writer, same as the sink itself."""
+    **Atomic publish**: the compacted manifest lands under a fresh
+    name, then a single ``_VERSION.json`` rename points every reader
+    at the new manifest set — a reader racing the compaction resolves
+    either the complete old version or the complete new one, never a
+    mix. Only then are the superseded manifests and block files
+    removed (a reader that resolved the OLD version moments before
+    may still want its files: at 100 TB, keep a grace period / use
+    the object store's delayed delete instead of the immediate GC
+    used here).
+
+    **Mid-stream readers**: a ``readStream`` whose checkpoint offset
+    is inside the folded range would re-deliver already-consumed rows
+    (its unread manifests were replaced by one that also contains
+    rows it HAS read). Either compact only when all streams are
+    caught up past the top batch id, or pass ``retain_from_batch=k``:
+    batches >= k are kept as-is and only batches < k fold, so any
+    reader at offset >= k is unaffected. With ``retain_from_batch``
+    the tombstone column is kept in the output schema (all-False on
+    surviving rows) because retained newer batches may still carry
+    deletes that must keep resolving at read time.
+
+    Single WRITER per sink, same as the sink itself — compaction
+    racing an active stream commit still needs the maintenance
+    window; readers are safe any time."""
+    from pyspark.sql import functions as F
+
     from ..streaming import incremental as inc
 
     doc = read_sidecar(path)
     kinds, key_cols = doc["kinds"], doc["key_cols"]
-    blocks = stream_sink_blocks(spark, path)
+    bdir = os.path.join(path, _BATCH_DIR)
+    old_manifests = _manifest_paths(path)
+    retained, folded_mans = [], []
+    for mf in old_manifests:
+        with open(mf) as f:
+            man_doc = json.load(f)
+        if retain_from_batch is not None \
+                and int(man_doc["batch_id"]) >= retain_from_batch:
+            retained.append(os.path.basename(mf))
+        else:
+            folded_mans.append((mf, man_doc))
+    if not folded_mans:
+        raise ValueError(f"nothing to compact below "
+                         f"batch {retain_from_batch} in {path}")
+    as_of = None if retain_from_batch is None else retain_from_batch - 1
+    blocks = stream_sink_blocks(spark, path, as_of_batch=as_of)
     top = blocks.agg({"batch_id": "max"}).collect()[0][0]
+    keep_tomb = tombstone_col is not None and retain_from_batch is not None
     if latest_wins:
         rows = inc.read_latest(spark, None, kinds, key_cols,
                                inc_blocks=blocks,
                                tombstone_col=tombstone_col)
-        out_kinds = [kv for kv in kinds if kv[0] != tombstone_col]
+        if keep_tomb:
+            rows = rows.withColumn(
+                tombstone_col, F.lit(False))  # survivors: not deleted
+            out_kinds = kinds
+        else:
+            out_kinds = [kv for kv in kinds if kv[0] != tombstone_col]
     else:
         rows = engine.decode_df(blocks, kinds)
         out_kinds = kinds
@@ -1033,26 +1107,27 @@ def compact_sink(spark, path: str, n_buckets: int = 32,
         files.append(fname)
     import shutil
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    bdir = os.path.join(path, _BATCH_DIR)
-    old_manifests = glob.glob(os.path.join(bdir, "*.json"))
-    old_files = set()
-    for mf in old_manifests:
-        with open(mf) as f:
-            old_files.update(json.load(f)["files"])
     man = {"batch_id": int(top), "files": files, "blocks": len(files),
            "bytes_in": 0, "bytes_out": 0, "compacted": True}
-    tmp = os.path.join(bdir, f".{top}.{uuid.uuid4().hex}.tmp")
+    man_name = f"compact-{top}-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(bdir, f".{man_name}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         json.dump(man, f)
-    os.replace(tmp, os.path.join(bdir, f"{top}.json"))
-    for mf in old_manifests:
-        if os.path.basename(mf) != f"{top}.json":
-            os.remove(mf)
-    for fn in old_files:
-        p = os.path.join(path, fn)
-        if os.path.exists(p):
-            os.remove(p)
-    if latest_wins and tombstone_col is not None:
+    os.replace(tmp, os.path.join(bdir, man_name))
+    # THE publish: one rename swaps the whole manifest set
+    _publish_version(path, [man_name] + retained)
+    # GC superseded manifests + their (now-unreferenced) block files
+    live = set(files)
+    for name in retained:
+        with open(os.path.join(bdir, name)) as f:
+            live.update(json.load(f)["files"])
+    for mf, man_doc in folded_mans:
+        os.remove(mf)
+        for fn in man_doc["files"]:
+            p = os.path.join(path, fn)
+            if fn not in live and os.path.exists(p):
+                os.remove(p)
+    if latest_wins and tombstone_col is not None and not keep_tomb:
         write_sidecar(path, out_kinds, key_cols)
     return man
 
@@ -1087,8 +1162,7 @@ class OrochStreamReader(DataSourceStreamReader):
 
     def _manifests(self) -> dict[int, list[str]]:
         out = {}
-        for mf in glob.glob(os.path.join(self.path, _BATCH_DIR,
-                                         "*.json")):
+        for mf in _manifest_paths(self.path):
             with open(mf) as f:
                 doc = json.load(f)
             out[int(doc["batch_id"])] = doc["files"]

@@ -44,8 +44,13 @@ def sink(spark, tmp_path_factory):
 
 
 def test_per_batch_manifests(sink):
-    mans = sorted(glob.glob(os.path.join(sink, "_batches", "*.json")))
+    mans = sorted(m for m in
+                  glob.glob(os.path.join(sink, "_batches", "*.json"))
+                  if os.path.basename(m) != ds._VERSION_FILE)
     assert [os.path.basename(m) for m in mans] == ["0.json", "1.json"]
+    # the version pointer names exactly the committed manifests
+    assert [os.path.basename(m)
+            for m in ds._manifest_paths(sink)] == ["0.json", "1.json"]
     for m in mans:
         with open(m) as f:
             doc = json.load(f)
@@ -157,8 +162,15 @@ def test_compact_sink(spark, tmp_path):
         .orderBy("conv_id", "turn_idx").toPandas()
     man = ds.compact_sink(spark, sink2, n_buckets=2, block_rows=64)
     assert man["batch_id"] == 1 and man["compacted"]
-    mans = g.glob(os.path.join(sink2, "_batches", "*.json"))
-    assert [os.path.basename(m) for m in mans] == ["1.json"]
+    mans = ds._manifest_paths(sink2)
+    assert len(mans) == 1
+    with open(mans[0]) as f:
+        assert json.load(f)["batch_id"] == 1
+    # superseded manifests are gone from disk too
+    on_disk = [m for m in g.glob(os.path.join(sink2, "_batches",
+                                              "*.json"))
+               if os.path.basename(m) != ds._VERSION_FILE]
+    assert sorted(on_disk) == sorted(mans)
     after = inc.read_latest(
         spark, None, KINDS, ["conv_id", "turn_idx"],
         inc_blocks=ds.stream_sink_blocks(spark, sink2)) \
@@ -274,3 +286,86 @@ def test_latest_wins_tombstones(spark, tomb_sink):
     assert 3 not in rows            # tombstoned key disappears
     assert rows[5] == "v5b"         # upsert wins
     assert len(rows) == 19
+
+
+def test_compaction_publish_is_atomic_version_swap(spark, tmp_path):
+    """Round 4: readers resolve manifests through _VERSION.json, so a
+    reader racing compaction sees either the complete old set or the
+    complete new set — simulate the race by snapshotting the resolved
+    manifest set at every intermediate on-disk state the compactor
+    creates (old manifests present + compacted manifest present) and
+    checking each resolves to a consistent total row count."""
+    srcdir = str(tmp_path / "in")
+    os.makedirs(srcdir)
+    sink3 = str(tmp_path / "sink3")
+    for j, lo in enumerate((0, 40, 80)):
+        rows = [Row(conv_id=f"c{i}", turn_idx=0, text=f"t{i}")
+                for i in range(lo, lo + 40)]
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(srcdir, f"f{j}"))
+    q = (spark.readStream.schema(SCHEMA)
+         .option("maxFilesPerTrigger", "1").parquet(srcdir + "/*")
+         .writeStream.format("oroch").option("path", sink3)
+         .option("key_cols", "conv_id,turn_idx")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    def committed_rows():
+        return engine.decode_df(
+            ds.stream_sink_blocks(spark, sink3), KINDS).count()
+
+    assert committed_rows() == 120
+    # mid-compaction state: write an extra (not-yet-published)
+    # compacted manifest by hand — readers must IGNORE it because the
+    # version pointer doesn't name it
+    bdir = os.path.join(sink3, "_batches")
+    with open(os.path.join(bdir, "compact-9-fake.json"), "w") as f:
+        json.dump({"batch_id": 9, "files": []}, f)
+    assert committed_rows() == 120  # unpublished manifest invisible
+    os.remove(os.path.join(bdir, "compact-9-fake.json"))
+    ds.compact_sink(spark, sink3, n_buckets=1, block_rows=64)
+    assert committed_rows() == 120  # same rows after the swap
+
+
+def test_compact_retain_from_batch(spark, tmp_path):
+    """retain_from_batch folds only older batches; a stream reader
+    whose offset is past the retain point re-delivers nothing."""
+    srcdir = str(tmp_path / "in")
+    os.makedirs(srcdir)
+    sinkr = str(tmp_path / "sinkr")
+    for j, lo in enumerate((0, 40, 80)):
+        rows = [Row(conv_id=f"c{i}", turn_idx=0, text=f"t{i}")
+                for i in range(lo, lo + 40)]
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(srcdir, f"f{j}"))
+    q = (spark.readStream.schema(SCHEMA)
+         .option("maxFilesPerTrigger", "1").parquet(srcdir + "/*")
+         .writeStream.format("oroch").option("path", sinkr)
+         .option("key_cols", "conv_id,turn_idx")
+         .option("checkpointLocation", str(tmp_path / "ckr"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    man = ds.compact_sink(spark, sinkr, n_buckets=1, block_rows=64,
+                          retain_from_batch=2)
+    assert man["batch_id"] == 1          # folded batches 0..1
+    mans = ds._manifest_paths(sinkr)
+    ids = set()
+    for m in mans:
+        with open(m) as f:
+            ids.add(json.load(f)["batch_id"])
+    assert ids == {1, 2}                 # compacted + retained
+    # full table unchanged
+    assert engine.decode_df(ds.stream_sink_blocks(spark, sinkr),
+                            KINDS).count() == 120
+    # a reader already past batch 2 sees nothing new below it: the
+    # streaming source's partitions for [2, 3) are batch 2's original
+    # files, untouched by the fold
+    rdr = ds.OrochStreamReader({"path": sinkr}, KINDS)
+    parts = rdr.partitions({"batch": 2}, {"batch": 3})
+    rows = sum(b.num_rows for p in parts for b in rdr.read(p))
+    assert rows == 40
+    # folding everything below an existing reader twice is rejected
+    with pytest.raises(Exception, match="nothing to compact"):
+        ds.compact_sink(spark, sinkr, retain_from_batch=0)
