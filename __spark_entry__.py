@@ -576,15 +576,18 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF x PQ composed (FAISS IVFADC shape, non-residual): coarse
-    lists restrict the scan, ADC scores 8-byte codes within probed
-    lists, exact rescore of the shortlist. Recall-asserted against the
-    exact scan — probe/shortlist sized for gaussian worst-case
-    embeddings."""
+    """IVF x PQ composed (FAISS IVFADC shape, RESIDUAL coding: the PQ
+    codebooks quantize x - centroid(list), scored through
+    per-probed-list ADC tables): coarse lists restrict the scan, ADC
+    scores 8-byte residual codes within probed lists, exact rescore of
+    the shortlist — 100, smaller than the 150 the non-residual r3
+    variant needed at the same recall. Recall-asserted against the
+    exact scan on gaussian worst-case embeddings."""
     emb = _read(spark, sf_dir, "embeddings")
     qv = _query_vec(sf_dir)
     approx = similarity.ann_topk_ivfpq(emb, qv, k=10, n_probe=12,
-                                       ksub=64, shortlist=150)
+                                       ksub=64, shortlist=100,
+                                       residual=True)
     exact = similarity.cosine_topk(emb, qv, k=10, round_to=6)
     return _recall_row(approx, exact, 10, 9)
 

@@ -193,12 +193,10 @@ def ann_topk_ivfpq(df: DataFrame, query_vec: list[float], k: int = 10,
                    m: int = 8, ksub: int = 32, shortlist: int = 0,
                    train_sample: int = 512, iters: int = 5,
                    seed: int = 42, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
-    """IVF x PQ composed — the FAISS IVFADC retrieval shape
-    (non-residual variant: codes quantize the raw vectors, not the
-    per-list residuals, so one ADC lookup table serves every probed
-    list; residual coding would buy extra precision at the cost of a
-    per-list table). Three stages, each touching less data:
+                   vec_col: str = "embedding",
+                   residual: bool = True) -> DataFrame:
+    """IVF x PQ composed — the FAISS IVFADC retrieval shape. Three
+    stages, each touching less data:
 
     1. coarse quantizer: k-means lists from a deterministic sample;
        only the ``n_probe`` lists nearest the query are scanned
@@ -206,6 +204,14 @@ def ann_topk_ivfpq(df: DataFrame, query_vec: list[float], k: int = 10,
     2. ADC: within probed lists, M-byte PQ codes score via driver-built
        lookup tables — the corpus floats are never read;
     3. exact rescore of the ``shortlist`` best candidates.
+
+    ``residual=True`` (the FAISS IVFADC default, and ours): the PQ
+    codebooks quantize the per-list RESIDUAL ``x - centroid(list)``,
+    whose spread is much smaller than the raw vectors', so the same
+    M bytes carry more precision and the ADC shortlist can shrink.
+    The price is per-probed-list ADC tables — (n_probe, m, ksub)
+    floats built on the driver, still KBs. ``residual=False`` keeps
+    the one-shared-table variant.
 
     At 100 TB: stage 1 is a narrow map over list assignments (or a
     partition-pruned read if the table is list-partitioned), stage 2
@@ -215,13 +221,100 @@ def ann_topk_ivfpq(df: DataFrame, query_vec: list[float], k: int = 10,
     cent = _kmeans_fit(sample, n_centroids, iters, seed)
     q = np.asarray(query_vec, dtype=np.float64)
     probes = np.argsort(((cent - q) ** 2).sum(axis=1))[:n_probe]
-    cand = (ivf_assign(df, cent, id_col, vec_col)
-            .filter(F.col("ivf_list").isin([int(p) for p in probes]))
-            .select(id_col, vec_col))
-    books = pq_train(df, m, ksub, train_sample, iters, seed,
-                     id_col, vec_col)
-    return ann_topk_pq(cand, query_vec, k=k, shortlist=shortlist,
-                       id_col=id_col, vec_col=vec_col, codebooks=books)
+    assigned = ivf_assign(df, cent, id_col, vec_col)
+    cand = assigned.filter(F.col("ivf_list")
+                           .isin([int(p) for p in probes]))
+    if not residual:
+        books = pq_train(df, m, ksub, train_sample, iters, seed,
+                         id_col, vec_col)
+        return ann_topk_pq(cand.select(id_col, vec_col), query_vec,
+                           k=k, shortlist=shortlist, id_col=id_col,
+                           vec_col=vec_col, codebooks=books)
+    books = _pq_train_residual(sample, cent, m, ksub, iters, seed)
+    shortlist = shortlist or 4 * k
+    scored = _ivfpq_residual_scores(cand, cent, books, query_vec,
+                                    probes, id_col, vec_col)
+    short = (scored.orderBy(F.col("adc_cosine").desc(), F.col(id_col))
+                   .limit(shortlist).select(id_col))
+    return cosine_topk(df.join(short, id_col), query_vec, k,
+                       id_col, vec_col, round_to=6)
+
+
+def _pq_train_residual(sample: "np.ndarray", cent: "np.ndarray",
+                       m: int, ksub: int, iters: int,
+                       seed: int) -> np.ndarray:
+    """PQ codebooks over the coarse-quantizer residuals of the
+    training sample (codebooks shared across lists, trained on
+    residuals — the FAISS IVFADC layout)."""
+    c_sq = (cent ** 2).sum(axis=1)
+    lab = (c_sq[None, :] - 2.0 * (sample @ cent.T)).argmin(axis=1)
+    resid = sample - cent[lab]
+    dim = resid.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for i in range(m):
+        books[i] = _kmeans_fit(resid[:, i * dsub:(i + 1) * dsub],
+                               ksub, iters, seed + i)
+    return books
+
+
+def _ivfpq_residual_scores(cand: DataFrame, cent: "np.ndarray",
+                           books: "np.ndarray",
+                           query_vec: list[float], probes,
+                           id_col: str, vec_col: str) -> DataFrame:
+    """ADC cosine over residual-coded candidates: encode each row's
+    residual to M bytes and score it in the same Arrow batch. With
+    x ~ c_l + r: dot(q, x) = dot(q, c_l) + M dot-table reads, and
+    ||x||^2 = ||c_l||^2 + 2*cross-table reads + norm-table reads —
+    the cross term is the per-probed-list table residual coding
+    costs. One narrow map, no shuffle; the closure carries
+    (n_probe, m, ksub) floats."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.ascontiguousarray(books, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError("query dim != codebook dim")
+    qn = float(np.sqrt((q ** 2).sum()))
+    probes = [int(p) for p in probes]
+    pidx = {p: j for j, p in enumerate(probes)}      # list -> compact
+    pc_ = np.ascontiguousarray(cent[probes])         # (P, dim)
+    qdotc = pc_ @ q                                  # (P,)
+    c_sq = (pc_ ** 2).sum(axis=1)                    # (P,)
+    lut_dot = np.stack([books[i] @ q[i * dsub:(i + 1) * dsub]
+                        for i in range(m)])          # (m, ksub)
+    lut_sq = (books ** 2).sum(axis=2)                # (m, ksub)
+    # per-list cross term dot(c_l, r-hat): (P, m, ksub)
+    lut_cross = np.stack([
+        np.stack([books[i] @ pc_[j, i * dsub:(i + 1) * dsub]
+                  for i in range(m)]) for j in range(len(probes))])
+    rows = np.arange(m)
+    b_sq = (books ** 2).sum(axis=2)                  # for encoding
+
+    @pandas_udf("double")
+    def score(vecs: pd.Series, lists: pd.Series) -> pd.Series:
+        x = _as_matrix(vecs)
+        li = np.array([pidx[int(v)] for v in lists], dtype=np.int64)
+        r = x - pc_[li]
+        cm = np.empty((len(x), m), dtype=np.int64)
+        for i in range(m):
+            rs = r[:, i * dsub:(i + 1) * dsub]
+            d = b_sq[i][None, :] - 2.0 * (rs @ books[i].T)
+            cm[:, i] = d.argmin(axis=1)
+        dot = qdotc[li] + lut_dot[rows[None, :], cm].sum(axis=1)
+        nrm2 = (c_sq[li]
+                + 2.0 * lut_cross[li[:, None], rows[None, :], cm]
+                .sum(axis=1)
+                + lut_sq[rows[None, :], cm].sum(axis=1))
+        nrm = np.sqrt(np.maximum(nrm2, 1e-60))
+        return pd.Series(dot / (nrm * qn))
+
+    return cand.select(id_col,
+                       score(F.col(vec_col), F.col("ivf_list"))
+                       .alias("adc_cosine"))
 
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,

@@ -98,3 +98,46 @@ def test_ivfpq_topk_recall_vs_exact(spark, emb, qvec):
               similarity.ann_topk_ivfpq(emb, qvec, k=10, n_probe=12,
                                         ksub=64, shortlist=150).collect()}
     assert len(exact & approx) >= 9
+
+
+def test_ivfpq_residual_recall_small_shortlist(spark, emb, qvec):
+    """Round 4: residual coding (per-list ADC tables) must hold >=9/10
+    recall with a SMALLER shortlist (<=100) than the non-residual
+    variant needed (150) — the precision the residual buys."""
+    exact = {r.vec_id for r in
+             similarity.cosine_topk(emb, qvec, k=10).collect()}
+    approx = {r.vec_id for r in
+              similarity.ann_topk_ivfpq(emb, qvec, k=10, n_probe=12,
+                                        ksub=64, shortlist=100,
+                                        residual=True).collect()}
+    assert len(exact & approx) >= 9
+
+
+def test_ivfpq_residual_beats_raw_adc_fidelity(spark, emb, qvec):
+    """Residual ADC scores should track true cosine more closely than
+    raw-vector ADC at the same (m, ksub): compare mean absolute error
+    over the probed candidates."""
+    sample = similarity.ivf_train_sample(emb, 512)
+    cent = similarity._kmeans_fit(sample, 16, 5, 42)
+    q = np.array(qvec)
+    probes = np.argsort(((cent - q) ** 2).sum(axis=1))[:12]
+    cand = (similarity.ivf_assign(emb, cent)
+            .filter(F.col("ivf_list").isin([int(p) for p in probes])))
+    res = similarity._ivfpq_residual_scores(
+        cand, cent, similarity._pq_train_residual(sample, cent, 8, 64,
+                                                  10, 42),
+        qvec, probes, "vec_id", "embedding").toPandas()
+    books = similarity.pq_train(emb, m=8, ksub=64)
+    raw = similarity.pq_adc_scores(
+        similarity.pq_encode(cand.select("vec_id", "embedding"), books),
+        books, qvec).toPandas()
+    qn = float(np.sqrt((np.array(qvec) ** 2).sum()))
+    qarr = F.array(*[F.lit(float(x)).cast("float") for x in qvec])
+    cos = (similarity._dot(F.col("embedding"), qarr)
+           / (F.greatest(similarity._norm(F.col("embedding")),
+                         F.lit(1e-30)) * F.lit(qn)))
+    truth = cand.select("vec_id", cos.alias("cosine")).toPandas()
+    t = truth.set_index("vec_id")["cosine"]
+    err_res = (res.set_index("vec_id")["adc_cosine"] - t).abs().mean()
+    err_raw = (raw.set_index("vec_id")["adc_cosine"] - t).abs().mean()
+    assert err_res < err_raw
