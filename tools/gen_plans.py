@@ -155,10 +155,14 @@ def main() -> None:
             "event_id"))))
 
     sections.append((
-        "lookup_join (distributed IN: two broadcast semi-joins)",
-        "The keys DataFrame is broadcast, never collected: semi-join #1 "
-        "prunes blocks on the zone bounds, semi-join #2 exact-matches "
-        "the decoded key — zero shuffles of table data.",
+        "lookup_join (distributed IN: bucket-grid prune, no nested loop)",
+        "The keys DataFrame is broadcast, never collected. The block "
+        "prune equi-joins coarse key-domain buckets (BroadcastHashJoin; "
+        "containment is the residual condition) on a metadata "
+        "projection, reduces to a (bucket, block_idx) candidate-id set, "
+        "and joins back broadcast; semi-join #2 exact-matches the "
+        "decoded key. No BroadcastNestedLoopJoin anywhere; the blocks "
+        "table never shuffles.",
         plan_of(engine.lookup_join(
             spark.read.parquet(bdir),
             engine.column_kinds(events.schema), "event_id",
