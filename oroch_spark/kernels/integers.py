@@ -357,6 +357,17 @@ def _select_bitpfr(desc: IntDescriptor, u: np.ndarray, hist: np.ndarray,
     basic_metaspace = 1 + varint_size_scalar(zigzag_encode_scalar(vmin))
     nbits_max = (vmax - vmin).bit_length()
 
+    # Exact varint outlier-value cost for EVERY candidate nbits in one
+    # vectorized pass (the reference's per-nbits inner loop,
+    # `integer_codec.h:316-321`, is O(nbits_max^2) scalar work —
+    # identical sums, batched): valvar[nbits] =
+    # sum_{nb > nbits} ceil((nb - nbits)/7) * hist[nb].
+    h = hist[:nbits_max + 1].astype(np.int64)
+    nb_i = np.arange(nbits_max + 1, dtype=np.int64)
+    diff = nb_i[None, :] - nb_i[:, None]          # (nbits, nb)
+    vcost = np.where(diff > 0, (diff + 6) // 7, 0)
+    valvar_all = vcost @ h
+
     noutliers = n - int(hist[0])
     for nbits in range(1, nbits_max):
         cnt = int(hist[nbits])
@@ -370,9 +381,7 @@ def _select_bitpfr(desc: IntDescriptor, u: np.ndarray, hist: np.ndarray,
         # Outlier-value encoding: bitpck at (nbits_max - nbits) vs varint
         # of the overflow bits (`integer_codec.h:307-323`).
         valpck = ref_bitpck_space(noutliers, nbits_max - nbits)
-        valvar = 0
-        for nb in range(nbits + 1, nbits_max + 1):
-            valvar += varint_nbits_space(nb - nbits) * int(hist[nb])
+        valvar = int(valvar_all[nbits])
         if valpck < valvar:
             value_codec, value_dataspace = BITPCK, valpck
         else:

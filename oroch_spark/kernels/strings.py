@@ -185,16 +185,18 @@ def _read_dict_section(blob: bytes, pos: int) -> tuple[pa.Array, int]:
     return bytes_to_arrow(dlens, ddata), pos + dsize
 
 
-def _encode_dict(codes: np.ndarray, dict_arr: pa.Array) -> bytes:
+def _encode_dict(codes: np.ndarray, dict_arr: pa.Array,
+                 dsec: Optional[bytes] = None) -> bytes:
     # codes are first-appearance dictionary indices — an unordered
     # stream where the delta wrapper essentially never wins; skipping
     # its 4-pass gate is most of the dict-candidate encode cost
     return (bytes([DICT_STR])
-            + _dict_section(dict_arr)
+            + (dsec if dsec is not None else _dict_section(dict_arr))
             + _int_blob(codes, try_delta=False))
 
 
-def _encode_rle(codes: np.ndarray, dict_arr: pa.Array) -> bytes:
+def _encode_rle(codes: np.ndarray, dict_arr: pa.Array,
+                dsec: Optional[bytes] = None) -> bytes:
     """RLE over dictionary codes: run lengths + run-value dict indices +
     the dictionary itself. (Layout change vs v0: run values are dict
     references, so repeated run values are stored once.)"""
@@ -205,7 +207,7 @@ def _encode_rle(codes: np.ndarray, dict_arr: pa.Array) -> bytes:
     return (bytes([RLE_STR])
             + ic.varint_encode_scalar(len(starts))
             + _sized(_int_blob(run_len))
-            + _dict_section(dict_arr)
+            + (dsec if dsec is not None else _dict_section(dict_arr))
             + _int_blob(run_idx, try_delta=False))
 
 
@@ -311,13 +313,18 @@ def encode_str_block(values, text_hint: bool = False
         nruns = 1 + int(np.count_nonzero(np.diff(codes)))
         # Strict-less compare in fixed order (dict, rle, fsst) — mirrors
         # the reference's compare discipline (`integer_codec.h:405-420`).
-        if (u <= max(1, int(n * DICT_MAX_RATIO)) or u <= 256) \
-                and u <= DICT_MAX_ABS:
-            cand = _encode_dict(codes, dict_arr)
+        gate_dict = (u <= max(1, int(n * DICT_MAX_RATIO)) or u <= 256) \
+            and u <= DICT_MAX_ABS
+        gate_rle = nruns <= max(1, int(n * RLE_MAX_RATIO))
+        # dictionary section serialized once for both candidates
+        dsec = _dict_section(dict_arr) if (gate_dict or gate_rle) \
+            else None
+        if gate_dict:
+            cand = _encode_dict(codes, dict_arr, dsec)
             if len(cand) < best_size:
                 best, best_size, best_codec = cand, len(cand), DICT_STR
-        if nruns <= max(1, int(n * RLE_MAX_RATIO)):
-            cand = _encode_rle(codes, dict_arr)
+        if gate_rle:
+            cand = _encode_rle(codes, dict_arr, dsec)
             if len(cand) < best_size:
                 best, best_size, best_codec = cand, len(cand), RLE_STR
     else:
