@@ -2153,6 +2153,12 @@ def agg_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
 # and is kept unconditionally, bounding the explode at O(blocks x
 # small-constant).
 _LJ_SPAN_CAP = 64
+# Below this many blocks the grid's three extra exchanges cost more
+# than they save: a direct range-condition semi-join (a nested loop,
+# but over <=1024 METADATA rows x broadcast keys) is strictly cheaper,
+# so tiny tables keep the low-latency plan and the grid engages where
+# the nested loop would actually hurt (10^6+ blocks at 100 TB).
+_LJ_GRID_MIN_BLOCKS = 1024
 
 
 def _str_surrogate(c: "F.Column") -> "F.Column":
@@ -2165,14 +2171,60 @@ def _str_surrogate(c: "F.Column") -> "F.Column":
                          14, "0"), 16, 10).cast("long")
 
 
+def _scan_rows_hint(df: DataFrame) -> Optional[int]:
+    """Driver-side row-count hint for a parquet-scan DataFrame: the sum
+    of footer row counts of its input files (exact for a bare scan, an
+    upper bound if the plan filters rows). None when the plan has no
+    parquet inputs or the footers can't be read — callers must treat
+    that as "unknown", never as zero."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            f = f[len("file:"):]
+            while f.startswith("//"):
+                f = f[1:]
+        if not f.endswith(".parquet") or not os.path.exists(f):
+            return None
+        try:
+            total += pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
 def _bucketed_block_prune(blocks: DataFrame, bounds: tuple[str, str],
                           kind: str, probe: DataFrame,
-                          k_dom: "F.Column") -> DataFrame:
+                          k_dom: "F.Column",
+                          grid_min_blocks: int = _LJ_GRID_MIN_BLOCKS
+                          ) -> DataFrame:
     """Keep the blocks whose zone-bound interval may contain a probe
-    key — computed with an EQUI-join on coarse key-domain buckets (the
-    containment check is the residual condition of a
-    BroadcastHashJoin), never a nested loop. See lookup_join."""
+    key. Large tables (>= ``grid_min_blocks`` blocks) use an EQUI-join
+    on coarse key-domain buckets (the containment check is the
+    residual condition of a BroadcastHashJoin — never a nested loop
+    over O(blocks x keys)); tiny tables keep the direct
+    range-condition semi-join, whose nested loop over metadata rows is
+    cheaper than the grid's extra exchanges. See lookup_join."""
     blo, bhi = F.col(bounds[0]), F.col(bounds[1])
+    # strategy choice first, and as cheaply as possible: when the
+    # blocks DF is a file scan, the row count comes off the parquet
+    # footers driver-side (an UPPER bound if the plan filters rows —
+    # over-choosing the grid costs latency, never correctness) and the
+    # small-table path pays NO planning job at all
+    nb_hint = _scan_rows_hint(blocks)
+    kd = F.col("_kd")
+    direct = lambda: blocks.join(
+        F.broadcast(probe.select(k_dom.alias("_kd"))),
+        blo.isNull() | ((blo <= kd) & (bhi >= kd)), "left_semi")
+    if nb_hint is not None and nb_hint < grid_min_blocks:
+        return direct()
     if kind == K_STR:
         blo_s, bhi_s = _str_surrogate(blo), _str_surrogate(bhi)
         k_surr = _str_surrogate(k_dom)
@@ -2182,8 +2234,10 @@ def _bucketed_block_prune(blocks: DataFrame, bounds: tuple[str, str],
         "bucket", "block_idx", blo.alias("_lo"), bhi.alias("_hi"),
         blo_s.alias("_los"), bhi_s.alias("_his"))
     g = meta.agg(F.min("_los").alias("a"), F.max("_his").alias("b"),
-                 F.avg(F.col("_his") - F.col("_los")).alias("s")
-                 ).first()
+                 F.avg(F.col("_his") - F.col("_los")).alias("s"),
+                 F.count(F.lit(1)).alias("nb")).first()
+    if g is not None and int(g["nb"] or 0) < grid_min_blocks:
+        return direct()
     if g is None or g["a"] is None or g["b"] is None \
             or int(g["b"]) - int(g["a"]) >= (1 << 62):
         # no usable bounds anywhere (or a pathological span that would
@@ -2214,7 +2268,8 @@ def _bucketed_block_prune(blocks: DataFrame, bounds: tuple[str, str],
 
 def lookup_join(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
                 key_col: str, keys: DataFrame,
-                columns: Optional[list[str]] = None) -> DataFrame:
+                columns: Optional[list[str]] = None,
+                grid_min_blocks: int = _LJ_GRID_MIN_BLOCKS) -> DataFrame:
     """Distributed IN: fetch the rows whose lead key appears in a keys
     DATAFRAME — :func:`lookup_in` without ever collecting the probe set
     to the driver. Two broadcast joins, zero shuffles of table data:
@@ -2235,18 +2290,23 @@ def lookup_join(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
     compare in the int64 codec domain (ts as epoch-micros, date as
     days — the same domain the bounds are stored in).
 
-    The block prune never nested-loops: probe keys and block bound
-    intervals are both mapped to COARSE BUCKETS of a shared key-domain
-    grid (string keys through an order-preserving 7-byte big-endian
-    prefix surrogate), the bucket is the equi key of a
-    BroadcastHashJoin and the true containment check rides along as
-    the residual condition, so the prune costs O(blocks x
-    spanned_buckets) hash probes instead of O(blocks x keys)
-    comparisons. Wide blocks (> _LJ_SPAN_CAP buckets — they overlap
-    nearly any probe anyway) and blocks without bounds skip straight
-    to the candidate set. The blocks table itself never shuffles: the
-    walk runs on a metadata projection, reduces to a (bucket,
-    block_idx) candidate-id set, and joins back broadcast."""
+    The block prune is SIZE-GATED (``grid_min_blocks``): at or above
+    the gate, probe keys and block bound intervals are both mapped to
+    COARSE BUCKETS of a shared key-domain grid (string keys through an
+    order-preserving 7-byte big-endian prefix surrogate), the bucket
+    is the equi key of a BroadcastHashJoin and the true containment
+    check rides along as the residual condition, so the prune costs
+    O(blocks x spanned_buckets) hash probes instead of O(blocks x
+    keys) comparisons — the 100 TB path (10^7 blocks x 10^5 keys
+    would be 10^12 nested-loop compares). Wide blocks (> _LJ_SPAN_CAP
+    buckets — they overlap nearly any probe anyway) and blocks
+    without bounds skip straight to the candidate set; the walk runs
+    on a metadata projection, reduces to a (bucket, block_idx)
+    candidate-id set, and joins back broadcast, so the blocks table
+    itself never shuffles. BELOW the gate the direct range-condition
+    semi-join wins: its nested loop touches <= grid_min_blocks
+    metadata rows and costs no extra exchange — strategy switching by
+    table size, the same move AQE makes for joins."""
     kind = dict(schema_kinds)[key_col]
     if kind not in (K_STR, K_TS, K_DATE, K_I8, K_I16, K_I32, K_I64,
                     K_BOOL):
@@ -2262,7 +2322,8 @@ def lookup_join(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
              K_TS: F.unix_micros(kc.cast("timestamp")),
              K_DATE: F.datediff(kc.cast("date"), F.lit("1970-01-01"))
              }.get(kind, kc.cast("long"))
-    cand = _bucketed_block_prune(blocks, bounds, kind, probe, k_dom) \
+    cand = _bucketed_block_prune(blocks, bounds, kind, probe, k_dom,
+                                 grid_min_blocks) \
         if bounds[0] in blocks.columns else blocks
     decode_cols = columns
     if columns is not None and key_col not in columns:

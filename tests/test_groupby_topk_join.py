@@ -169,25 +169,31 @@ def test_lookup_join_prunes_blocks(spark):
     total = blocks.count()
     keys = spark.createDataFrame([Row(k=1), Row(k=2)])
     probe = F.broadcast(keys.selectExpr("k AS _probe_k").distinct())
-    cand = engine._bucketed_block_prune(
-        blocks, ("key_lo", "key_hi"), "i64", probe,
-        F.col("_probe_k").cast("long")).count()
-    assert total == 16 and cand == 1
+    for gate in (0, 10**9):   # grid path AND direct-semi path
+        cand = engine._bucketed_block_prune(
+            blocks, ("key_lo", "key_hi"), "i64", probe,
+            F.col("_probe_k").cast("long"), grid_min_blocks=gate).count()
+        assert total == 16 and cand == 1, gate
     blocks.unpersist()
 
 
 def test_lookup_join_plan_has_no_nested_loop(spark):
-    """Round-4 plan pin: a large probe list must NOT prune via
-    BroadcastNestedLoopJoin (O(blocks x keys)); the bucket grid turns
-    it into BroadcastHashJoins, and the blocks table never shuffles."""
+    """Round-4 plan pin: ABOVE the size gate (here: 1250 blocks >
+    _LJ_GRID_MIN_BLOCKS with the default gate), a large probe list
+    must NOT prune via BroadcastNestedLoopJoin (O(blocks x keys));
+    the bucket grid turns it into BroadcastHashJoins, and the blocks
+    table never shuffles."""
     src = spark.createDataFrame([Row(k=i, v=i) for i in range(20000)])
-    blocks = engine.encode_df(src, ["k"], n_buckets=2, block_rows=256)
+    blocks = engine.encode_df(src, ["k"], n_buckets=2,
+                              block_rows=16).persist()
+    assert blocks.count() >= engine._LJ_GRID_MIN_BLOCKS
     kinds = engine.column_kinds(src.schema)
     keys = spark.range(0, 100000, 3).withColumnRenamed("id", "k")
     out = engine.lookup_join(blocks, kinds, "k", keys)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert out.count() == len(range(0, 20000, 3))
+    blocks.unpersist()
 
 
 def test_lookup_join_wide_and_null_bound_blocks_kept(spark):

@@ -162,12 +162,16 @@ def main() -> None:
         "projection, reduces to a (bucket, block_idx) candidate-id set, "
         "and joins back broadcast; semi-join #2 exact-matches the "
         "decoded key. No BroadcastNestedLoopJoin anywhere; the blocks "
-        "table never shuffles.",
+        "table never shuffles. (Grid forced here — tables under "
+        "engine._LJ_GRID_MIN_BLOCKS blocks, like this sf0.01 one, "
+        "deliberately keep the direct range semi-join: its nested loop "
+        "over <=1024 metadata rows is cheaper than three extra "
+        "exchanges. This plan is the 10^6+-block path.)",
         plan_of(engine.lookup_join(
             spark.read.parquet(bdir),
             engine.column_kinds(events.schema), "event_id",
             events.filter(F.col("event_type") == "signup")
-            .select("event_id")))))
+            .select("event_id"), grid_min_blocks=0))))
 
     sections.append((
         "topk_key (ORDER BY key LIMIT k, zone-pruned)",
