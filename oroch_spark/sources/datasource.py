@@ -7,9 +7,11 @@ Everything the engine exposes as library calls (``engine.decode_df``,
 decoded rows with
 
 - **filter pushdown** (`DataSourceReader.pushFilters`): single-column
-  predicates (=, <, <=, >, >=, IN) on ANY projected string/int-domain
-  column — not just the lead key — are accepted and enforced in three
-  stages: parquet *row-group statistics* (the ``key_lo/key_hi`` /
+  predicates (=, <, <=, >, >=, IN, LIKE-prefix via StringStartsWith —
+  rewritten to the range [p, ceil(p)) so the same zone-map pruning
+  applies — and IS [NOT] NULL against the exact per-block null
+  counts) on ANY projected string/int-domain column — not just the
+  lead key — are accepted and enforced in three stages: parquet *row-group statistics* (the ``key_lo/key_hi`` /
   ``key_slo/key_shi`` bounds columns for the key; materialized
   ``<col>__lo/__hi`` columns for secondary predicates when the table
   carries them) skip whole groups of blocks driver-side; surviving
@@ -89,8 +91,11 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 
@@ -173,6 +178,14 @@ class _KeyPred:
     values: Optional[list] = None  # exact set (EqualTo / In)
     raw: tuple = ()                # original literals for row filtering
 
+    @property
+    def wants_null(self) -> bool:
+        return any(op == "isnull" for op, _ in self.raw)
+
+    @property
+    def wants_notnull(self) -> bool:
+        return any(op == "notnull" for op, _ in self.raw)
+
 
 def _translate(filters: list["Filter"], cols_ok: set[str]):
     """Split filters into (accepted, unsupported, {col: pred}). A
@@ -239,6 +252,29 @@ def _translate(filters: list["Filter"], cols_ok: set[str]):
             else:
                 bump_hi(pred, d, inclusive=True)
                 raw.append(("<=", f.value))
+            accepted.append(f)
+        elif isinstance(f, StringStartsWith):
+            p = f.value
+            if not isinstance(p, str):
+                unsupported.append(f)
+                continue
+            # prefix predicate == the range [p, ceil(p)): every string
+            # starting with p sorts between p and the prefix with its
+            # last incrementable code point bumped — so the existing
+            # zone-map / row-group-stats pruning applies unchanged
+            bump_lo(pred, p, inclusive=True)
+            up = engine._ceil_str_bound(p + "x", limit=len(p)) \
+                if p else None
+            if up is not None:
+                bump_hi(pred, up, inclusive=True)
+            raw.append(("sw", p))
+            accepted.append(f)
+        elif isinstance(f, IsNull):
+            # pruned against the exact per-block null counts in read()
+            raw.append(("isnull", None))
+            accepted.append(f)
+        elif isinstance(f, IsNotNull):
+            raw.append(("notnull", None))
             accepted.append(f)
         else:
             unsupported.append(f)
@@ -560,7 +596,8 @@ class OrochReader(DataSourceReader):
             desc = None
             keep = True
             for col, pred in self.preds.items():
-                if col == self.key_col:
+                nullish = pred.wants_null or pred.wants_notnull
+                if col == self.key_col and not nullish:
                     sname = ("key_slo", "key_shi") if _pred_is_str(pred) \
                         else ("key_lo", "key_hi")
                     blo = meta.column(sname[0])[i].as_py()
@@ -573,7 +610,22 @@ class OrochReader(DataSourceReader):
                     desc = json.loads(descs[i])
                 d = next((c for c in desc["cols"] if c["n"] == col), None)
                 if d is None:
+                    # schema evolution: column absent => all rows null
+                    if pred.wants_notnull or pred.values \
+                            or pred.lo is not None or pred.hi is not None:
+                        keep = False
+                        break
                     continue
+                if nullish:
+                    # exact per-block null count: nullable columns
+                    # store it in the descriptor; others have none
+                    nc = int(d.get("nc", 0)) if d.get("z") else 0
+                    if pred.wants_null and nc == 0:
+                        keep = False
+                        break
+                    if pred.wants_notnull and nc >= int(n_arr[i]):
+                        keep = False
+                        break
                 if _pred_is_str(pred):
                     blo, bhi = d.get("slo"), d.get("shi")
                 else:
@@ -635,6 +687,12 @@ class OrochReader(DataSourceReader):
                 if op == "in":
                     vs = pa.array(list(v), type=arr.type)
                     also(pc.is_in(arr, value_set=vs))
+                elif op == "sw":
+                    also(pc.starts_with(arr, pattern=v))
+                elif op == "isnull":
+                    also(pc.is_null(arr))
+                elif op == "notnull":
+                    also(pc.is_valid(arr))
                 else:
                     s = pa.scalar(v, type=arr.type)
                     also({"<": pc.less, "<=": pc.less_equal,

@@ -407,3 +407,63 @@ def test_stream_reader_null_fills_pre_evolution_block(dsspark, tmp_path):
     assert sum(b.num_rows for b in batches) == 40
     for b in batches:
         assert b.column("b").null_count == b.num_rows
+
+
+# ---------------------------------------------------------------------------
+# round 4: StringStartsWith / IsNull / IsNotNull pushdown
+# ---------------------------------------------------------------------------
+
+def test_startswith_pushdown(dsspark, tmp_path):
+    path = str(tmp_path / "sw")
+    rows = [Row(name=f"conv-{i:04d}", v=i) for i in range(2000)]
+    src = dsspark.createDataFrame(rows)
+    (src.repartition(4, "name").sortWithinPartitions("name")
+        .write.format("oroch").mode("overwrite")
+        .option("key_cols", "name").save(path))
+    back = dsspark.read.format("oroch").load(path)
+    got = back.filter(F.col("name").startswith("conv-00"))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith" not in plan  # absorbed, not re-applied
+    exp = src.filter(F.col("name").startswith("conv-00")) \
+        .orderBy("name").toPandas()
+    assert got.orderBy("name").toPandas()[exp.columns.tolist()] \
+        .equals(exp)
+    # the prefix range actually prunes planned row-groups
+    doc = ds.read_sidecar(path)
+    full = ds.OrochReader({"path": path}, doc["kinds"], doc["key_cols"])
+    sel = ds.OrochReader({"path": path}, doc["kinds"], doc["key_cols"])
+    list(sel.pushFilters([ds.StringStartsWith(("name",), "conv-1999")]))
+    assert 0 < len(sel.partitions()) < len(full.partitions())
+
+
+def test_null_pushdown(dsspark, tmp_path):
+    path = str(tmp_path / "nulls")
+    src = dsspark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, None)
+         .otherwise(F.col("id") * 2).alias("v"),
+        F.lit(3).alias("w"))  # non-nullable: IS NULL prunes everything
+    src.coalesce(1).write.format("oroch").mode("overwrite") \
+        .option("key_cols", "k").option("block_rows", "128").save(path)
+    back = dsspark.read.format("oroch").load(path)
+    assert back.filter(F.col("v").isNull()).count() == \
+        src.filter(F.col("v").isNull()).count()
+    assert back.filter(F.col("v").isNotNull()).count() == \
+        src.filter(F.col("v").isNotNull()).count()
+    assert back.filter(F.col("w").isNull()).count() == 0
+    # combined with a range: exact rows
+    got = back.filter(F.col("v").isNull() & (F.col("k") < 100)) \
+        .orderBy("k").toPandas()
+    exp = src.filter(F.col("v").isNull() & (F.col("k") < 100)) \
+        .orderBy("k").toPandas()
+    assert got[exp.columns.tolist()].equals(exp)
+    # evolution: a column added later — IS NULL keeps old blocks,
+    # IS NOT NULL prunes them
+    dsspark.range(1000, 1100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit(3).alias("w"), F.lit("new").alias("z")) \
+        .coalesce(1).write.format("oroch").mode("append") \
+        .option("key_cols", "k").save(path)
+    back = dsspark.read.format("oroch").load(path)
+    assert back.filter(F.col("z").isNull()).count() == 1000
+    assert back.filter(F.col("z").isNotNull()).count() == 100
