@@ -37,9 +37,11 @@ decoded rows with
   (file, row-group, batch) overlapping it, and the merge is one
   vectorized Arrow sort + group-boundary scan per partition — the
   declarative face of ``streaming/incremental.read_latest``. In
-  latest-wins mode no filter is pushed down (a pre-merge filter
-  could resurrect a stale version); Spark applies them on the
-  merged view.
+  latest-wins mode only KEY-column filters push down (the key decides
+  group membership, so pruning by key keeps every version of every
+  surviving key — the fast path for point lookups on upsert tables);
+  any other pre-merge filter could resurrect a stale version, so
+  Spark applies those on the merged view.
 - **projection** via ``option("columns", "a,b")``: only the named
   columns' blobs are decoded (the descriptor's (offset, length) slices
   — the block-format analogue of parquet column pruning). The Python
@@ -312,9 +314,19 @@ def _stats_overlap(stats_lo, stats_hi, pred: _KeyPred) -> bool:
 # ---------------------------------------------------------------------------
 
 class _RGPartition(InputPartition):
-    def __init__(self, file: str, row_group: int):
+    """One (file, row-group) of a plain read. ``preds`` are the
+    filters pushed for THE QUERY THIS PARTITION BELONGS TO — filter
+    state rides in the partitions, never in the reader, because Spark
+    reuses one reader instance for every query on a loaded DataFrame
+    and only calls pushFilters when that query has filters: reader-
+    held predicates would silently keep filtering later unfiltered
+    queries."""
+
+    def __init__(self, file: str, row_group: int,
+                 preds: Optional[dict] = None):
         self.file = file
         self.row_group = row_group
+        self.preds = preds or {}
 
 
 class _MergePartition(InputPartition):
@@ -324,10 +336,12 @@ class _MergePartition(InputPartition):
     resolve latest-wins locally, without a shuffle (the Python
     DataSource API cannot express one)."""
 
-    def __init__(self, lo, hi, items: list):
+    def __init__(self, lo, hi, items: list,
+                 preds: Optional[dict] = None):
         self.lo = lo            # None = open below
         self.hi = hi            # None = open above (last range)
         self.items = items      # [(file, row_group, batch_id)]
+        self.preds = preds or {}  # per-query pushed KEY filters
 
 
 _VERSION_FILE = "_VERSION.json"
@@ -460,8 +474,17 @@ class OrochReader(DataSourceReader):
         if self.latest:
             # a filter evaluated BEFORE latest-wins resolution could
             # drop the newest version of a key and resurrect a stale
-            # one — Spark must apply every filter on the merged view
-            return iter(filters)
+            # one — EXCEPT on the key columns themselves: the key
+            # decides group membership, every version of a surviving
+            # key survives the prune, so key predicates push safely
+            # (the fast path for point lookups on upsert tables).
+            # Everything else stays with Spark, applied post-merge.
+            by_name = dict(self.dec_kinds)
+            cols_ok = {c for c in self.key_cols
+                       if by_name.get(c) in _PRUNABLE_KINDS}
+            accepted, unsupported, preds = _translate(filters, cols_ok)
+            self.preds = preds
+            return iter(unsupported)
         cols_ok = {n for n, k in self.kinds if k in _PRUNABLE_KINDS}
         accepted, unsupported, preds = _translate(filters, cols_ok)
         self.preds = preds
@@ -478,8 +501,14 @@ class OrochReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         import pyarrow.parquet as pq
 
+        # consume the pushed filters: they belong to the query being
+        # planned NOW. Spark reuses this reader for every query on the
+        # loaded DataFrame but only calls pushFilters for queries that
+        # HAVE filters — predicates left on the reader would keep
+        # filtering later unfiltered queries (observed r3 defect).
+        preds, self.preds = self.preds, {}
         if self.latest:
-            return self._merge_partitions()
+            return self._merge_partitions(preds)
         parts: list[InputPartition] = []
         for fpath, _ in self._files():
             md = pq.ParquetFile(fpath).metadata
@@ -499,7 +528,7 @@ class OrochReader(DataSourceReader):
 
             for rg in range(md.num_row_groups):
                 keep = True
-                for col, pred in self.preds.items():
+                for col, pred in preds.items():
                     if col == self.key_col:
                         lo_col, hi_col = (("key_slo", "key_shi")
                                           if _pred_is_str(pred)
@@ -515,10 +544,10 @@ class OrochReader(DataSourceReader):
                         keep = False
                         break
                 if keep:
-                    parts.append(_RGPartition(fpath, rg))
+                    parts.append(_RGPartition(fpath, rg, preds))
         return parts
 
-    def _merge_partitions(self) -> list[InputPartition]:
+    def _merge_partitions(self, preds: dict) -> list[InputPartition]:
         """Latest-wins planning: split the lead-key domain into ranges
         (driver-side, parquet footer stats only) and give each range
         every (file, row-group, batch) whose bounds overlap it. All
@@ -531,6 +560,7 @@ class OrochReader(DataSourceReader):
         lo_col, hi_col = (("key_slo", "key_shi")
                           if self.key_kind == "str"
                           else ("key_lo", "key_hi"))
+        kpred = preds.get(self.key_col)
         intervals = []   # (lo, hi, file, rg, batch_id)
         degenerate = False
         for fpath, bid in self._files():
@@ -548,13 +578,20 @@ class OrochReader(DataSourceReader):
                         lo, hi = slo.min, shi.max
                 if lo is None or hi is None:
                     degenerate = True
+                elif kpred is not None \
+                        and not _stats_overlap(lo, hi, kpred):
+                    # a pushed KEY predicate: no row in this group has
+                    # a matching key, so no version of any surviving
+                    # key lives here — skipping is merge-safe
+                    continue
                 intervals.append((lo, hi, fpath, rg, bid))
         if not intervals:
             return []
         if degenerate or len(intervals) == 1 or self.merge_parts <= 1:
             return [_MergePartition(None, None,
                                     [(f, rg, b)
-                                     for _, _, f, rg, b in intervals])]
+                                     for _, _, f, rg, b in intervals],
+                                    preds)]
         los = sorted(iv[0] for iv in intervals)
         nparts = min(self.merge_parts, len(intervals))
         cuts, seen = [], set()
@@ -571,7 +608,7 @@ class OrochReader(DataSourceReader):
                      if (rhi is None or lo < rhi)
                      and (rlo is None or hi >= rlo)]
             if items:
-                parts.append(_MergePartition(rlo, rhi, items))
+                parts.append(_MergePartition(rlo, rhi, items, preds))
         return parts
 
     # -- execution ---------------------------------------------------------
@@ -592,10 +629,11 @@ class OrochReader(DataSourceReader):
         descs = meta.column("desc").to_pylist()
         kind_of = dict(self.kinds)
         keep_rows: list[tuple[int, dict]] = []
+        preds = partition.preds
         for i in range(meta.num_rows):
             desc = None
             keep = True
-            for col, pred in self.preds.items():
+            for col, pred in preds.items():
                 nullish = pred.wants_null or pred.wants_notnull
                 if col == self.key_col and not nullish:
                     sname = ("key_slo", "key_shi") if _pred_is_str(pred) \
@@ -663,12 +701,12 @@ class OrochReader(DataSourceReader):
                     blob, d["k"], n, field.type,
                     nullable=bool(d.get("z"))))
             batch = pa.RecordBatch.from_arrays(arrs, schema=out_schema)
-            if self.preds:
-                batch = self._exact_filter(batch)
+            if preds:
+                batch = self._exact_filter(batch, preds)
             if batch.num_rows:
                 yield batch
 
-    def _exact_filter(self, batch):
+    def _exact_filter(self, batch, preds):
         """Enforce the ACCEPTED filters exactly (Spark won't re-apply
         them): compare each decoded predicate column against the
         original literals in Arrow."""
@@ -681,7 +719,7 @@ class OrochReader(DataSourceReader):
             nonlocal mask
             mask = m if mask is None else pc.and_(mask, m)
 
-        for col, pred in self.preds.items():
+        for col, pred in preds.items():
             arr = batch.column(col)
             for op, v in pred.raw:
                 if op == "in":
@@ -716,6 +754,7 @@ class OrochReader(DataSourceReader):
         lo_name, hi_name = (("key_slo", "key_shi")
                             if self.key_kind == "str"
                             else ("key_lo", "key_hi"))
+        kpred = part.preds.get(self.key_col)
         batches = []
         for fpath, rg, bid in part.items:
             pf = pq.ParquetFile(fpath)
@@ -730,6 +769,9 @@ class OrochReader(DataSourceReader):
                     if part.hi is not None and not blo < part.hi:
                         continue
                     if part.lo is not None and not bhi >= part.lo:
+                        continue
+                    if kpred is not None \
+                            and not _stats_overlap(blo, bhi, kpred):
                         continue
                 keep.append(i)
             if not keep:
@@ -793,6 +835,12 @@ class OrochReader(DataSourceReader):
         if self.tombstone:
             tomb = pc.fill_null(tbl.column(self.tombstone), False)
             tbl = tbl.filter(pc.invert(tomb))
+        if part.preds:
+            # exact enforcement of the pushed key predicates, AFTER
+            # resolution (order is immaterial for key predicates, but
+            # post-merge keeps one code path); works on Table like on
+            # RecordBatch
+            tbl = self._exact_filter(tbl, part.preds)
         out_schema = pa.ipc.read_schema(pa.py_buffer(self.schema_bytes))
         out = pa.table({f.name: tbl.column(f.name)
                         for f in out_schema}).cast(out_schema)
@@ -1307,8 +1355,22 @@ class OrochDataSource(DataSource):
                                                   doc["kinds"]))
 
 
-def register(spark) -> None:
+def register(spark, filter_pushdown: bool = True) -> None:
     """Make ``format("oroch")`` available on this session (and enable
-    Python-data-source filter pushdown, off by default in Spark 4.1)."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    Python-data-source filter pushdown, off by default in Spark 4.1).
+
+    **Upstream caveat (Spark 4.1 Python DataSource + pushdown):**
+    Spark caches the planned scan (pickled reader + partition list) on
+    the shared relation of a LOADED DataFrame and a filtered query
+    REPLACES that cache, so running a filtered query and then an
+    unfiltered/different query on the SAME ``spark.read...load()``
+    result replays the stale filtered scan — silently wrong rows.
+    This reader keeps all filter state per-plan (in the partitions it
+    returns), so the defect is purely the engine-side cache; until it
+    is fixed upstream, either re-load per query (cheap — planning is
+    footer metadata only; the driver/oracle harness and every test
+    here do this) or pass ``filter_pushdown=False`` to keep filters
+    JVM-side."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                   "true" if filter_pushdown else "false")
     spark.dataSource.register(OrochDataSource)

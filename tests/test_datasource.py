@@ -85,9 +85,11 @@ def test_reader_prunes_partitions(events_table):
         [ds.EqualTo(("event_id",), 5), ds.EqualTo(("other",), 1)]))
     # the non-key filter comes back, the key filter is absorbed
     assert len(residual) == 1 and residual[0].attribute == ("other",)
-    n_sel = len(sel.partitions())
-    assert 0 < n_sel < n_all
-    rows = [rb for p in sel.partitions() for rb in sel.read(p)]
+    # one partitions() per plan — pushed filters are consumed by the
+    # planning they belong to (Spark's worker protocol)
+    parts = sel.partitions()
+    assert 0 < len(parts) < n_all
+    rows = [rb for p in parts for rb in sel.read(p)]
     got = [v for rb in rows for v in rb.column("event_id").to_pylist()]
     assert got == [5]
 
@@ -467,3 +469,27 @@ def test_null_pushdown(dsspark, tmp_path):
     back = dsspark.read.format("oroch").load(path)
     assert back.filter(F.col("z").isNull()).count() == 1000
     assert back.filter(F.col("z").isNotNull()).count() == 100
+
+
+def test_reader_filter_state_is_per_plan(events_table):
+    """Module-side regression pin: pushed filters live in the
+    partitions of the plan they were pushed for; a subsequent
+    partitions() call WITHOUT a pushFilters (how Spark plans an
+    unfiltered query) must plan the full scan again. (Spark 4.1's own
+    scan cache can still replay a filtered plan for a reused loaded
+    DataFrame — upstream; see datasource.register docstring — but the
+    reader itself must never leak filter state across plans.)"""
+    path, _ = events_table
+    doc = ds.read_sidecar(path)
+    rdr = ds.OrochReader({"path": path}, doc["kinds"], doc["key_cols"])
+    n_all = len(rdr.partitions())
+    list(rdr.pushFilters([ds.EqualTo(("event_id",), 5)]))
+    filtered_parts = rdr.partitions()
+    assert 0 < len(filtered_parts) < n_all
+    assert all(p.preds for p in filtered_parts)
+    # no pushFilters this time: the "unfiltered query" plan
+    again = rdr.partitions()
+    assert len(again) == n_all
+    assert all(not p.preds for p in again)
+    rows = sum(rb.num_rows for p in again for rb in rdr.read(p))
+    assert rows == 1000  # the whole sf0.001 events table

@@ -6,7 +6,7 @@ import json
 import os
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from oroch_spark import engine
 from oroch_spark.sources import datasource as ds
@@ -197,17 +197,20 @@ def test_bare_read_is_committed_view(spark, sink):
 
 
 def test_latest_wins_option(spark, sink):
-    back = (spark.read.format("oroch")
-            .option("latest_wins", "true")
-            .option("key_cols", "conv_id,turn_idx").load(sink))
-    assert back.count() == 150
-    got = back.filter("conv_id = 'c1' AND turn_idx = 0").collect()
+    # NOTE: loaded fresh per query — Spark's Python-DataSource scan
+    # cache replays a FILTERED plan for later unfiltered queries on
+    # the same loaded DataFrame (upstream; see datasource.register)
+    load = lambda: (spark.read.format("oroch")
+                    .option("latest_wins", "true")
+                    .option("key_cols", "conv_id,turn_idx").load(sink))
+    assert load().count() == 150
+    got = load().filter("conv_id = 'c1' AND turn_idx = 0").collect()
     assert [r["text"] for r in got] == ["UPDATED"]
     # matches the library merge exactly
     exp = inc.read_latest(spark, None, KINDS, ["conv_id", "turn_idx"],
                           inc_blocks=ds.stream_sink_blocks(spark, sink))
     cols = ["conv_id", "turn_idx", "text"]
-    assert sorted(map(tuple, back.select(*cols).collect())) == \
+    assert sorted(map(tuple, load().select(*cols).collect())) == \
         sorted(map(tuple, exp.select(*cols).collect()))
 
 
@@ -369,3 +372,35 @@ def test_compact_retain_from_batch(spark, tmp_path):
     # folding everything below an existing reader twice is rejected
     with pytest.raises(Exception, match="nothing to compact"):
         ds.compact_sink(spark, sinkr, retain_from_batch=0)
+
+
+def test_latest_wins_key_filter_pushdown(spark, sink):
+    """Key-column filters DO push below the merge (safe: the key
+    decides group membership) — a point lookup on an upserted key
+    returns only its newest version, with the filter absorbed and
+    row-groups pruned."""
+    back = (spark.read.format("oroch")
+            .option("latest_wins", "true").load(sink))
+    got = back.filter((F.col("conv_id") == "c1")
+                      & (F.col("turn_idx") == 0))
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["text"] == "UPDATED"
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "c1" not in plan  # the key equality is absorbed
+    # unit level: the key predicate prunes merge partitions
+    import pyspark.sql.functions as _F  # noqa: F401
+    doc = ds.read_sidecar(sink)
+    full = ds.OrochReader({"path": sink, "latest_wins": "true"},
+                          doc["kinds"], doc["key_cols"])
+    n_all = len(full.partitions())
+    sel = ds.OrochReader({"path": sink, "latest_wins": "true"},
+                         doc["kinds"], doc["key_cols"])
+    residual = list(sel.pushFilters(
+        [ds.EqualTo(("conv_id",), "zzz-no-such"),
+         ds.EqualTo(("text",), "t0")]))
+    # non-key filter comes back; key filter absorbed
+    assert len(residual) == 1 and residual[0].attribute == ("text",)
+    parts = sel.partitions()  # one planning per pushFilters
+    assert len(parts) < max(n_all, 2)
+    total = sum(b.num_rows for p in parts for b in sel.read(p))
+    assert total == 0
