@@ -660,13 +660,25 @@ def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks quantize x - centroid(list), scored through
     per-probed-list ADC tables): coarse lists restrict the scan, ADC
     scores 8-byte residual codes within probed lists, exact rescore of
-    the shortlist — 100, smaller than the 150 the non-residual r3
-    variant needed at the same recall. Recall-asserted against the
-    exact scan on gaussian worst-case embeddings."""
+    the shortlist. The rescore budget scales with the corpus — capped
+    min(2000, max(100, n/10)), corpus size read from the parquet
+    footer (no Spark job): 100 at the driver's sf0.01 (500 vectors) —
+    smaller than the 150 the non-residual r3 variant needed at the
+    same recall — and 200 at sf0.1's 2000 vectors, where the 4x
+    candidate pool needs a proportionate budget. (On these tiny
+    oracle corpora the fraction is the binding term; at real scale
+    the cap is — a few thousand exact rescores against billions of
+    8-byte code scans.) Recall-asserted against the exact scan on
+    gaussian worst-case embeddings."""
+    import pyarrow.parquet as pq
+
     emb = _read(spark, sf_dir, "embeddings")
     qv = _query_vec(sf_dir)
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     approx = similarity.ann_topk_ivfpq(emb, qv, k=10, n_probe=12,
-                                       ksub=64, shortlist=100,
+                                       ksub=64,
+                                       shortlist=min(2000,
+                                                     max(100, n // 10)),
                                        residual=True)
     exact = similarity.cosine_topk(emb, qv, k=10, round_to=6)
     return _recall_row(approx, exact, 10, 9)
