@@ -250,3 +250,38 @@ def test_cli_analyze(spark, src_dir, tmp_path, capsys):
     assert by_col["turn_idx"]["n_rows"] == n
     assert by_col["turn_idx"]["min_long"] == 0
     assert by_col["conv_id"]["min_str"].startswith("conv-")
+
+
+def test_real_spark_submit_pyfiles(tmp_path, src_dir):
+    """The north-rule invocation, literally: ``spark-submit --py-files
+    dist/oroch_spark.zip cli.py encode`` then ``verify`` — each in a
+    FRESH JVM/driver process with the package shipped only via the
+    zip, the way a real cluster submit works (no pytest Spark session,
+    no repo on the executors' sys.path beyond --py-files)."""
+    import shutil
+    import subprocess
+
+    zip_path = cli.make_zip("/root/repo")
+    out = str(tmp_path / "enc")
+    base = [shutil.which("spark-submit") or "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path, "/root/repo/cli.py"]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH",)}  # the zip must be enough
+    r = subprocess.run(
+        base + ["encode", "--src", src_dir, "--out", out,
+                "--keys", "conv_id,turn_idx", "--text-cols", "text",
+                "--mode", "maponly", "--block-rows", "4096"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(tmp_path))  # not the repo dir: no implicit imports
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert glob.glob(os.path.join(out, "blocks", "**", "*.parquet"),
+                     recursive=True)
+    r2 = subprocess.run(
+        base + ["verify", "--src", src_dir, "--out", out],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert '"bit_identical": true' in r2.stdout
