@@ -218,6 +218,53 @@ def main() -> None:
               .select("event_id").limit(1000)).count(),
           required=False)
 
+    # --- declarative DataSource surface (round 4) ------------------------
+    # format("oroch") pushdown read + latest-wins merge-on-read over an
+    # upsert stream sink; both tables built once per sf and cached
+    try:
+        from oroch_spark.sources import datasource as dsrc
+
+        dsrc.register(spark)
+        ds_dir = os.path.join(tempfile.gettempdir(),
+                              f"oroch_bench_dsev_{sf}")
+        if not os.path.exists(os.path.join(ds_dir, "_SUCCESS")):
+            (events.repartition(8, "event_id")
+                   .sortWithinPartitions("event_id")
+                   .write.format("oroch").mode("overwrite")
+                   .option("key_cols", "event_id").save(ds_dir))
+        timed("ds_filter",
+              lambda: spark.read.format("oroch").load(ds_dir)
+              .filter((F.col("event_id") >= 1000)
+                      & (F.col("event_id") < 50000)
+                      & (F.col("event_type") == "click")).count(),
+              required=False)
+        lw_root = os.path.join(tempfile.gettempdir(),
+                               f"oroch_bench_lw_{sf}")
+        lw_sink = os.path.join(lw_root, "sink")
+        if not dsrc._manifest_paths(lw_sink):
+            srcdir = os.path.join(lw_root, "src")
+            events.coalesce(4).write.mode("overwrite") \
+                .parquet(os.path.join(srcdir, "f1"))
+            (events.filter(F.col("event_id") % 10 == 0)
+                   .withColumn("value", F.col("value") + 100)
+                   .coalesce(4).write.mode("overwrite")
+                   .parquet(os.path.join(srcdir, "f2")))
+            q = (spark.readStream.schema(events.schema)
+                 .option("maxFilesPerTrigger", "4")
+                 .parquet(srcdir + "/*")
+                 .writeStream.format("oroch").option("path", lw_sink)
+                 .option("key_cols", "event_id")
+                 .option("checkpointLocation",
+                         os.path.join(lw_root, "ckpt"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+        timed("latest_wins_read",
+              lambda: spark.read.format("oroch")
+              .option("latest_wins", "true").load(lw_sink).count(),
+              required=False)
+    except Exception:
+        pass  # declarative-surface timings are optional extras
+
     # --- single-thread kernel throughput (noise-robust comparable) ------
     # The 32-thread wall clock on this overcommitted host (32 vCPU ~
     # 8-11 real cores) swings with co-tenant load minute to minute; a
