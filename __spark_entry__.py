@@ -361,7 +361,10 @@ def _q_rt_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(tempfile.gettempdir(),
                         f"oroch_ds_append_v1_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # guard on a marker written only after BOTH jobs finished: a crash
+    # between overwrite and append must not cache a half-built table
+    done = os.path.join(path, "_FIXTURE_READY")
+    if not os.path.exists(done):
         src = _read(spark, sf_dir, "events")
         for mode, parity in (("overwrite", 0), ("append", 1)):
             (src.filter(F.col("event_id") % 2 == parity)
@@ -369,6 +372,8 @@ def _q_rt_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .sortWithinPartitions("event_id")
                 .write.format("oroch").mode(mode)
                 .option("key_cols", "event_id").save(path))
+        with open(done, "w") as f:
+            f.write("ok")
     return spark.read.format("oroch").load(path)
 
 
@@ -388,7 +393,10 @@ def _q_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     root = os.path.join(tempfile.gettempdir(), f"oroch_lw_v1_{tag}")
     sink = os.path.join(root, "sink")
-    if not ds._manifest_paths(sink):
+    # marker written only after the stream drained BOTH batches: a
+    # crash after batch 0 must not cache an upsert-less sink
+    done = os.path.join(root, "_FIXTURE_READY")
+    if not os.path.exists(done):
         srcdir = os.path.join(root, "src")
         src = _read(spark, sf_dir, "events")
         src.coalesce(1).write.mode("overwrite") \
@@ -404,6 +412,9 @@ def _q_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("checkpointLocation", os.path.join(root, "ckpt"))
              .trigger(availableNow=True).start())
         q.awaitTermination(300)
+        if len({b for _, b in ds._sink_manifest_files(sink)}) >= 2:
+            with open(done, "w") as f:
+                f.write("ok")
     return (spark.read.format("oroch")
             .option("latest_wins", "true").load(sink))
 
@@ -545,7 +556,7 @@ def _q_codec_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec_histogram + compression_summary in one driver slot."""
     df = transcripts.generate(spark, n_conv=200, seed=42)
     blocks = engine.encode_df(df, ["conv_id", "turn_idx"], n_buckets=8,
-                              text_cols=["text"]).cache()
+                              text_cols=["text"])
     hist = (blocks
             .select(F.explode(engine._codec_entries(F.col("desc")))
                     .alias("codec"))
@@ -553,19 +564,17 @@ def _q_codec_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   .alias("value"))
             .select(F.concat(F.lit("codec:"), F.col("codec"))
                     .alias("metric"), "value"))
-    summary = blocks.agg(
+    s = blocks.agg(
         F.sum("n").alias("n_rows"),
         F.sum("bytes_in").alias("bytes_in"),
         F.sum("bytes_out").alias("bytes_out"),
         F.sum("ref_bytes").alias("ref_bytes"),
         (F.sum("bytes_out") <= F.sum("ref_bytes")).cast("double")
-        .alias("within_budget"))
-    long = None
-    for m in ("n_rows", "bytes_in", "bytes_out", "ref_bytes",
-              "within_budget"):
-        row = summary.select(F.lit(m).alias("metric"),
-                             F.col(m).cast("double").alias("value"))
-        long = row if long is None else long.unionByName(row)
+        .alias("within_budget")).first()  # ONE job for all 5 metrics
+    long = spark.createDataFrame(
+        [(m, float(s[m])) for m in ("n_rows", "bytes_in", "bytes_out",
+                                    "ref_bytes", "within_budget")],
+        "metric string, value double")
     return hist.unionByName(long).orderBy("metric")
 
 

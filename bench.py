@@ -241,7 +241,8 @@ def main() -> None:
         lw_root = os.path.join(tempfile.gettempdir(),
                                f"oroch_bench_lw_{sf}")
         lw_sink = os.path.join(lw_root, "sink")
-        if not dsrc._manifest_paths(lw_sink):
+        lw_done = os.path.join(lw_root, "_FIXTURE_READY")
+        if not os.path.exists(lw_done):
             srcdir = os.path.join(lw_root, "src")
             events.coalesce(4).write.mode("overwrite") \
                 .parquet(os.path.join(srcdir, "f1"))
@@ -258,6 +259,10 @@ def main() -> None:
                          os.path.join(lw_root, "ckpt"))
                  .trigger(availableNow=True).start())
             q.awaitTermination(300)
+            if len({b for _, b
+                    in dsrc._sink_manifest_files(lw_sink)}) >= 2:
+                with open(lw_done, "w") as f:
+                    f.write("ok")
         timed("latest_wins_read",
               lambda: spark.read.format("oroch")
               .option("latest_wins", "true").load(lw_sink).count(),

@@ -2159,6 +2159,14 @@ _LJ_SPAN_CAP = 64
 # so tiny tables keep the low-latency plan and the grid engages where
 # the nested loop would actually hurt (10^6+ blocks at 100 TB).
 _LJ_GRID_MIN_BLOCKS = 1024
+# planning-aggregate memo, keyed by the metadata plan's semantic hash:
+# bounds stats of an immutable blocks table don't change between
+# lookup_join calls. Staleness (same path re-read after an append) can
+# only cost prune quality, never correctness — the grid math is
+# self-consistent for ANY (origin, width): both sides bucket with the
+# same formula and the containment residual is exact. Bounded; cleared
+# wholesale when full.
+_LJ_AGG_CACHE: dict = {}
 
 
 def _str_surrogate(c: "F.Column") -> "F.Column":
@@ -2233,9 +2241,25 @@ def _bucketed_block_prune(blocks: DataFrame, bounds: tuple[str, str],
     meta = blocks.select(
         "bucket", "block_idx", blo.alias("_lo"), bhi.alias("_hi"),
         blo_s.alias("_los"), bhi_s.alias("_his"))
-    g = meta.agg(F.min("_los").alias("a"), F.max("_his").alias("b"),
-                 F.avg(F.col("_his") - F.col("_los")).alias("s"),
-                 F.count(F.lit(1)).alias("nb")).first()
+    # memoize the planning aggregate per blocks PLAN: repeated
+    # lookup_joins against the same (e.g. persisted, footer-less)
+    # table pay the metadata job once, not per call
+    try:
+        ck = (meta._jdf.queryExecution().analyzed().semanticHash(),
+              bounds, kind)
+    except Exception:
+        ck = None
+    if ck is not None and ck in _LJ_AGG_CACHE:
+        g = _LJ_AGG_CACHE[ck]
+    else:
+        g = meta.agg(F.min("_los").alias("a"),
+                     F.max("_his").alias("b"),
+                     F.avg(F.col("_his") - F.col("_los")).alias("s"),
+                     F.count(F.lit(1)).alias("nb")).first()
+        if ck is not None:
+            if len(_LJ_AGG_CACHE) >= 64:
+                _LJ_AGG_CACHE.clear()
+            _LJ_AGG_CACHE[ck] = g
     if g is not None and int(g["nb"] or 0) < grid_min_blocks:
         return direct()
     if g is None or g["a"] is None or g["b"] is None \

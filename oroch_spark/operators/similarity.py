@@ -292,7 +292,8 @@ def _ivfpq_residual_scores(cand: DataFrame, cent: "np.ndarray",
         np.stack([books[i] @ pc_[j, i * dsub:(i + 1) * dsub]
                   for i in range(m)]) for j in range(len(probes))])
     rows = np.arange(m)
-    b_sq = (books ** 2).sum(axis=2)                  # for encoding
+    b_sq = lut_sq                # same (m, ksub) array, reused for the
+                                 # encoding distances — not recomputed
 
     @pandas_udf("double")
     def score(vecs: pd.Series, lists: pd.Series) -> pd.Series:

@@ -116,13 +116,24 @@ _META_COLS = ["n", "key_lo", "key_hi", "key_slo", "key_shi"]
 # ---------------------------------------------------------------------------
 
 def write_sidecar(path: str, kinds: list[tuple[str, str]],
-                  key_cols: list[str]) -> None:
+                  key_cols: list[str],
+                  files: Optional[list[str]] = None) -> None:
     """Publish the table metadata a reader needs. Safe to call on a
     directory already holding blocks parquet written by
     ``engine.encode_df(...).write.parquet(path)`` — this is how an
-    existing blocks dir becomes ``format("oroch")``-readable."""
-    doc = {"version": 1, "kinds": [list(kv) for kv in kinds],
+    existing blocks dir becomes ``format("oroch")``-readable (without
+    ``files`` the reader lists the directory).
+
+    ``files`` (batch-writer commits): the COMMITTED file registry —
+    the sidecar swap is then the atomic publish, a reader resolves
+    exactly one table version, and part files a crashed job left
+    behind are invisible until the next commit sweeps them. One
+    writer at a time per table (the registry is read-modify-write);
+    readers are safe any time."""
+    doc = {"version": 2, "kinds": [list(kv) for kv in kinds],
            "key_cols": list(key_cols)}
+    if files is not None:
+        doc["files"] = sorted(set(files))
     tmp = os.path.join(path, f".{SIDECAR}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         json.dump(doc, f)
@@ -423,8 +434,10 @@ def _reader_view_kinds(options: dict, kinds: list[tuple[str, str]]):
 
 class OrochReader(DataSourceReader):
     def __init__(self, options: dict, kinds: list[tuple[str, str]],
-                 key_cols: list[str]):
+                 key_cols: list[str],
+                 reg_files: Optional[list[str]] = None):
         self.path = options["path"]
+        self.reg_files = reg_files  # sidecar's committed-file registry
         self.key_cols = list(key_cols)
         self.key_col = key_cols[0]
         self.latest = str(options.get("latest_wins", "")).lower() \
@@ -491,10 +504,13 @@ class OrochReader(DataSourceReader):
         return iter(unsupported)
 
     def _files(self) -> list[tuple[str, Optional[int]]]:
-        if self.batch_of is not None:
+        if self.batch_of is not None:       # streaming sink: manifests
             return [(os.path.join(self.path, f), b)
                     for f, b in sorted(self.batch_of.items())]
-        return [(f, None) for f in
+        if self.reg_files is not None:      # batch table: the sidecar
+            return [(os.path.join(self.path, f), None)  # registry IS
+                    for f in self.reg_files]            # the version
+        return [(f, None) for f in          # legacy: directory listing
                 sorted(glob.glob(os.path.join(self.path, "*.parquet")))]
 
     # -- planning ----------------------------------------------------------
@@ -634,8 +650,17 @@ class OrochReader(DataSourceReader):
             desc = None
             keep = True
             for col, pred in preds.items():
-                nullish = pred.wants_null or pred.wants_notnull
-                if col == self.key_col and not nullish:
+                # null-count stats are worth a descriptor parse only
+                # for IS NULL, or for a PURE IS NOT NULL: an implicit
+                # IsNotNull riding beside values/bounds is redundant
+                # (a row matching them cannot be null)
+                nullish = pred.wants_null or (
+                    pred.wants_notnull and pred.values is None
+                    and pred.lo is None and pred.hi is None)
+                if col == self.key_col:
+                    # key bounds live in dedicated meta columns — the
+                    # fast path stays fast even when Spark attaches
+                    # its usual IsNotNull beside the real predicate
                     sname = ("key_slo", "key_shi") if _pred_is_str(pred) \
                         else ("key_lo", "key_hi")
                     blo = meta.column(sname[0])[i].as_py()
@@ -643,7 +668,8 @@ class OrochReader(DataSourceReader):
                     if not _stats_overlap(blo, bhi, pred):
                         keep = False
                         break
-                    continue
+                    if not nullish:
+                        continue
                 if desc is None:
                     desc = json.loads(descs[i])
                 d = next((c for c in desc["cols"] if c["n"] == col), None)
@@ -664,13 +690,14 @@ class OrochReader(DataSourceReader):
                     if pred.wants_notnull and nc >= int(n_arr[i]):
                         keep = False
                         break
-                if _pred_is_str(pred):
-                    blo, bhi = d.get("slo"), d.get("shi")
-                else:
-                    blo, bhi = d.get("lo"), d.get("hi")
-                if not _stats_overlap(blo, bhi, pred):
-                    keep = False
-                    break
+                if col != self.key_col:  # key bounds checked above
+                    if _pred_is_str(pred):
+                        blo, bhi = d.get("slo"), d.get("shi")
+                    else:
+                        blo, bhi = d.get("lo"), d.get("hi")
+                    if not _stats_overlap(blo, bhi, pred):
+                        keep = False
+                        break
                 if pred.values and d.get("bm") and not any(
                         engine.bloom_might_contain(d["bm"], v,
                                                    kind_of[col])
@@ -992,10 +1019,12 @@ class OrochWriter(DataSourceArrowWriter):
                  "bytes_in": sum(m.bytes_in for m in messages if m),
                  "bytes_out": sum(m.bytes_out for m in messages if m)}
         if self.overwrite:
-            # all tasks succeeded: publish the new sidecar, then drop
-            # every file that is not part of this job's snapshot
-            # (previous batch parts, stale stream parts + manifests)
-            write_sidecar(self.path, self.kinds, self.key_cols)
+            # all tasks succeeded: the sidecar swap (with the new file
+            # registry) IS the publish; only then drop every file that
+            # is not part of this snapshot (previous batch parts,
+            # stale stream parts + manifests, crashed jobs' leftovers)
+            write_sidecar(self.path, self.kinds, self.key_cols,
+                          files=sorted(keep))
             for f in glob.glob(os.path.join(self.path, "*.parquet")):
                 if os.path.basename(f) not in keep:
                     os.remove(f)
@@ -1004,7 +1033,28 @@ class OrochWriter(DataSourceArrowWriter):
                 import shutil
                 shutil.rmtree(bdir, ignore_errors=True)
         else:
-            write_sidecar(self.path, self.merged_kinds, self.key_cols)
+            prev_files = None
+            if os.path.exists(os.path.join(self.path, SIDECAR)):
+                prev_files = read_sidecar(self.path).get("files")
+            if prev_files is None:
+                # legacy table without a registry: everything
+                # currently on disk (minus this job) was visible
+                prev_files = [
+                    os.path.basename(f) for f in
+                    glob.glob(os.path.join(self.path, "*.parquet"))
+                    if not os.path.basename(f)
+                    .startswith(f"part-{self.job_id}-")]
+            committed = set(prev_files) | keep
+            write_sidecar(self.path, self.merged_kinds, self.key_cols,
+                          files=sorted(committed))
+            # a CRASHED append never published its files: they are
+            # invisible to registry readers and swept here, at the
+            # next successful commit (single WRITER per table — the
+            # registry is read-modify-write; readers are safe anytime)
+            for f in glob.glob(os.path.join(self.path,
+                                            "part-*.parquet")):
+                if os.path.basename(f) not in committed:
+                    os.remove(f)
             succ = os.path.join(self.path, "_SUCCESS")
             if os.path.exists(succ):
                 with open(succ) as f:
@@ -1184,6 +1234,9 @@ def compact_sink(spark, path: str, n_buckets: int = 32,
     as_of = None if retain_from_batch is None else retain_from_batch - 1
     blocks = stream_sink_blocks(spark, path, as_of_batch=as_of)
     top = blocks.agg({"batch_id": "max"}).collect()[0][0]
+    if top is None:
+        raise ValueError(f"nothing to compact in {path}: the folded "
+                         "batches hold no committed rows")
     keep_tomb = tombstone_col is not None and retain_from_batch is not None
     if latest_wins:
         rows = inc.read_latest(spark, None, kinds, key_cols,
@@ -1338,7 +1391,8 @@ class OrochDataSource(DataSource):
 
     def reader(self, schema) -> OrochReader:
         doc = read_sidecar(self.options["path"])
-        return OrochReader(self.options, doc["kinds"], doc["key_cols"])
+        return OrochReader(self.options, doc["kinds"], doc["key_cols"],
+                           doc.get("files"))
 
     def writer(self, schema, overwrite: bool) -> OrochWriter:
         kinds = engine.column_kinds(schema)

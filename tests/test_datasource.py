@@ -493,3 +493,27 @@ def test_reader_filter_state_is_per_plan(events_table):
     assert all(not p.preds for p in again)
     rows = sum(rb.num_rows for p in again for rb in rdr.read(p))
     assert rows == 1000  # the whole sf0.001 events table
+
+
+def test_crashed_append_parts_invisible_and_swept(dsspark, tmp_path):
+    """A job that died before commit never published its part files:
+    the sidecar's committed-file registry hides them from readers, and
+    the next successful commit sweeps them from disk."""
+    path = str(tmp_path / "crashed")
+    dsspark.range(100).withColumnRenamed("id", "k") \
+        .coalesce(1).write.format("oroch").mode("overwrite") \
+        .option("key_cols", "k").save(path)
+    # simulate the crash leftovers: a part file from an unknown job
+    stray = os.path.join(path, "part-deadjob-00000-ffff.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"not even parquet")   # never opened if invisible
+    assert dsspark.read.format("oroch").load(path).count() == 100
+    # the next commit sweeps it
+    dsspark.range(100, 150).withColumnRenamed("id", "k") \
+        .coalesce(1).write.format("oroch").mode("append") \
+        .option("key_cols", "k").save(path)
+    assert not os.path.exists(stray)
+    assert dsspark.read.format("oroch").load(path).count() == 150
+    with open(os.path.join(path, ds.SIDECAR)) as f:
+        reg = json.load(f)["files"]
+    assert len(reg) == 2 and all(r.endswith(".parquet") for r in reg)
