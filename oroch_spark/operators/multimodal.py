@@ -1,12 +1,18 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata.
 
-Media decode libraries (PIL/ffmpeg/etc.) are not in this container, so
-the *decode* step is a deterministic stand-in (first 64 payload bytes as
-an 8x8 pseudo-pixel tile), while the Spark-side plumbing — schema, Arrow
-batch shapes, zero-copy binary buffers, vectorized batch math,
-partition sizing — is real and tested. Swapping in a real decoder means
-replacing ``_tile_matrix``'s byte-gather with the image library call;
-the batch shape (``(n, H*W)`` matrix per Arrow batch) stays.
+Two tiers of decode:
+
+- **Real (round 4)**: PNG images and WAV/PCM audio decode fully via
+  the from-scratch stdlib codecs in ``operators/mediacodec.py`` —
+  ``image_features`` / ``audio_features`` below compute genuine
+  per-channel pixel stats and signal stats from decoded payloads.
+- **Stub**: formats that need native libs absent from this container
+  (JPEG/MP4 via PIL/ffmpeg) keep the deterministic stand-in (first 64
+  payload bytes as an 8x8 pseudo-pixel tile) so the Spark-side
+  plumbing — schema, Arrow batch shapes, zero-copy binary buffers,
+  vectorized batch math, partition sizing — stays real and tested.
+  Swapping in the native decoder means replacing ``_tile_matrix``'s
+  byte-gather with the library call; the batch shape stays.
 """
 from __future__ import annotations
 
@@ -143,4 +149,175 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
         rows.append((i, "image", "image/fake",
                      bytes(rng.integers(0, 256, size, dtype=np.uint8)),
                      64, 64, 0))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real decoders (round 4): PNG images and WAV audio via the
+# from-scratch stdlib codecs in operators/mediacodec.py — decode is no
+# longer environment-blocked for these formats. JPEG/MP4 still need
+# the native libs and keep the stub/swap-point story above.
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("mean", T.ArrayType(T.FloatType())),   # per channel
+    T.StructField("std", T.ArrayType(T.FloatType())),
+    T.StructField("n_bytes", T.IntegerType()),
+])
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("duration_ms", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zero_cross_rate", T.DoubleType()),
+    T.StructField("n_bytes", T.IntegerType()),
+])
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """REAL image feature extraction for PNG payloads: dimensions and
+    per-channel mean/std from fully decoded pixels (`mediacodec
+    .png_decode` — stdlib zlib + numpy unfiltering, no PIL). The
+    payload decode is inherently per-row work; Arrow still batches the
+    I/O, and each decoded image reduces vectorized. Non-PNG payloads
+    yield NULL features (schema-stable: mixed media tables filter on
+    mime or on the NULLs)."""
+    from . import mediacodec as mc
+
+    def run(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        out = pa.schema([
+            ("media_id", pa.int64()), ("width", pa.int32()),
+            ("height", pa.int32()), ("channels", pa.int32()),
+            ("mean", pa.list_(pa.float32())),
+            ("std", pa.list_(pa.float32())),
+            ("n_bytes", pa.int32()),
+        ])
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            pays = batch.column("payload").to_pylist()
+            rows = {k: [] for k in ("w", "h", "c", "m", "s", "nb")}
+            for p in pays:
+                rows["nb"].append(len(p) if p is not None else 0)
+                try:
+                    img = mc.png_decode(p)
+                except Exception:
+                    for k in ("w", "h", "c", "m", "s"):
+                        rows[k].append(None)
+                    continue
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                h, w, c = img.shape
+                f = img.reshape(-1, c).astype(np.float64)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["c"].append(c)
+                rows["m"].append([float(x) for x in f.mean(axis=0)])
+                rows["s"].append([float(x) for x in f.std(axis=0)])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(rows["w"], type=pa.int32()),
+                 pa.array(rows["h"], type=pa.int32()),
+                 pa.array(rows["c"], type=pa.int32()),
+                 pa.array(rows["m"], type=pa.list_(pa.float32())),
+                 pa.array(rows["s"], type=pa.list_(pa.float32())),
+                 pa.array(rows["nb"], type=pa.int32())], schema=out)
+
+    return df.select("media_id", "payload").mapInArrow(
+        run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction for WAV/PCM payloads
+    (`mediacodec.wav_decode`): sample rate, duration, RMS level and
+    zero-crossing rate over the decoded samples. Non-WAV payloads
+    yield NULL features."""
+    from . import mediacodec as mc
+
+    def run(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        out = pa.schema([
+            ("media_id", pa.int64()), ("sample_rate", pa.int32()),
+            ("channels", pa.int32()), ("duration_ms", pa.int32()),
+            ("rms", pa.float64()), ("zero_cross_rate", pa.float64()),
+            ("n_bytes", pa.int32()),
+        ])
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            pays = batch.column("payload").to_pylist()
+            rows = {k: [] for k in ("r", "c", "d", "rm", "z", "nb")}
+            for p in pays:
+                rows["nb"].append(len(p) if p is not None else 0)
+                try:
+                    samples, rate = mc.wav_decode(p)
+                except Exception:
+                    for k in ("r", "c", "d", "rm", "z"):
+                        rows[k].append(None)
+                    continue
+                n, ch = samples.shape
+                s64 = samples.astype(np.float64)
+                ch0 = s64[:, 0]   # a mixdown of out-of-phase channels
+                rows["r"].append(rate)  # would be silence; rms spans
+                rows["c"].append(ch)    # all channels, zcr channel 0
+                rows["d"].append(int(round(n * 1000 / rate)))
+                rows["rm"].append(float(np.sqrt((s64 ** 2).mean()))
+                                  if n else 0.0)
+                rows["z"].append(float(np.mean(
+                    np.signbit(ch0[1:]) != np.signbit(ch0[:-1])))
+                    if n > 1 else 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(rows["r"], type=pa.int32()),
+                 pa.array(rows["c"], type=pa.int32()),
+                 pa.array(rows["d"], type=pa.int32()),
+                 pa.array(rows["rm"], type=pa.float64()),
+                 pa.array(rows["z"], type=pa.float64()),
+                 pa.array(rows["nb"], type=pa.int32())], schema=out)
+
+    return df.select("media_id", "payload").mapInArrow(
+        run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def synthetic_png_media(spark, n: int = 24, seed: int = 7) -> DataFrame:
+    """Deterministic REAL PNG media table (encoded with the
+    from-scratch writer): mixed greyscale/RGB/RGBA sizes."""
+    from . import mediacodec as mc
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+        c = int(rng.choice([1, 3, 4]))
+        img = rng.integers(0, 256, (h, w) if c == 1 else (h, w, c),
+                           dtype=np.uint8)
+        rows.append((i, "image", "image/png", mc.png_encode(img),
+                     w, h, 0))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def synthetic_wav_media(spark, n: int = 12, seed: int = 7) -> DataFrame:
+    """Deterministic REAL WAV media table (PCM 16-bit sines)."""
+    from . import mediacodec as mc
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        rate = int(rng.choice([8000, 16000]))
+        dur = float(rng.uniform(0.05, 0.3))
+        t = np.arange(int(rate * dur)) / rate
+        freq = float(rng.uniform(100, 2000))
+        amp = float(rng.uniform(1000, 20000))
+        sig = (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+        ch = int(rng.choice([1, 2]))
+        smp = sig if ch == 1 else np.stack([sig, -sig], axis=1)
+        rows.append((i, "audio", "audio/wav", mc.wav_encode(smp, rate),
+                     0, 0, int(round(dur * 1000))))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

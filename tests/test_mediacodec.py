@@ -1,0 +1,160 @@
+"""From-scratch PNG/WAV codecs + the real media feature operators."""
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from oroch_spark.operators import mediacodec as mc
+from oroch_spark.operators import multimodal
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_shapes():
+    rng = np.random.default_rng(0)
+    for shape in [(1, 1), (5, 7), (16, 16, 3), (9, 4, 4), (3, 3, 2),
+                  (64, 3), (2, 33, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        back = mc.png_decode(mc.png_encode(img))
+        assert back.shape == img.shape
+        assert np.array_equal(back, img), shape
+
+
+def _png_with_filters(img: np.ndarray, filters: list[int]) -> bytes:
+    """Assemble a PNG whose scanlines use the GIVEN filter types, by
+    applying the spec's forward filters (RFC 2083 §6) — exercises the
+    decoder's unfilter paths our encoder (always 0) never emits."""
+    a = img if img.ndim == 3 else img[:, :, None]
+    h, w, c = a.shape
+    stride = w * c
+    flat = a.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = flat[y]
+        up = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        line = np.empty(stride, dtype=np.int32)
+        for x in range(stride):
+            left = cur[x - c] if x >= c else 0
+            ul = int(up[x - c]) if x >= c else 0
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = cur[x] - left
+            elif f == 2:
+                v = cur[x] - up[x]
+            elif f == 3:
+                v = cur[x] - ((left + int(up[x])) >> 1)
+            else:
+                v = cur[x] - mc._paeth(int(left), int(up[x]), ul)
+            line[x] = v & 0xFF
+        out.append(f)
+        out.extend(line.astype(np.uint8).tobytes())
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (mc._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("filters", [[1], [2], [3], [4],
+                                     [0, 1, 2, 3, 4]])
+def test_png_decode_all_filter_types(filters):
+    rng = np.random.default_rng(sum(filters) + 1)
+    for shape in [(6, 5), (7, 9, 3), (5, 4, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        payload = _png_with_filters(img, filters)
+        assert np.array_equal(mc.png_decode(payload), img), \
+            (filters, shape)
+
+
+def test_png_rejects_garbage_and_out_of_scope():
+    with pytest.raises(ValueError):
+        mc.png_decode(b"not a png at all")
+    # 16-bit depth is declared out of scope, loudly
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    body = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    with pytest.raises(NotImplementedError):
+        mc.png_decode(mc._PNG_SIG + body)
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_mono_stereo():
+    rng = np.random.default_rng(1)
+    for ch in (1, 2):
+        shape = (500,) if ch == 1 else (500, 2)
+        s = rng.integers(-32768, 32767, shape).astype(np.int16)
+        back, rate = mc.wav_decode(mc.wav_encode(s, 22050))
+        assert rate == 22050 and back.shape == (500, ch)
+        exp = s[:, None] if s.ndim == 1 else s
+        assert np.array_equal(back, exp.astype(np.int32))
+
+
+def test_wav_8bit_and_rejects():
+    # hand-build an 8-bit PCM file: 4 samples, recentered on decode
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = bytes([128, 255, 0, 128])
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    samples, rate = mc.wav_decode(wav)
+    assert rate == 8000
+    assert samples[:, 0].tolist() == [0, 127, -128, 0]
+    with pytest.raises(ValueError):
+        mc.wav_decode(b"RIFFxxxxNOPE")
+
+
+# ---------------------------------------------------------------------------
+# Spark operators over real payloads
+# ---------------------------------------------------------------------------
+
+def test_image_features_real_png(spark):
+    media = multimodal.synthetic_png_media(spark, n=12, seed=3)
+    got = {r.media_id: r
+           for r in multimodal.image_features(media).collect()}
+    src = {r.media_id: r for r in media.collect()}
+    assert len(got) == 12
+    for mid, r in got.items():
+        img = mc.png_decode(src[mid].payload)
+        a = img if img.ndim == 3 else img[:, :, None]
+        assert (r.width, r.height) == (a.shape[1], a.shape[0])
+        assert r.channels == a.shape[2]
+        exp_mean = a.reshape(-1, a.shape[2]).astype(np.float64) \
+            .mean(axis=0)
+        np.testing.assert_allclose(r.mean, exp_mean, rtol=1e-5)
+        assert len(r.std) == a.shape[2]
+
+
+def test_image_features_non_png_null(spark):
+    media = multimodal.synthetic_media(spark, n=5)  # random bytes
+    rows = multimodal.image_features(media).collect()
+    assert len(rows) == 5
+    assert all(r.width is None and r.mean is None for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+
+
+def test_audio_features_real_wav(spark):
+    media = multimodal.synthetic_wav_media(spark, n=8, seed=5)
+    got = {r.media_id: r
+           for r in multimodal.audio_features(media).collect()}
+    src = {r.media_id: r for r in media.collect()}
+    assert len(got) == 8
+    for mid, r in got.items():
+        samples, rate = mc.wav_decode(src[mid].payload)
+        assert r.sample_rate == rate
+        assert r.channels == samples.shape[1]
+        # sine waves: duration matches the metadata and rms is ~A/√2
+        assert abs(r.duration_ms - src[mid].duration_ms) <= 1
+        assert r.rms > 0 and 0 < r.zero_cross_rate < 1
