@@ -183,3 +183,109 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(f"{bits}-bit PCM")
     n = len(s) // ch
     return s[:n * ch].reshape(n, ch), rate
+
+
+# ---------------------------------------------------------------------------
+# Y4M video (YUV4MPEG2): plain-text header + uncompressed frames — the
+# interchange format ffmpeg pipes produce; fully parseable without any
+# native library. 4:2:0 (default) and 4:4:4 subsampling supported.
+# ---------------------------------------------------------------------------
+
+def y4m_encode(frames: np.ndarray, rate: tuple[int, int] = (25, 1)
+               ) -> bytes:
+    """Minimal Y4M writer: ``frames`` is (n, H, W) uint8 — luma-only
+    content written as 4:2:0 with neutral chroma (the fixture/writer
+    side of the frame sampler)."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    if h % 2 or w % 2:
+        raise ValueError("4:2:0 needs even dimensions")
+    head = f"YUV4MPEG2 W{w} H{h} F{rate[0]}:{rate[1]} Ip A1:1 C420\n"
+    chroma = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    out = [head.encode("ascii")]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(f[i].tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
+def y4m_decode(payload: bytes, every: int = 1, max_frames: int = 0
+               ) -> tuple[np.ndarray, tuple[int, int]]:
+    """Parse a YUV4MPEG2 stream and return (luma frames (n, H, W)
+    uint8, (fps_num, fps_den)). ``every`` samples every k-th frame —
+    the frame-sample primitive: the un-sampled frames' bytes are
+    SKIPPED, not decoded. Chroma planes are skipped entirely (features
+    ride the luma)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    rate = (25, 1)
+    chroma = "420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            a, b = t[1:].split(":")
+            rate = (int(a), int(b))
+        elif t[0] == "C":
+            chroma = t[1:]
+    if w is None or h is None:
+        raise ValueError("Y4M without W/H")
+    if chroma.startswith("420"):
+        frame_bytes = h * w + 2 * (h // 2) * (w // 2)
+    elif chroma.startswith("444"):
+        frame_bytes = 3 * h * w
+    else:
+        raise NotImplementedError(f"chroma {chroma}")
+    frames = []
+    pos = nl + 1
+    i = 0
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M frame marker")
+        body = fnl + 1
+        if i % every == 0 and (not max_frames
+                               or len(frames) < max_frames):
+            luma = np.frombuffer(payload, dtype=np.uint8,
+                                 offset=body, count=h * w)
+            frames.append(luma.reshape(h, w))
+        pos = body + frame_bytes
+        i += 1
+    return (np.stack(frames) if frames
+            else np.zeros((0, h, w), dtype=np.uint8)), rate
+
+
+# ---------------------------------------------------------------------------
+# Resize: pure-numpy nearest-neighbor (any scale) and exact area mean
+# (integer downscale) — the standard training-data normalization step.
+# ---------------------------------------------------------------------------
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of (H, W[, C]) uint8 — one fancy index."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * (h / out_h)).astype(np.int64).clip(0, h - 1)
+    xs = (np.arange(out_w) * (w / out_w)).astype(np.int64).clip(0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def downscale_area(img: np.ndarray, factor: int) -> np.ndarray:
+    """Exact area (mean-pool) downscale by an integer factor; trailing
+    rows/cols that don't fill a block are cropped (the ffmpeg 'area'
+    semantics for exact multiples)."""
+    h, w = img.shape[:2]
+    h2, w2 = h // factor, w // factor
+    a = img[:h2 * factor, :w2 * factor]
+    if a.ndim == 2:
+        a = a[:, :, None]
+    c = a.shape[2]
+    out = a.reshape(h2, factor, w2, factor, c).astype(np.float64) \
+        .mean(axis=(1, 3))
+    out = np.round(out).astype(np.uint8)
+    return out[:, :, 0] if img.ndim == 2 else out

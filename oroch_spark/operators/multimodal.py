@@ -321,3 +321,144 @@ def synthetic_wav_media(spark, n: int = 12, seed: int = 7) -> DataFrame:
         rows.append((i, "audio", "audio/wav", mc.wav_encode(smp, rate),
                      0, 0, int(round(dur * 1000))))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+VIDEO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames_sampled", T.IntegerType()),
+    T.StructField("fps", T.DoubleType()),
+    T.StructField("frame_means", T.ArrayType(T.FloatType())),
+    T.StructField("motion", T.DoubleType()),   # mean |frame diff|
+    T.StructField("n_bytes", T.IntegerType()),
+])
+
+
+def video_frame_features(df: DataFrame, every: int = 5,
+                         max_frames: int = 16) -> DataFrame:
+    """REAL video frame sampling for Y4M payloads
+    (`mediacodec.y4m_decode`): every k-th luma frame is decoded (the
+    skipped frames' bytes are never touched), yielding per-frame mean
+    luma and a motion score (mean absolute difference between
+    consecutive sampled frames). Non-Y4M payloads yield NULLs."""
+    from . import mediacodec as mc
+
+    def run(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        out = pa.schema([
+            ("media_id", pa.int64()), ("width", pa.int32()),
+            ("height", pa.int32()), ("n_frames_sampled", pa.int32()),
+            ("fps", pa.float64()),
+            ("frame_means", pa.list_(pa.float32())),
+            ("motion", pa.float64()), ("n_bytes", pa.int32()),
+        ])
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            pays = batch.column("payload").to_pylist()
+            rows = {k: [] for k in ("w", "h", "nf", "fps", "fm", "mo",
+                                    "nb")}
+            for p in pays:
+                rows["nb"].append(len(p) if p is not None else 0)
+                try:
+                    frames, (fn, fd) = mc.y4m_decode(
+                        p, every=every, max_frames=max_frames)
+                except Exception:
+                    for k in ("w", "h", "nf", "fps", "fm", "mo"):
+                        rows[k].append(None)
+                    continue
+                n, h, w = frames.shape
+                f64 = frames.astype(np.float64)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["nf"].append(n)
+                rows["fps"].append(fn / fd)
+                rows["fm"].append([float(x)
+                                   for x in f64.mean(axis=(1, 2))])
+                rows["mo"].append(float(np.abs(
+                    np.diff(f64, axis=0)).mean()) if n > 1 else 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(rows["w"], type=pa.int32()),
+                 pa.array(rows["h"], type=pa.int32()),
+                 pa.array(rows["nf"], type=pa.int32()),
+                 pa.array(rows["fps"], type=pa.float64()),
+                 pa.array(rows["fm"], type=pa.list_(pa.float32())),
+                 pa.array(rows["mo"], type=pa.float64()),
+                 pa.array(rows["nb"], type=pa.int32())], schema=out)
+
+    return df.select("media_id", "payload").mapInArrow(
+        run, schema=VIDEO_FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, out_h: int, out_w: int,
+                  method: str = "nearest") -> DataFrame:
+    """REAL image resize for PNG payloads: decode, resize (pure-numpy
+    nearest-neighbor, or exact area mean-pool when the scale is an
+    integer downscale and ``method='area'``), re-encode as PNG — the
+    training-data normalization transform. Output schema = input
+    schema with payload/width/height replaced; non-PNG rows pass
+    through untouched (payload unchanged, dims untouched)."""
+    from . import mediacodec as mc
+
+    def run(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        out = pa.schema([
+            ("media_id", pa.int64()), ("payload", pa.binary()),
+            ("width", pa.int32()), ("height", pa.int32()),
+        ])
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            pays = batch.column("payload").to_pylist()
+            o_pay, o_w, o_h = [], [], []
+            for p in pays:
+                try:
+                    img = mc.png_decode(p)
+                except Exception:
+                    o_pay.append(p)
+                    o_w.append(None)
+                    o_h.append(None)
+                    continue
+                if method == "area" and img.shape[0] % out_h == 0 \
+                        and img.shape[0] // out_h \
+                        == img.shape[1] // out_w \
+                        and img.shape[1] % out_w == 0:
+                    r = mc.downscale_area(img, img.shape[0] // out_h)
+                else:
+                    r = mc.resize_nearest(img, out_h, out_w)
+                o_pay.append(mc.png_encode(r))
+                o_w.append(out_w)
+                o_h.append(out_h)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(o_pay, type=pa.binary()),
+                 pa.array(o_w, type=pa.int32()),
+                 pa.array(o_h, type=pa.int32())], schema=out)
+
+    return df.select("media_id", "payload").mapInArrow(
+        run, schema=T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]))
+
+
+def synthetic_y4m_media(spark, n: int = 6, seed: int = 9) -> DataFrame:
+    """Deterministic REAL Y4M media table: moving-gradient clips."""
+    from . import mediacodec as mc
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h, w = int(rng.choice([8, 12])), int(rng.choice([8, 16]))
+        nf = int(rng.integers(10, 40))
+        base = rng.integers(0, 200, (h, w), dtype=np.uint8)
+        frames = np.stack([(base + 3 * t) % 256 for t in range(nf)]) \
+            .astype(np.uint8)
+        rows.append((i, "video", "video/x-y4m",
+                     mc.y4m_encode(frames, rate=(30, 1)),
+                     w, h, int(nf * 1000 / 30)))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

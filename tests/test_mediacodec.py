@@ -158,3 +158,76 @@ def test_audio_features_real_wav(spark):
         # sine waves: duration matches the metadata and rms is ~A/√2
         assert abs(r.duration_ms - src[mid].duration_ms) <= 1
         assert r.rms > 0 and 0 < r.zero_cross_rate < 1
+
+
+# ---------------------------------------------------------------------------
+# Y4M video + resize
+# ---------------------------------------------------------------------------
+
+def test_y4m_roundtrip_and_sampling():
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, (13, 6, 8), dtype=np.uint8)
+    payload = mc.y4m_encode(frames, rate=(30, 1))
+    back, rate = mc.y4m_decode(payload)
+    assert rate == (30, 1)
+    assert np.array_equal(back, frames)
+    sampled, _ = mc.y4m_decode(payload, every=5)
+    assert np.array_equal(sampled, frames[::5])
+    capped, _ = mc.y4m_decode(payload, every=1, max_frames=4)
+    assert np.array_equal(capped, frames[:4])
+    with pytest.raises(ValueError):
+        mc.y4m_decode(b"MPEG4...nope")
+
+
+def test_resize_primitives():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (8, 12, 3), dtype=np.uint8)
+    up = mc.resize_nearest(img, 16, 24)
+    assert up.shape == (16, 24, 3)
+    assert np.array_equal(up[::2, ::2], img)     # exact 2x nearest
+    down = mc.downscale_area(img, 2)
+    assert down.shape == (4, 6, 3)
+    exp = np.round(img.reshape(4, 2, 6, 2, 3).astype(np.float64)
+                   .mean(axis=(1, 3))).astype(np.uint8)
+    assert np.array_equal(down, exp)
+    grey = rng.integers(0, 256, (9, 9), dtype=np.uint8)
+    assert mc.resize_nearest(grey, 3, 3).shape == (3, 3)
+    assert mc.downscale_area(grey, 3).shape == (3, 3)
+
+
+def test_video_frame_features_real_y4m(spark):
+    media = multimodal.synthetic_y4m_media(spark, n=6, seed=9)
+    got = {r.media_id: r
+           for r in multimodal.video_frame_features(
+               media, every=5, max_frames=4).collect()}
+    src = {r.media_id: r for r in media.collect()}
+    assert len(got) == 6
+    for mid, r in got.items():
+        frames, (fn, fd) = mc.y4m_decode(src[mid].payload, every=5,
+                                         max_frames=4)
+        assert (r.width, r.height) == (src[mid].width, src[mid].height)
+        assert r.n_frames_sampled == len(frames)
+        assert r.fps == fn / fd
+        np.testing.assert_allclose(
+            r.frame_means,
+            frames.astype(np.float64).mean(axis=(1, 2)), rtol=1e-5)
+        assert r.motion > 0  # the gradient moves every frame
+
+
+def test_resize_images_operator(spark):
+    media = multimodal.synthetic_png_media(spark, n=8, seed=11)
+    out = {r.media_id: r
+           for r in multimodal.resize_images(media, 6, 6).collect()}
+    src = {r.media_id: r for r in media.collect()}
+    assert len(out) == 8
+    for mid, r in out.items():
+        assert (r.width, r.height) == (6, 6)
+        resized = mc.png_decode(r.payload)
+        exp = mc.resize_nearest(mc.png_decode(src[mid].payload), 6, 6)
+        assert np.array_equal(resized, exp)   # re-encode is lossless
+    # non-PNG rows pass through untouched
+    junk = multimodal.synthetic_media(spark, n=3)
+    rows = multimodal.resize_images(junk, 6, 6).collect()
+    assert all(r.width is None for r in rows)
+    exp_pay = {r.media_id: bytes(r.payload) for r in junk.collect()}
+    assert all(bytes(r.payload) == exp_pay[r.media_id] for r in rows)
