@@ -7,10 +7,13 @@ Everything the engine exposes as library calls (``engine.decode_df``,
 decoded rows with
 
 - **filter pushdown** (`DataSourceReader.pushFilters`): single-column
-  predicates (=, <, <=, >, >=, IN, LIKE-prefix via StringStartsWith —
-  rewritten to the range [p, ceil(p)) so the same zone-map pruning
-  applies — and IS [NOT] NULL against the exact per-block null
-  counts) on ANY projected string/int-domain column — not just the
+  predicates (=, <=>, <, <=, >, >=, IN, LIKE-prefix via
+  StringStartsWith — rewritten to the range [p, ceil(p)) so the same
+  zone-map pruning applies — IS [NOT] NULL against the exact
+  per-block null counts, !=/NOT IN — with a constant-block prune —
+  ends-with/contains and every NOT() of the above, enforced
+  Arrow-side before the JVM transfer) on ANY projected
+  string/int-domain column — not just the
   lead key — are accepted and enforced in three stages: parquet *row-group statistics* (the ``key_lo/key_hi`` /
   ``key_slo/key_shi`` bounds columns for the key; materialized
   ``<col>__lo/__hi`` columns for secondary predicates when the table
@@ -87,6 +90,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
@@ -97,6 +101,9 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    Not,
+    StringContains,
+    StringEndsWith,
     StringStartsWith,
     WriterCommitMessage,
 )
@@ -189,6 +196,7 @@ class _KeyPred:
     lo: Optional[object] = None
     hi: Optional[object] = None
     values: Optional[list] = None  # exact set (EqualTo / In)
+    neq: Optional[set] = None      # excluded set (Not(EqualTo/In))
     raw: tuple = ()                # original literals for row filtering
 
     @property
@@ -221,7 +229,10 @@ def _translate(filters: list["Filter"], cols_ok: set[str]):
             pred.hi = hi
 
     for f in filters:
-        attr = getattr(f, "attribute", None)
+        # Spark simplifies NOT before pushdown, so the child of a Not
+        # is always a leaf predicate; the attribute lives on the child
+        leaf = f.child if isinstance(f, Not) else f
+        attr = getattr(leaf, "attribute", None)
         if attr is None or len(tuple(attr)) != 1 \
                 or tuple(attr)[0] not in cols_ok:
             unsupported.append(f)
@@ -229,7 +240,53 @@ def _translate(filters: list["Filter"], cols_ok: set[str]):
         col = tuple(attr)[0]
         pred = preds.setdefault(col, _KeyPred(raw=()))
         raw = raws.setdefault(col, [])
-        if isinstance(f, EqualTo):
+        if isinstance(f, Not):
+            g = leaf
+            if isinstance(g, EqualTo) or (isinstance(g, EqualNullSafe)
+                                          and g.value is not None):
+                d = _domain_of(g.value)
+                if d is None:
+                    unsupported.append(f)
+                    continue
+                # NOT(col = v) is null-rejecting (SQL ternary: NULL=v
+                # is NULL, NOT NULL is NULL, filtered) — it may feed
+                # the constant-block prune. NOT(col <=> v) PASSES
+                # nulls, and block min/max ignore nulls, so it must
+                # stay row-level only.
+                if isinstance(g, EqualTo):
+                    pred.neq = (pred.neq or set()) | {d}
+                    raw.append(("neq", (g.value,)))
+                else:
+                    raw.append(("nseq", (g.value,)))
+                accepted.append(f)
+            elif isinstance(g, In):
+                ds = [_domain_of(v) for v in g.value]
+                if any(d is None for d in ds):
+                    unsupported.append(f)
+                    continue
+                pred.neq = (pred.neq or set()) | set(ds)
+                raw.append(("neq", tuple(g.value)))
+                accepted.append(f)
+            elif isinstance(g, EqualNullSafe):  # value is None
+                raw.append(("notnull", None))
+                accepted.append(f)
+            elif isinstance(g, IsNull):
+                raw.append(("notnull", None))
+                accepted.append(f)
+            elif isinstance(g, IsNotNull):
+                raw.append(("isnull", None))
+                accepted.append(f)
+            elif isinstance(g, (StringStartsWith, StringEndsWith,
+                                StringContains)) \
+                    and isinstance(g.value, str):
+                op = {StringStartsWith: "nsw", StringEndsWith: "new",
+                      StringContains: "nct"}[type(g)]
+                raw.append((op, g.value))
+                accepted.append(f)
+            else:
+                unsupported.append(f)
+        elif isinstance(f, EqualTo) or (isinstance(f, EqualNullSafe)
+                                        and f.value is not None):
             d = _domain_of(f.value)
             if d is None:
                 unsupported.append(f)
@@ -282,7 +339,17 @@ def _translate(filters: list["Filter"], cols_ok: set[str]):
                 bump_hi(pred, up, inclusive=True)
             raw.append(("sw", p))
             accepted.append(f)
-        elif isinstance(f, IsNull):
+        elif isinstance(f, (StringEndsWith, StringContains)):
+            if not isinstance(f.value, str):
+                unsupported.append(f)
+                continue
+            # no range/Bloom prune exists for suffix/substring — the
+            # win is Arrow-side row filtering before the JVM transfer
+            raw.append(("ew" if isinstance(f, StringEndsWith) else "ct",
+                        f.value))
+            accepted.append(f)
+        elif isinstance(f, (IsNull, EqualNullSafe)):
+            # EqualNullSafe reaching here has value None == IS NULL;
             # pruned against the exact per-block null counts in read()
             raw.append(("isnull", None))
             accepted.append(f)
@@ -300,6 +367,11 @@ def _translate(filters: list["Filter"], cols_ok: set[str]):
 def _pred_is_str(pred: _KeyPred) -> bool:
     probe = (pred.values[0] if pred.values else
              pred.lo if pred.lo is not None else pred.hi)
+    if probe is None and pred.neq:
+        probe = next(iter(pred.neq))
+    if probe is None:  # only string ops (contains/endswith/...) left
+        return any(op in ("sw", "ew", "ct", "nsw", "new", "nct")
+                   for op, _ in pred.raw)
     return isinstance(probe, str)
 
 
@@ -316,6 +388,12 @@ def _stats_overlap(stats_lo, stats_hi, pred: _KeyPred) -> bool:
     if pred.lo is not None and stats_hi < pred.lo:
         return False
     if pred.hi is not None and stats_lo > pred.hi:
+        return False
+    if pred.neq and stats_lo == stats_hi and stats_lo in pred.neq:
+        # constant container: equal capped bounds imply lo == hi ==
+        # the stored bound exactly (floor(lo) == ceil(hi) squeezes),
+        # so every row is an excluded value. NOT(v = x) also rejects
+        # nulls, so a block with null rows still holds no match.
         return False
     return True
 
@@ -674,9 +752,15 @@ class OrochReader(DataSourceReader):
                     desc = json.loads(descs[i])
                 d = next((c for c in desc["cols"] if c["n"] == col), None)
                 if d is None:
-                    # schema evolution: column absent => all rows null
-                    if pred.wants_notnull or pred.values \
-                            or pred.lo is not None or pred.hi is not None:
+                    # schema evolution: column absent => all rows null,
+                    # which fail every null-rejecting op (=, IN, range,
+                    # IS NOT NULL, !=, starts/ends/contains — all NULL
+                    # under SQL ternary logic, hence filtered)
+                    if pred.wants_notnull or pred.values or pred.neq \
+                            or pred.lo is not None \
+                            or pred.hi is not None \
+                            or any(op in ("sw", "ew", "ct")
+                                   for op, _ in pred.raw):
                         keep = False
                         break
                     continue
@@ -752,8 +836,31 @@ class OrochReader(DataSourceReader):
                 if op == "in":
                     vs = pa.array(list(v), type=arr.type)
                     also(pc.is_in(arr, value_set=vs))
+                elif op == "neq":
+                    # SQL NOT(col = v): null rows fail
+                    vs = pa.array(list(v), type=arr.type)
+                    also(pc.and_kleene(pc.is_valid(arr),
+                                       pc.invert(pc.is_in(arr,
+                                                          value_set=vs))))
+                elif op == "nseq":
+                    # NOT(col <=> v), v non-null: null rows PASS
+                    s = pa.scalar(v[0], type=arr.type)
+                    also(pc.invert(pc.fill_null(pc.equal(arr, s),
+                                                False)))
                 elif op == "sw":
                     also(pc.starts_with(arr, pattern=v))
+                elif op == "ew":
+                    also(pc.ends_with(arr, pattern=v))
+                elif op == "ct":
+                    also(pc.match_substring(arr, pattern=v))
+                elif op == "nsw":
+                    # null propagates through invert -> row dropped,
+                    # matching SQL NOT(startswith(NULL, p)) = NULL
+                    also(pc.invert(pc.starts_with(arr, pattern=v)))
+                elif op == "new":
+                    also(pc.invert(pc.ends_with(arr, pattern=v)))
+                elif op == "nct":
+                    also(pc.invert(pc.match_substring(arr, pattern=v)))
                 elif op == "isnull":
                     also(pc.is_null(arr))
                 elif op == "notnull":

@@ -517,3 +517,84 @@ def test_crashed_append_parts_invisible_and_swept(dsspark, tmp_path):
     with open(os.path.join(path, ds.SIDECAR)) as f:
         reg = json.load(f)["files"]
     assert len(reg) == 2 and all(r.endswith(".parquet") for r in reg)
+
+
+# ---------------------------------------------------------------------------
+# round 4 (cont.): !=, NOT IN, <=>, endswith/contains, NOT(...) pushdown
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def neg_table(dsspark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dsneg") / "t")
+    src = dsspark.range(2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 5 == 0, None)
+         .otherwise(F.col("id") % 7).alias("v"),
+        F.concat(F.lit("name-"),
+                 F.format_string("%04d", F.col("id"))).alias("s"))
+    src.coalesce(1).write.format("oroch").mode("overwrite") \
+        .option("key_cols", "k").option("block_rows", "128").save(path)
+    return path, src
+
+
+@pytest.mark.parametrize("cond", [
+    "v != 3",                        # Not(EqualTo): nulls filtered
+    "NOT (v IN (1, 2))",             # Not(In)
+    "v <=> 3",                       # EqualNullSafe
+    "NOT (v <=> 3)",                 # Not(EqualNullSafe): nulls PASS
+    "v <=> NULL",                    # <=> NULL == IS NULL
+    "endswith(s, '7')",              # StringEndsWith
+    "contains(s, '99')",             # StringContains
+    "NOT startswith(s, 'name-0')",
+    "NOT endswith(s, '7')",
+    "NOT contains(s, '99')",
+    "v != 3 AND k < 700",            # mixed with a range
+])
+def test_negation_family_pushdown(dsspark, neg_table, cond):
+    """The remaining Spark 4.1 Python-DS filter shapes are accepted
+    and enforced exactly (ternary-logic null handling included) with
+    no residual Spark Filter node."""
+    path, src = neg_table
+    back = dsspark.read.format("oroch").load(path)
+    got = back.filter(cond).orderBy("k").toPandas()
+    exp = src.filter(cond).orderBy("k").toPandas()
+    assert got[exp.columns.tolist()].equals(exp)
+    plan = back.filter(cond) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # fully absorbed: Project over BatchScan, no Filter node (the
+    # plan string always carries "RuntimeFilters: [...]" — match the
+    # node name, not the substring)
+    assert "+- Filter" not in plan and not plan.startswith("Filter")
+
+
+def test_neq_constant_prune(dsspark, tmp_path):
+    """NOT(key = v) prunes containers whose stats are constant v: a
+    single-valued key column makes every row group [7, 7], so the
+    planner plans ZERO partitions."""
+    path = str(tmp_path / "neqconst")
+    dsspark.range(1000).select(F.lit(7).alias("w"),
+                               F.col("id").alias("p")) \
+        .coalesce(1).write.format("oroch").mode("overwrite") \
+        .option("key_cols", "w").save(path)
+    doc = ds.read_sidecar(path)
+    rdr = ds.OrochReader({"path": path}, doc["kinds"], doc["key_cols"])
+    assert len(rdr.partitions()) == 1
+    unhandled = list(rdr.pushFilters([ds.Not(ds.EqualTo(("w",), 7))]))
+    assert unhandled == []
+    assert rdr.partitions() == []
+    # NOT IN covering the constant also prunes; a non-covering set
+    # does not
+    list(rdr.pushFilters([ds.Not(ds.In(("w",), (6, 7)))]))
+    assert rdr.partitions() == []
+    list(rdr.pushFilters([ds.Not(ds.EqualTo(("w",), 6))]))
+    assert len(rdr.partitions()) == 1
+
+
+def test_stats_overlap_neq_unit():
+    p = ds._KeyPred(neq={7}, raw=(("neq", (7,)),))
+    assert not ds._stats_overlap(7, 7, p)        # constant excluded
+    assert ds._stats_overlap(6, 7, p)            # range: may hold 6
+    assert ds._stats_overlap(None, None, p)      # no stats: keep
+    s = ds._KeyPred(neq={"x"}, raw=(("neq", ("x",)),))
+    assert not ds._stats_overlap("x", "x", s)
+    assert ds._stats_overlap("w", "y", s)
