@@ -4,9 +4,11 @@ The container has no PIL/libjpeg/ffmpeg, but two of the common training
 -data media formats are fully decodable with the standard library plus
 numpy — PNG's compression is stdlib ``zlib`` and its scanline filters
 are pure arithmetic (PNG spec, RFC 2083 §6), WAV PCM is a RIFF header
-walk plus a dtype view. These decoders make ``media_features`` REAL for
-PNG images and WAV audio; JPEG/MP4 remain the documented swap point for
-clusters with the native libs.
+walk plus a dtype view, and baseline JPEG (ITU-T T.81) is huffman
+coding + IDCT — all implementable in numpy. These decoders make
+``media_features`` REAL for PNG/JPEG images and WAV audio; MP4/H.264
+and progressive JPEG remain the documented swap point for clusters
+with the native libs.
 
 Scope (deliberately the well-specified core of each format):
 
@@ -14,6 +16,10 @@ Scope (deliberately the well-specified core of each format):
   all five scanline filters (None/Sub/Up/Average/Paeth). The encoder
   (test fixtures + a usable writer) emits filter-0 scanlines.
 - WAV: RIFF/WAVE with PCM (format 1) 8/16/32-bit, any channel count.
+- JPEG: baseline sequential DCT (SOF0/1), 8-bit, grayscale + YCbCr,
+  sampling factors 1-2 per axis (4:4:4/4:2:2/4:2:0), restart
+  intervals; the encoder writes quality-scaled Annex K tables.
+  Progressive/arithmetic/12-bit raise NotImplementedError.
 
 Everything is deterministic and byte-precise — the round-trip tests
 compare full pixel/sample matrices, not summaries.
@@ -289,3 +295,547 @@ def downscale_area(img: np.ndarray, factor: int) -> np.ndarray:
         .mean(axis=(1, 3))
     out = np.round(out).astype(np.uint8)
     return out[:, :, 0] if img.ndim == 2 else out
+
+
+# ---------------------------------------------------------------------------
+# JPEG (ITU-T T.81 baseline sequential DCT): from-scratch encoder +
+# decoder in numpy — huffman entropy coding, dequantize, IDCT, chroma
+# upsampling, YCbCr<->RGB. No libjpeg. The decoder is spec-general for
+# baseline files (any 8-bit quant tables, any huffman tables from DHT,
+# sampling factors 1-2 per axis, restart intervals); progressive
+# (SOF2), arithmetic coding and 12-bit precision raise
+# NotImplementedError. The encoder exists for fixtures and the
+# resize re-encode path: quality-scaled Annex K tables, grayscale /
+# 4:4:4 / 4:2:2 / 4:2:0.
+# ---------------------------------------------------------------------------
+
+# Annex K.1/K.2 example quantization tables (spec constants)
+_JPEG_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+_JPEG_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# zigzag index -> raster index (spec Figure 5)
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# Annex K.3 typical huffman tables: (bits per code length 1..16, values)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+         list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+         list(range(12)))
+_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+
+
+def _dct_matrix() -> np.ndarray:
+    u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCTM = _dct_matrix()
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables (public formula)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255)
+    qc = np.clip((_JPEG_QC * scale + 50) // 100, 1, 255)
+    return ql.astype(np.int32), qc.astype(np.int32)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple]:
+    """Canonical code assignment (spec C.2): value -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (F.1.2.3)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put(0xFF, 8 - self.nbits)   # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) of a coefficient (F.1.2.1): negatives
+    are sent as v + 2^size - 1."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _encode_block(zz: np.ndarray, pred: int, dc_tab: dict,
+                  ac_tab: dict, bw: _BitWriter) -> int:
+    """Huffman-encode one zigzagged quantized block; returns its DC."""
+    dc = int(zz[0])
+    size, amp = _mag_bits(dc - pred)
+    code, ln = dc_tab[size]
+    bw.put(code, ln)
+    if size:
+        bw.put(amp, size)
+    nz = np.nonzero(zz[1:])[0]
+    prev = 0
+    for idx in nz:
+        k = int(idx) + 1
+        run = k - prev - 1
+        while run > 15:
+            c, l = ac_tab[0xF0]              # ZRL: 16 zeros
+            bw.put(c, l)
+            run -= 16
+        size, amp = _mag_bits(int(zz[k]))
+        c, l = ac_tab[(run << 4) | size]
+        bw.put(c, l)
+        bw.put(amp, size)
+        prev = k
+    if prev != 63:
+        c, l = ac_tab[0x00]                  # EOB
+        bw.put(c, l)
+    return dc
+
+
+def _plane_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize + zigzag every 8x8 block of a plane (already
+    padded to multiples of 8): returns (by, bx, 64) int32 in zigzag
+    order — all the numpy-heavy work in one einsum per plane."""
+    h, w = plane.shape
+    by, bx = h // 8, w // 8
+    b = (plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+         .astype(np.float64) - 128.0)
+    d = np.einsum("ux,byxz,vz->byuv", _DCTM, b, _DCTM, optimize=True)
+    qd = np.round(d / q.reshape(8, 8)).astype(np.int32)
+    return qd.reshape(by, bx, 64)[:, :, _ZIGZAG]
+
+
+_JPEG_SAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 90,
+                subsample: str = "420", restart: int = 0) -> bytes:
+    """Baseline JFIF writer: (H, W) grayscale or (H, W, 3) RGB uint8,
+    quality-scaled Annex K quant tables, typical huffman tables,
+    ``subsample`` in {'444', '422', '420'} for color input,
+    ``restart`` > 0 emits a DRI segment + RSTn markers every that
+    many MCUs (error-resilience structure real encoders produce)."""
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if not gray and a.shape[2] != 3:
+        raise ValueError("jpeg_encode wants (H,W) gray or (H,W,3) RGB")
+    ql, qc = _quality_tables(quality)
+    if gray:
+        comps = [(1, 1, 1, 0)]               # id, h, v, tq
+        planes = [a.astype(np.float64)]
+    else:
+        hs, vs = _JPEG_SAMPLING[subsample]
+        comps = [(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        # chroma mean-pool by the sampling factors (pad to even first)
+        ph, pw = -h % vs, -w % hs
+        cbp = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
+        crp = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
+        ch2, cw2 = cbp.shape[0] // vs, cbp.shape[1] // hs
+        cb = cbp.reshape(ch2, vs, cw2, hs).mean(axis=(1, 3))
+        cr = crp.reshape(ch2, vs, cw2, hs).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qts = (ql, qc)
+    blocks = []
+    for (cid, ch_, cv, tq), p in zip(comps, planes):
+        th, tw = mcuy * cv * 8, mcux * ch_ * 8
+        p = np.pad(np.clip(p, 0, 255),
+                   ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                   mode="edge")
+        blocks.append(_plane_blocks(p, qts[tq]))
+    dc_tabs = [_huff_codes(*_DC_L), _huff_codes(*_DC_C)]
+    ac_tabs = [_huff_codes(*_AC_L), _huff_codes(*_AC_C)]
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    pieces: list[bytes] = []
+    done = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and done and done % restart == 0:
+                pieces.append(bw.flush())    # byte-align the segment
+                pieces.append(struct.pack(
+                    ">H", 0xFFD0 + (done // restart - 1) % 8))
+                bw = _BitWriter()
+                preds = [0] * len(comps)     # RST resets DC prediction
+            for ci, (cid, ch_, cv, tq) in enumerate(comps):
+                t = min(tq, 1) if len(comps) > 1 else 0
+                for v in range(cv):
+                    for hh in range(ch_):
+                        zz = blocks[ci][my * cv + v, mx * ch_ + hh]
+                        preds[ci] = _encode_block(
+                            zz, preds[ci], dc_tabs[t], ac_tabs[t], bw)
+            done += 1
+    pieces.append(bw.flush())
+    scan = b"".join(pieces)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid])
+                   + bytes(int(x) for x in q[_ZIGZAG]))
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                   + bytes(vals))
+
+    sof_body = struct.pack(">BHHB", 8, h, w, len(comps)) + b"".join(
+        struct.pack(">BBB", cid, (ch_ << 4) | cv, tq)
+        for cid, ch_, cv, tq in comps)
+    sos_body = bytes([len(comps)]) + b"".join(
+        struct.pack(">BB", cid, ((min(tq, 1)) << 4) | min(tq, 1))
+        for cid, _, _, tq in comps) + bytes([0, 63, 0])
+    out = [b"\xff\xd8",                      # SOI
+           seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+           dqt(0, ql)]
+    if len(comps) > 1:
+        out.append(dqt(1, qc))
+    out.append(seg(0xFFC0, sof_body))        # SOF0 baseline
+    out.append(dht(0, 0, *_DC_L))
+    out.append(dht(1, 0, *_AC_L))
+    if len(comps) > 1:
+        out.append(dht(0, 1, *_DC_C))
+        out.append(dht(1, 1, *_AC_C))
+    if restart:
+        out.append(seg(0xFFDD, struct.pack(">H", restart)))  # DRI
+    out.append(seg(0xFFDA, sos_body))
+    out.append(scan)
+    out.append(b"\xff\xd9")                  # EOI
+    return b"".join(out)
+
+
+class _HuffDecoder:
+    """Spec F.2.2.3 decode tables: mincode/maxcode/valptr per length."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for ln in range(1, 17):
+            if bits[ln - 1]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += bits[ln - 1]
+                k += bits[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first reader over unstuffed scan bytes (one restart
+    segment): huffman symbol + magnitude-bit primitives."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.bits):
+            return 0        # spec: pad reads past the end (F.2.2.5)
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        chunk = self.bits[self.pos:self.pos + n]
+        self.pos += n
+        v = 0
+        for b in chunk:
+            v = (v << 1) | int(b)
+        if len(chunk) < n:                  # past-the-end zero pad
+            v <<= n - len(chunk)
+        return v
+
+    def decode(self, h: _HuffDecoder) -> int:
+        code = self.read_bit()
+        ln = 1
+        while code > h.maxcode[ln]:
+            if ln >= 16:
+                raise ValueError("corrupt JPEG huffman stream")
+            code = (code << 1) | self.read_bit()
+            ln += 1
+        return h.vals[h.valptr[ln] + code - h.mincode[ln]]
+
+
+def _extend(v: int, size: int) -> int:
+    """Magnitude bits -> signed value (spec F.2.2.1 EXTEND)."""
+    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+
+
+def _split_scan(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Collect entropy-coded bytes from ``pos``, unstuffing 0xFF00 and
+    splitting on RST markers; returns (segments, pos of next marker)."""
+    segs, cur = [], bytearray()
+    n = len(payload)
+    while pos < n:
+        b = payload[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        m = payload[pos + 1] if pos + 1 < n else 0xD9
+        if m == 0x00:                        # stuffed literal 0xFF
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:              # RSTn: segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:                                # real marker: scan over
+            break
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to (H, W) uint8 grayscale or
+    (H, W, 3) uint8 RGB. Quant/huffman tables come from the file's own
+    DQT/DHT segments; sampling factors up to 2x2 (4:4:4 / 4:2:2 /
+    4:2:0 and friends) and restart intervals (DRI/RSTn) are supported.
+    Raises ValueError on non-JPEG bytes, NotImplementedError on
+    progressive (SOF2) / arithmetic / 12-bit / 4-component files."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], _HuffDecoder] = {}
+    frame = None
+    restart = 0
+    pos = 2
+    n = len(payload)
+    segs = scan_comps = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:                   # EOI
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:                   # DQT (may hold several)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(body[off + 1:off + 65],
+                                   dtype=np.uint8).astype(np.int32)
+                q = np.zeros(64, dtype=np.int32)
+                q[_ZIGZAG] = zz              # stored in zigzag order
+                qtabs[tq] = q
+                off += 65
+        elif marker == 0xC4:                 # DHT (may hold several)
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1:off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17:off + 17 + nv])
+                htabs[(cls, tid)] = _HuffDecoder(bits, vals)
+                off += 17 + nv
+        elif marker in (0xC0, 0xC1):         # SOF0/1: (extended)
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])  # sequential
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack(
+                    ">BBB", body[6 + 3 * i:9 + 3 * i])
+                ch_, cv = hv >> 4, hv & 0xF
+                if not (1 <= ch_ <= 2 and 1 <= cv <= 2):
+                    raise NotImplementedError(
+                        f"sampling factors {ch_}x{cv}")
+                comps.append([cid, ch_, cv, tq])
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/arithmetic/lossless)")
+        elif marker == 0xDD:                 # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:                 # SOS: entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan_comps.append((cs, tt >> 4, tt & 0xF))
+            segs, pos = _split_scan(payload, pos)
+            break                            # baseline: single scan
+        # APPn / COM / anything else: skipped by the length walk
+    if frame is None or segs is None:
+        raise ValueError("JPEG without SOF/SOS")
+    h, w, comps = frame
+    by_id = {c[0]: c for c in comps}
+    order = [by_id[cs] for cs, _, _ in scan_comps]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    total_mcus = mcux * mcuy
+    # huffman pass: per component, zigzag coefficient rows per block
+    coefs = {c[0]: np.zeros((mcuy * c[2] * mcux * c[1], 64),
+                            dtype=np.int32) for c in comps}
+    tabsel = {cs: (td, ta) for cs, td, ta in scan_comps}
+    mcu = 0
+    for seg_bytes in segs:
+        br = _BitReader(seg_bytes)
+        preds = {c[0]: 0 for c in comps}
+        limit = min(total_mcus, mcu + restart) if restart else total_mcus
+        while mcu < limit:
+            my, mx = divmod(mcu, mcux)
+            for cid, ch_, cv, _tq in order:
+                dct = htabs[(0, tabsel[cid][0])]
+                act = htabs[(1, tabsel[cid][1])]
+                for v in range(cv):
+                    for hh in range(ch_):
+                        zz = np.zeros(64, dtype=np.int32)
+                        s = br.decode(dct)
+                        diff = _extend(br.receive(s), s)
+                        preds[cid] += diff
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode(act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break        # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC overflow")
+                            zz[k] = _extend(br.receive(s), s)
+                            k += 1
+                        row = ((my * cv + v) * mcux + mx) * ch_ + hh
+                        coefs[cid][row] = zz
+            mcu += 1
+        if mcu >= total_mcus:
+            break
+    # numpy pass: dequantize + unzigzag + IDCT every block per plane
+    planes = []
+    for cid, ch_, cv, tq in comps:
+        rast = np.zeros_like(coefs[cid], dtype=np.float64)
+        rast[:, _ZIGZAG] = coefs[cid]       # unzigzag FIRST: the quant
+        rast *= qtabs[tq][None, :]          # table is raster-ordered
+        b = rast.reshape(-1, 8, 8)
+        px = np.einsum("xu,buv,vz->bxz", _DCTM.T, b, _DCTM,
+                       optimize=True) + 128.0
+        bh, bw_ = mcuy * cv, mcux * ch_
+        plane = (px.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw_ * 8))
+        # replicate-upsample to full resolution, crop to (h, w)
+        plane = np.repeat(np.repeat(plane, vmax // cv, axis=0),
+                          hmax // ch_, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)
+
+
+def image_decode(payload: bytes) -> np.ndarray:
+    """Sniff-and-decode an image payload: PNG or baseline JPEG."""
+    if payload[:8] == _PNG_SIG:
+        return png_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        return jpeg_decode(payload)
+    raise ValueError("unknown image format (not PNG/JPEG)")

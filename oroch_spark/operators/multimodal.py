@@ -2,12 +2,13 @@
 
 Two tiers of decode:
 
-- **Real (round 4)**: PNG images and WAV/PCM audio decode fully via
-  the from-scratch stdlib codecs in ``operators/mediacodec.py`` —
-  ``image_features`` / ``audio_features`` below compute genuine
+- **Real (round 4)**: PNG and baseline JPEG images, WAV/PCM audio and
+  Y4M video decode fully via the from-scratch codecs in
+  ``operators/mediacodec.py`` — ``image_features`` /
+  ``audio_features`` / ``video_frame_features`` below compute genuine
   per-channel pixel stats and signal stats from decoded payloads.
 - **Stub**: formats that need native libs absent from this container
-  (JPEG/MP4 via PIL/ffmpeg) keep the deterministic stand-in (first 64
+  (MP4/H.264, progressive JPEG) keep the deterministic stand-in (first 64
   payload bytes as an 8x8 pseudo-pixel tile) so the Spark-side
   plumbing — schema, Arrow batch shapes, zero-copy binary buffers,
   vectorized batch math, partition sizing — stays real and tested.
@@ -181,13 +182,15 @@ AUDIO_FEATURE_SCHEMA = T.StructType([
 
 
 def image_features(df: DataFrame) -> DataFrame:
-    """REAL image feature extraction for PNG payloads: dimensions and
-    per-channel mean/std from fully decoded pixels (`mediacodec
-    .png_decode` — stdlib zlib + numpy unfiltering, no PIL). The
-    payload decode is inherently per-row work; Arrow still batches the
-    I/O, and each decoded image reduces vectorized. Non-PNG payloads
-    yield NULL features (schema-stable: mixed media tables filter on
-    mime or on the NULLs)."""
+    """REAL image feature extraction for PNG and baseline JPEG
+    payloads: dimensions and per-channel mean/std from fully decoded
+    pixels (`mediacodec.image_decode` — format-sniffing dispatch to
+    the from-scratch PNG (zlib + numpy unfiltering) and JPEG (huffman
+    + IDCT) decoders; no PIL/libjpeg). The payload decode is
+    inherently per-row work; Arrow still batches the I/O, and each
+    decoded image reduces vectorized. Undecodable payloads yield NULL
+    features (schema-stable: mixed media tables filter on mime or on
+    the NULLs)."""
     from . import mediacodec as mc
 
     def run(batches) -> Iterator["pa.RecordBatch"]:
@@ -207,7 +210,7 @@ def image_features(df: DataFrame) -> DataFrame:
             for p in pays:
                 rows["nb"].append(len(p) if p is not None else 0)
                 try:
-                    img = mc.png_decode(p)
+                    img = mc.image_decode(p)
                 except Exception:
                     for k in ("w", "h", "c", "m", "s"):
                         rows[k].append(None)
@@ -303,6 +306,36 @@ def synthetic_png_media(spark, n: int = 24, seed: int = 7) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def synthetic_jpeg_media(spark, n: int = 16, seed: int = 11) -> DataFrame:
+    """Deterministic REAL JPEG media table (encoded with the
+    from-scratch baseline writer): mixed grayscale/RGB, mixed
+    subsampling and qualities, some with restart intervals."""
+    from . import mediacodec as mc
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+        gray = bool(rng.integers(0, 2))
+        # smooth-ish content (JPEG's home turf): low-freq gradient
+        yy = np.linspace(0, float(rng.integers(64, 255)), h)
+        xx = np.linspace(0, float(rng.integers(64, 255)), w)
+        base = np.add.outer(yy, xx) / 2
+        if gray:
+            img = np.clip(base, 0, 255).astype(np.uint8)
+        else:
+            img = np.clip(np.stack(
+                [base, base[::-1], 255 - base], axis=2), 0,
+                255).astype(np.uint8)
+        sub = str(rng.choice(["444", "422", "420"]))
+        q = int(rng.choice([75, 90, 95]))
+        rst = int(rng.choice([0, 0, 2, 5]))
+        rows.append((i, "image", "image/jpeg",
+                     mc.jpeg_encode(img, quality=q, subsample=sub,
+                                    restart=rst), w, h, 0))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def synthetic_wav_media(spark, n: int = 12, seed: int = 7) -> DataFrame:
     """Deterministic REAL WAV media table (PCM 16-bit sines)."""
     from . import mediacodec as mc
@@ -394,12 +427,13 @@ def video_frame_features(df: DataFrame, every: int = 5,
 
 def resize_images(df: DataFrame, out_h: int, out_w: int,
                   method: str = "nearest") -> DataFrame:
-    """REAL image resize for PNG payloads: decode, resize (pure-numpy
-    nearest-neighbor, or exact area mean-pool when the scale is an
-    integer downscale and ``method='area'``), re-encode as PNG — the
-    training-data normalization transform. Output schema = input
-    schema with payload/width/height replaced; non-PNG rows pass
-    through untouched (payload unchanged, dims untouched)."""
+    """REAL image resize for PNG and baseline JPEG payloads: decode,
+    resize (pure-numpy nearest-neighbor, or exact area mean-pool when
+    the scale is an integer downscale and ``method='area'``),
+    re-encode in the source format — the training-data normalization
+    transform. Output schema = input schema with payload/width/height
+    replaced; undecodable rows pass through untouched (payload
+    unchanged, dims NULL)."""
     from . import mediacodec as mc
 
     def run(batches) -> Iterator["pa.RecordBatch"]:
@@ -415,7 +449,7 @@ def resize_images(df: DataFrame, out_h: int, out_w: int,
             o_pay, o_w, o_h = [], [], []
             for p in pays:
                 try:
-                    img = mc.png_decode(p)
+                    img = mc.image_decode(p)
                 except Exception:
                     o_pay.append(p)
                     o_w.append(None)
@@ -428,7 +462,11 @@ def resize_images(df: DataFrame, out_h: int, out_w: int,
                     r = mc.downscale_area(img, img.shape[0] // out_h)
                 else:
                     r = mc.resize_nearest(img, out_h, out_w)
-                o_pay.append(mc.png_encode(r))
+                if p[:2] == b"\xff\xd8":     # keep the source format
+                    o_pay.append(mc.jpeg_encode(r, quality=90,
+                                                subsample="444"))
+                else:
+                    o_pay.append(mc.png_encode(r))
                 o_w.append(out_w)
                 o_h.append(out_h)
             yield pa.RecordBatch.from_arrays(

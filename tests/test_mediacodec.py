@@ -231,3 +231,132 @@ def test_resize_images_operator(spark):
     assert all(r.width is None for r in rows)
     exp_pay = {r.media_id: bytes(r.payload) for r in junk.collect()}
     assert all(bytes(r.payload) == exp_pay[r.media_id] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (from-scratch baseline codec)
+# ---------------------------------------------------------------------------
+
+def _smooth_rgb(h=48, w=40):
+    yy = np.linspace(0, 255, h)
+    xx = np.linspace(0, 255, w)
+    base = np.add.outer(yy, xx) / 2
+    return np.clip(np.stack([base, base[::-1], 255 - base], axis=2),
+                   0, 255).astype(np.uint8)
+
+
+def test_jpeg_q100_near_lossless():
+    """Quality 100 makes every quant step 1 — the only loss is DCT
+    rounding, bounded by a couple of levels."""
+    rng = np.random.default_rng(0)
+    gray = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    out = mc.jpeg_decode(mc.jpeg_encode(gray, quality=100))
+    assert out.shape == gray.shape and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 2
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    out = mc.jpeg_decode(mc.jpeg_encode(rgb, quality=100,
+                                        subsample="444"))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_jpeg_subsampling_roundtrip(sub):
+    """All three sampling layouts decode through the generic MCU walk;
+    smooth content keeps subsampled chroma accurate."""
+    img = _smooth_rgb()
+    out = mc.jpeg_decode(mc.jpeg_encode(img, quality=85, subsample=sub))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 3.0 and err.max() <= 12
+
+
+def test_jpeg_odd_dimensions_crop():
+    img = _smooth_rgb()[:37, :29]
+    out = mc.jpeg_decode(mc.jpeg_encode(img, quality=90,
+                                        subsample="420"))
+    assert out.shape == (37, 29, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 3.0
+
+
+def test_jpeg_restart_intervals_bit_equivalent():
+    """DRI/RSTn structure must not change decoded pixels: same image,
+    any restart interval, identical output (DC predictors reset at
+    each RST on both sides)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (48, 40, 3), dtype=np.uint8)
+    base = mc.jpeg_decode(mc.jpeg_encode(img, quality=95,
+                                         subsample="420"))
+    for r in (1, 3, 7):
+        b = mc.jpeg_encode(img, quality=95, subsample="420", restart=r)
+        assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))
+        assert np.array_equal(mc.jpeg_decode(b), base)
+
+
+def test_jpeg_rejects_out_of_scope():
+    with pytest.raises(ValueError):
+        mc.jpeg_decode(b"definitely not a jpeg")
+    good = bytearray(mc.jpeg_encode(np.zeros((8, 8), dtype=np.uint8)))
+    i = good.find(b"\xff\xc0")
+    prog = bytes(good[:i + 1]) + b"\xc2" + bytes(good[i + 2:])
+    with pytest.raises(NotImplementedError):
+        mc.jpeg_decode(prog)  # SOF2 progressive
+
+
+def test_jpeg_decoder_uses_file_tables():
+    """The decoder must dequantize with the FILE's tables, not
+    constants: doubling the DQT table in the bytestream changes the
+    decoded pixels predictably (2x the AC energy around the mean)."""
+    img = _smooth_rgb(16, 16)[:, :, 0]
+    b = bytearray(mc.jpeg_encode(img, quality=50))
+    i = b.find(b"\xff\xdb")
+    # DQT body: len(2) + id(1) + 64 zigzag bytes
+    tab = np.frombuffer(bytes(b[i + 5:i + 69]), dtype=np.uint8)
+    base = mc.jpeg_decode(bytes(b)).astype(int)
+    b[i + 5:i + 69] = bytes(np.minimum(tab.astype(int) * 2, 255)
+                            .astype(np.uint8))
+    doubled = mc.jpeg_decode(bytes(b)).astype(int)
+    assert not np.array_equal(base, doubled)
+    # energy around the per-image mean roughly doubles
+    e0 = np.abs(base - base.mean()).sum()
+    e1 = np.abs(doubled - doubled.mean()).sum()
+    assert e1 > 1.5 * e0
+
+
+def test_image_decode_dispatch():
+    img = _smooth_rgb(12, 12)
+    assert mc.image_decode(mc.png_encode(img)).shape == (12, 12, 3)
+    assert mc.image_decode(
+        mc.jpeg_encode(img, quality=95)).shape == (12, 12, 3)
+    with pytest.raises(ValueError):
+        mc.image_decode(b"GIF89a...")
+
+
+def test_image_features_real_jpeg(spark):
+    """image_features computes genuine stats from decoded JPEG pixels:
+    matches a local decode of the same payloads."""
+    df = multimodal.synthetic_jpeg_media(spark, n=10)
+    pdf = multimodal.image_features(df).toPandas() \
+        .set_index("media_id").sort_index()
+    rows = df.select("media_id", "payload").collect()
+    assert pdf["width"].notna().all()
+    for r in rows:
+        img = mc.image_decode(bytes(r.payload))
+        if img.ndim == 2:
+            img = img[:, :, None]
+        got = pdf.loc[r.media_id]
+        assert (got["height"], got["width"]) == img.shape[:2]
+        assert got["channels"] == img.shape[2]
+        exp = img.reshape(-1, img.shape[2]).astype(np.float64).mean(axis=0)
+        assert np.allclose(np.array(got["mean"]), exp, atol=1e-3)
+
+
+def test_resize_images_jpeg_payloads(spark):
+    """resize_images re-encodes JPEG payloads as JPEG (source format
+    preserved) and the resized pixels decode to the target shape."""
+    df = multimodal.synthetic_jpeg_media(spark, n=6)
+    out = multimodal.resize_images(df, 8, 8).toPandas()
+    assert (out["width"] == 8).all() and (out["height"] == 8).all()
+    for p in out["payload"]:
+        b = bytes(p)
+        assert b[:2] == b"\xff\xd8"
+        assert mc.image_decode(b).shape[:2] == (8, 8)
