@@ -72,13 +72,20 @@ Nothing destructive happens before commit: overwrite's sweep of the
 previous table runs only after every task reports success, and
 ``mode("append")`` adds manifest-compatible blocks (merged sidecar
 schema; old blocks null-fill new columns at decode) without ever
-touching pre-existing files.
+touching pre-existing files. Commits serialize on an advisory
+directory lock (``_write_lock``): concurrent appends/compactions
+read-modify-write the registry and version pointer under it, so
+neither loses the other's update — on filesystems without atomic
+mkdir/rename (plain object stores) swap in a catalog/lock service.
 """
 from __future__ import annotations
 
+import contextlib
 import glob
 import json
 import os
+import shutil
+import time
 import uuid
 from dataclasses import dataclass
 from typing import Iterator, Optional
@@ -145,6 +152,57 @@ def write_sidecar(path: str, kinds: list[tuple[str, str]],
     with open(tmp, "w") as f:
         json.dump(doc, f)
     os.replace(tmp, os.path.join(path, SIDECAR))
+
+
+_WLOCK_DIR = "_oroch_write.lock"
+
+
+@contextlib.contextmanager
+def _write_lock(path: str, timeout: float = 60.0, ttl: float = 300.0):
+    """Advisory single-writer lock for a table directory's COMMIT
+    critical sections (registry/manifest read-modify-write + orphan
+    sweeps — sub-second work; the heavy encode never holds it).
+    ``os.mkdir`` is the atomic test-and-set, which holds on POSIX and
+    HDFS-like filesystems; object stores without atomic namespace ops
+    need a catalog/lock service instead — this is the documented
+    single-host/DFS answer, not a distributed lock manager. A lock
+    whose mtime is older than ``ttl`` belonged to a crashed writer
+    and is stolen via atomic rename (only one stealer's rename
+    succeeds)."""
+    lock = os.path.join(path, _WLOCK_DIR)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue                     # released between checks
+            if age > ttl:
+                stale = f"{lock}.stale-{uuid.uuid4().hex}"
+                try:
+                    os.rename(lock, stale)
+                except OSError:
+                    pass                     # another stealer won
+                else:
+                    shutil.rmtree(stale, ignore_errors=True)
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"could not acquire the write lock on {path} "
+                    f"within {timeout}s: another writer is committing "
+                    f"(or crashed less than ttl={ttl}s ago — its lock "
+                    "will be stolen once stale)")
+            time.sleep(0.05)
+    try:
+        with open(os.path.join(lock, "owner.json"), "w") as f:
+            json.dump({"pid": os.getpid(),
+                       "ts": time.time()}, f)
+        yield
+    finally:
+        shutil.rmtree(lock, ignore_errors=True)
 
 
 def read_sidecar(path: str) -> dict:
@@ -1125,6 +1183,13 @@ class OrochWriter(DataSourceArrowWriter):
         stats = {"blocks": sum(m.blocks for m in messages if m),
                  "bytes_in": sum(m.bytes_in for m in messages if m),
                  "bytes_out": sum(m.bytes_out for m in messages if m)}
+        with _write_lock(self.path):
+            self._commit_locked(keep, stats)
+
+    def _commit_locked(self, keep: set, stats: dict) -> None:
+        # under the table's write lock: registry read-modify-write and
+        # the orphan sweeps are safe against a concurrent append or
+        # compaction committing between our read and our publish
         if self.overwrite:
             # all tasks succeeded: the sidecar swap (with the new file
             # registry) IS the publish; only then drop every file that
@@ -1137,12 +1202,19 @@ class OrochWriter(DataSourceArrowWriter):
                     os.remove(f)
             bdir = os.path.join(self.path, _BATCH_DIR)
             if os.path.isdir(bdir):
-                import shutil
                 shutil.rmtree(bdir, ignore_errors=True)
         else:
             prev_files = None
+            merged = self.merged_kinds
             if os.path.exists(os.path.join(self.path, SIDECAR)):
-                prev_files = read_sidecar(self.path).get("files")
+                prev = read_sidecar(self.path)
+                prev_files = prev.get("files")
+                # re-merge under the lock: a concurrent append that
+                # committed since __init__ may have added columns of
+                # its own — keep them (its files carry them)
+                merged = list(prev["kinds"]) + [
+                    kv for kv in self.merged_kinds
+                    if kv[0] not in dict(prev["kinds"])]
             if prev_files is None:
                 # legacy table without a registry: everything
                 # currently on disk (minus this job) was visible
@@ -1152,7 +1224,7 @@ class OrochWriter(DataSourceArrowWriter):
                     if not os.path.basename(f)
                     .startswith(f"part-{self.job_id}-")]
             committed = set(prev_files) | keep
-            write_sidecar(self.path, self.merged_kinds, self.key_cols,
+            write_sidecar(self.path, merged, self.key_cols,
                           files=sorted(committed))
             # a CRASHED append never published its files: they are
             # invisible to registry readers and swept here, at the
@@ -1225,20 +1297,26 @@ class OrochStreamWriter(DataSourceStreamArrowWriter):
         tmp = os.path.join(bdir, f".{batchId}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump(doc, f)
-        os.replace(tmp, os.path.join(bdir, f"{batchId}.json"))
-        _publish_version(self.path, [
-            os.path.basename(m) for m in _manifest_paths(self.path)
-        ] + [f"{batchId}.json"])
-        write_sidecar(self.path, self.kinds, self.key_cols)
-        # sweep orphans (failed attempts, superseded replays): a file
-        # is live iff some committed manifest names it
-        live = set()
-        for mf in _manifest_paths(self.path):
-            with open(mf) as f:
-                live.update(json.load(f)["files"])
-        for f in glob.glob(os.path.join(self.path, "stream-*.parquet")):
-            if os.path.basename(f) not in live:
-                os.remove(f)
+        # the lock serializes this publish against a concurrent
+        # compact_sink: the version-pointer read-modify-write must see
+        # a stable manifest set (the stream itself is single-writer)
+        with _write_lock(self.path):
+            os.replace(tmp, os.path.join(bdir, f"{batchId}.json"))
+            _publish_version(self.path, sorted(set(
+                [os.path.basename(m)
+                 for m in _manifest_paths(self.path)]
+                + [f"{batchId}.json"])))
+            write_sidecar(self.path, self.kinds, self.key_cols)
+            # sweep orphans (failed attempts, superseded replays): a
+            # file is live iff some committed manifest names it
+            live = set()
+            for mf in _manifest_paths(self.path):
+                with open(mf) as f:
+                    live.update(json.load(f)["files"])
+            for f in glob.glob(os.path.join(self.path,
+                                            "stream-*.parquet")):
+                if os.path.basename(f) not in live:
+                    os.remove(f)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
@@ -1315,9 +1393,11 @@ def compact_sink(spark, path: str, n_buckets: int = 32,
     surviving rows) because retained newer batches may still carry
     deletes that must keep resolving at read time.
 
-    Single WRITER per sink, same as the sink itself — compaction
-    racing an active stream commit still needs the maintenance
-    window; readers are safe any time."""
+    Compaction may run WHILE the stream keeps committing: the version
+    swap happens under the sink's write lock against a re-listed
+    manifest set, so a batch committed during the (long, unlocked)
+    re-encode survives — it simply isn't folded this round. Readers
+    are safe any time."""
     from pyspark.sql import functions as F
 
     from ..streaming import incremental as inc
@@ -1371,7 +1451,6 @@ def compact_sink(spark, path: str, n_buckets: int = 32,
         fname = f"stream-compact-{top}-{uuid.uuid4().hex}.parquet"
         os.replace(f, os.path.join(path, fname))
         files.append(fname)
-    import shutil
     shutil.rmtree(tmp_dir, ignore_errors=True)
     man = {"batch_id": int(top), "files": files, "blocks": len(files),
            "bytes_in": 0, "bytes_out": 0, "compacted": True}
@@ -1379,22 +1458,31 @@ def compact_sink(spark, path: str, n_buckets: int = 32,
     tmp = os.path.join(bdir, f".{man_name}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         json.dump(man, f)
-    os.replace(tmp, os.path.join(bdir, man_name))
-    # THE publish: one rename swaps the whole manifest set
-    _publish_version(path, [man_name] + retained)
-    # GC superseded manifests + their (now-unreferenced) block files
-    live = set(files)
-    for name in retained:
-        with open(os.path.join(bdir, name)) as f:
-            live.update(json.load(f)["files"])
-    for mf, man_doc in folded_mans:
-        os.remove(mf)
-        for fn in man_doc["files"]:
-            p = os.path.join(path, fn)
-            if fn not in live and os.path.exists(p):
-                os.remove(p)
-    if latest_wins and tombstone_col is not None and not keep_tomb:
-        write_sidecar(path, out_kinds, key_cols)
+    folded_names = {os.path.basename(mf) for mf, _ in folded_mans}
+    # THE publish: one rename swaps the whole manifest set — under the
+    # table's write lock, and against a RE-LISTED manifest set: a
+    # stream batch committed while the (long, unlocked) re-encode ran
+    # is not in `retained` from the pre-scan and must survive the swap
+    with _write_lock(path):
+        os.replace(tmp, os.path.join(bdir, man_name))
+        current = {os.path.basename(m) for m in _manifest_paths(path)}
+        keep_mans = sorted((current - folded_names) | {man_name})
+        _publish_version(path, keep_mans)
+        # GC superseded manifests + their (now-unreferenced) files
+        live = set(files)
+        for name in keep_mans:
+            if name == man_name:
+                continue
+            with open(os.path.join(bdir, name)) as f:
+                live.update(json.load(f)["files"])
+        for mf, man_doc in folded_mans:
+            os.remove(mf)
+            for fn in man_doc["files"]:
+                p = os.path.join(path, fn)
+                if fn not in live and os.path.exists(p):
+                    os.remove(p)
+        if latest_wins and tombstone_col is not None and not keep_tomb:
+            write_sidecar(path, out_kinds, key_cols)
     return man
 
 

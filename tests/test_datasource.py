@@ -598,3 +598,140 @@ def test_stats_overlap_neq_unit():
     s = ds._KeyPred(neq={"x"}, raw=(("neq", ("x",)),))
     assert not ds._stats_overlap("x", "x", s)
     assert ds._stats_overlap("w", "y", s)
+
+
+# ---------------------------------------------------------------------------
+# round 4 (cont.): advisory write lock — concurrent commit safety
+# ---------------------------------------------------------------------------
+
+def test_write_lock_mutual_exclusion(tmp_path):
+    import threading
+    import time as _t
+
+    path = str(tmp_path)
+    order = []
+
+    def hold():
+        with ds._write_lock(path):
+            order.append("a-in")
+            _t.sleep(0.4)
+            order.append("a-out")
+
+    t = threading.Thread(target=hold)
+    t.start()
+    _t.sleep(0.1)
+    with ds._write_lock(path, timeout=5):
+        order.append("b-in")
+    t.join()
+    assert order == ["a-in", "a-out", "b-in"]
+    assert not os.path.exists(os.path.join(path, ds._WLOCK_DIR))
+
+
+def test_write_lock_timeout_and_stale_steal(tmp_path):
+    import time as _t
+
+    path = str(tmp_path)
+    lock = os.path.join(path, ds._WLOCK_DIR)
+    os.mkdir(lock)                     # a "writer" that never returns
+    with pytest.raises(TimeoutError):
+        with ds._write_lock(path, timeout=0.3):
+            pass
+    # a crashed writer's lock (older than ttl) is stolen
+    old = _t.time() - 1000
+    os.utime(lock, (old, old))
+    with ds._write_lock(path, timeout=1, ttl=300):
+        pass                            # acquired by stealing
+    assert not os.path.exists(lock)
+
+
+def test_concurrent_appends_union(dsspark, tmp_path):
+    """Two append jobs that BOTH planned against the same table
+    version (the realistic concurrent-driver race): the commit path
+    re-reads the registry and the schema under the write lock, so
+    neither update is lost — files union, evolved columns union."""
+    import pyarrow as pa
+
+    path = str(tmp_path / "conc")
+    dsspark.range(100).withColumnRenamed("id", "k") \
+        .coalesce(1).write.format("oroch").mode("overwrite") \
+        .option("key_cols", "k").save(path)
+
+    def make_writer(extra_col):
+        kinds = [("k", "i64"), (extra_col, "i64")]
+        return ds.OrochWriter({"path": path, "key_cols": "k"},
+                              kinds, overwrite=False), kinds
+
+    # both writers initialize BEFORE either commits (both see the
+    # 1-file registry and the original schema)
+    wa, ka = make_writer("va")
+    wb, kb = make_writer("vb")
+
+    def run(w, kinds, lo):
+        batch = pa.RecordBatch.from_pydict(
+            {kinds[0][0]: list(range(lo, lo + 50)),
+             kinds[1][0]: [1] * 50})
+        msg = w.write(iter([batch]))
+        w.commit([msg])
+
+    run(wa, ka, 1000)
+    run(wb, kb, 2000)
+    with open(os.path.join(path, ds.SIDECAR)) as f:
+        doc = json.load(f)
+    assert len(doc["files"]) == 3           # no lost update
+    names = [n for n, _ in doc["kinds"]]
+    assert "va" in names and "vb" in names  # schema union survived
+    back = dsspark.read.format("oroch").load(path)
+    assert back.count() == 200
+    assert back.filter(F.col("va").isNotNull()).count() == 50
+    assert back.filter(F.col("vb").isNotNull()).count() == 50
+
+
+def test_compaction_keeps_mid_run_stream_batch(dsspark, tmp_path,
+                                               monkeypatch):
+    """A stream batch committed while compact_sink's re-encode runs
+    must survive the version swap: the publish re-lists manifests
+    under the write lock instead of trusting its pre-scan."""
+    from oroch_spark.sources import table as tbl
+
+    path = str(tmp_path / "sink")
+    bdir = os.path.join(path, ds._BATCH_DIR)
+    os.makedirs(bdir)
+
+    def sink_batch(bid, lo, n):
+        df = dsspark.range(lo, lo + n).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        blocks = engine.encode_df(df, ["k"], n_buckets=1,
+                                  block_rows=64)
+        import pyarrow.parquet as pq
+        fname = f"stream-{bid:05d}-{os.urandom(4).hex()}.parquet"
+        pdfb = blocks.toPandas()
+        import pyarrow as pa
+        pq.write_table(pa.Table.from_pandas(pdfb),
+                       os.path.join(path, fname))
+        with open(os.path.join(bdir, f"{bid}.json"), "w") as f:
+            json.dump({"batch_id": bid, "files": [fname],
+                       "blocks": 1, "bytes_in": 0, "bytes_out": 0}, f)
+
+    sink_batch(0, 0, 100)
+    sink_batch(1, 100, 100)
+    ds.write_sidecar(path, [("k", "i64"), ("v", "i64")], ["k"])
+
+    real_encode = engine.encode_df
+    fired = {}
+
+    def encode_and_race(*a, **kw):
+        # simulate a concurrent stream commit mid-compaction: a new
+        # manifest appears after compact_sink's pre-scan
+        if "mid" not in fired:
+            fired["mid"] = True
+            sink_batch(2, 200, 100)
+        return real_encode(*a, **kw)
+
+    monkeypatch.setattr(ds.engine, "encode_df", encode_and_race)
+    ds.compact_sink(dsspark, path, n_buckets=1, latest_wins=False)
+    monkeypatch.undo()
+    back = dsspark.read.format("oroch").load(path)
+    assert back.count() == 300          # batch 2 survived the swap
+    names = {os.path.basename(m) for m in ds._manifest_paths(path)}
+    assert "2.json" in names
+    assert not any(n in names for n in ("0.json", "1.json"))
