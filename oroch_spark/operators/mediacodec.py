@@ -1,4 +1,5 @@
-"""From-scratch media codecs for the multimodal pipeline: PNG and WAV.
+"""From-scratch media codecs for the multimodal pipeline: PNG,
+baseline JPEG, WAV, Y4M, Motion-JPEG AVI, plus an MP4 metadata probe.
 
 The container has no PIL/libjpeg/ffmpeg, but two of the common training
 -data media formats are fully decodable with the standard library plus
@@ -20,6 +21,12 @@ Scope (deliberately the well-specified core of each format):
   sampling factors 1-2 per axis (4:4:4/4:2:2/4:2:0), restart
   intervals; the encoder writes quality-scaled Annex K tables.
   Progressive/arithmetic/12-bit raise NotImplementedError.
+- AVI/Motion-JPEG: RIFF walk + the JPEG decoder per sampled frame
+  (un-sampled frames' chunks are skipped, never decoded).
+- MP4/ISO BMFF: metadata probe only (box tree -> duration, track
+  dims, codec fourcc); H.264/HEVC FRAME decode stays native-lib.
+- ``media_probe``: one metadata-speed header walk across all six
+  containers — no pixel/sample decode.
 
 Everything is deterministic and byte-precise — the round-trip tests
 compare full pixel/sample matrices, not summaries.
@@ -839,3 +846,280 @@ def image_decode(payload: bytes) -> np.ndarray:
     if payload[:2] == b"\xff\xd8":
         return jpeg_decode(payload)
     raise ValueError("unknown image format (not PNG/JPEG)")
+
+
+# ---------------------------------------------------------------------------
+# AVI / Motion-JPEG video: RIFF container walk + the from-scratch JPEG
+# decoder per frame — real video decode for the classic interchange
+# format. The writer is the fixture/test side (MJPG fourcc, one video
+# stream).
+# ---------------------------------------------------------------------------
+
+def avi_mjpeg_encode(frames: np.ndarray, rate: tuple[int, int] = (25, 1),
+                     quality: int = 90) -> bytes:
+    """Minimal AVI writer: ``frames`` is (n, H, W) grayscale or
+    (n, H, W, 3) RGB uint8; every frame is a baseline JPEG in a
+    ``00dc`` chunk (Motion-JPEG)."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = f.shape[:3]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec = int(round(1_000_000 * rate[1] / rate[0]))
+    avih = struct.pack("<14I", usec, 0, 0, 0x10, n, 0, 1, 0, w, h,
+                       0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0,
+                                            rate[1], rate[0], 0, n, 0,
+                                            0, -1)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(
+        chunk(b"00dc", jpeg_encode(f[i], quality=quality,
+                                   subsample="420" if f.ndim == 4
+                                   else "444"))
+        for i in range(n)))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _rgb_to_luma(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 2:
+        return img
+    y = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+         + 0.114 * img[:, :, 2])
+    return np.clip(np.round(y), 0, 255).astype(np.uint8)
+
+
+def avi_mjpeg_decode(payload: bytes, every: int = 1, max_frames: int = 0
+                     ) -> tuple[np.ndarray, tuple[int, int]]:
+    """Decode a Motion-JPEG AVI to (luma frames (n, H, W) uint8,
+    (fps_num, fps_den)). Like the Y4M sampler, un-sampled frames'
+    bytes are never JPEG-decoded — the RIFF walk just skips their
+    chunks. Non-MJPEG AVIs raise NotImplementedError at the first
+    frame (the container still parses)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    rate = (25, 1)
+
+    def walk(pos: int, end: int):
+        nonlocal rate
+        out = []
+        while pos + 8 <= end:
+            tag = payload[pos:pos + 4]
+            (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            body0 = pos + 8
+            if tag == b"LIST":
+                kind = payload[body0:body0 + 4]
+                if kind in (b"hdrl", b"strl", b"movi"):
+                    out.extend(walk(body0 + 4, body0 + ln))
+            elif tag == b"strh" and payload[body0:body0 + 4] == b"vids":
+                scale, rnum = struct.unpack(
+                    "<II", payload[body0 + 20:body0 + 28])
+                if scale and rnum:
+                    rate = (rnum, scale)
+            elif tag[2:] in (b"dc", b"db"):
+                out.append((body0, ln))
+            pos = body0 + ln + (ln & 1)      # chunks are word-aligned
+        return out
+
+    chunks = walk(12, len(payload))
+    frames = []
+    for i, (off, ln) in enumerate(chunks):
+        if i % every or (max_frames and len(frames) >= max_frames):
+            continue
+        frames.append(_rgb_to_luma(
+            jpeg_decode(payload[off:off + ln])))
+    if not frames:
+        raise ValueError("AVI without decodable frames")
+    return np.stack(frames), rate
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF metadata probe: the box grammar is a plain public
+# length-prefixed tree, fully parseable without any codec — duration,
+# track dimensions and codec fourcc come from moov/mvhd/tkhd/stsd.
+# H.264/HEVC FRAME decode stays the documented native-lib swap point;
+# the container metadata a pipeline filters/groups on is real.
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def mp4_probe(payload: bytes) -> dict:
+    """Parse the ISO BMFF box tree and return
+    ``{"brand", "duration_ms", "tracks": [{"codec", "width",
+    "height"}]}``. Raises ValueError on non-MP4 bytes."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4/ISO-BMFF payload")
+    out = {"brand": payload[8:12].decode("latin1"), "duration_ms": None,
+           "tracks": []}
+    track = None
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal track
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", payload[pos:pos + 4])
+            typ = payload[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:                     # 64-bit largesize
+                (size,) = struct.unpack(">Q", payload[body:body + 8])
+                body += 8
+            elif size == 0:                   # to end of enclosing box
+                size = end - pos
+            nxt = pos + size
+            if typ in _MP4_CONTAINERS:
+                if typ == b"trak":
+                    track = {"codec": None, "width": None,
+                             "height": None}
+                    out["tracks"].append(track)
+                walk(body, min(nxt, end))
+            elif typ == b"mvhd":
+                ver = payload[body]
+                if ver == 1:
+                    ts, dur = struct.unpack(
+                        ">IQ", payload[body + 20:body + 32])
+                else:
+                    ts, dur = struct.unpack(
+                        ">II", payload[body + 12:body + 20])
+                if ts:
+                    out["duration_ms"] = int(round(dur * 1000 / ts))
+            elif typ == b"tkhd" and track is not None:
+                ver = payload[body]
+                off = body + (32 if ver == 0 else 44)  # -> reserved[8]
+                dims = off + 8 + 2 + 2 + 2 + 2 + 36    # + l/a/v/r + matrix
+                w16, h16 = struct.unpack(
+                    ">II", payload[dims:dims + 8])
+                track["width"] = w16 >> 16             # 16.16 fixed
+                track["height"] = h16 >> 16
+            elif typ == b"stsd" and track is not None:
+                (cnt,) = struct.unpack(">I", payload[body + 4:body + 8])
+                if cnt:
+                    track["codec"] = payload[body + 12:body + 16] \
+                        .decode("latin1")
+            pos = nxt
+            if size <= 0:
+                break
+
+    walk(0, len(payload))
+    return out
+
+
+def media_probe(payload: bytes) -> dict:
+    """Metadata-speed probe across every supported container — no
+    pixel/sample decode, just the header walk. Returns a uniform dict
+    ``{"container", "kind", "width", "height", "duration_ms",
+    "codec", "n_frames"}`` with None where the format doesn't say.
+    Raises ValueError on unrecognized bytes."""
+    d = {"container": None, "kind": None, "width": None, "height": None,
+         "duration_ms": None, "codec": None, "n_frames": None}
+    if payload[:8] == _PNG_SIG:
+        w, h, depth, color = struct.unpack(">IIBB", payload[16:26])
+        d.update(container="png", kind="image", width=w, height=h,
+                 codec=f"png{depth}c{color}")
+        return d
+    if payload[:2] == b"\xff\xd8":
+        pos, n = 2, len(payload)
+        while pos + 4 <= n and payload[pos] == 0xFF:
+            m = payload[pos + 1]
+            if m in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
+                d.update(container="jpeg", kind="image", width=w,
+                         height=h,
+                         codec="jpeg-baseline" if m != 0xC2
+                         else "jpeg-progressive")
+                return d
+            if m == 0xD9 or m == 0xDA:
+                break
+            (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+            pos += 2 + ln
+        raise ValueError("JPEG without SOF")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, rate = None, None
+        pos = 12
+        while pos + 8 <= len(payload):
+            tag = payload[pos:pos + 4]
+            (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            if tag == b"fmt ":
+                _, ch, rate, _, ba, bits = struct.unpack(
+                    "<HHIIHH", payload[pos + 8:pos + 24])
+            elif tag == b"data" and rate:
+                samples = ln // max(1, ba)
+            pos += 8 + ln + (ln & 1)
+        d.update(container="wav", kind="audio", codec="pcm",
+                 duration_ms=int(round(samples * 1000 / rate))
+                 if samples is not None else None)
+        return d
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        pos = 12
+        while pos + 8 <= len(payload):
+            tag = payload[pos:pos + 4]
+            (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            if tag == b"LIST" and payload[pos + 8:pos + 12] == b"hdrl":
+                pos += 12
+                continue
+            if tag == b"avih":
+                vals = struct.unpack("<14I", payload[pos + 8:pos + 64])
+                usec, nfr, w, h = vals[0], vals[4], vals[8], vals[9]
+                d.update(container="avi", kind="video", width=w,
+                         height=h, codec="mjpeg", n_frames=nfr,
+                         duration_ms=int(round(nfr * usec / 1000))
+                         if usec else None)
+                return d
+            pos += 8 + ln + (ln & 1)
+        raise ValueError("AVI without avih header")
+    if payload.startswith(b"YUV4MPEG2"):
+        nl = payload.index(b"\n")
+        w = h = None
+        rate = (25, 1)
+        chroma = "420"
+        for tok in payload[9:nl].split():
+            t = tok.decode("ascii", "replace")
+            if t[0] == "W":
+                w = int(t[1:])
+            elif t[0] == "H":
+                h = int(t[1:])
+            elif t[0] == "F":
+                a, b = t[1:].split(":")
+                rate = (int(a), int(b))
+            elif t[0] == "C":
+                chroma = t[1:]
+        fb = (h * w + 2 * (h // 2) * (w // 2)
+              if chroma.startswith("420") else 3 * h * w)
+        nfr = (len(payload) - nl - 1) // (6 + fb)  # b"FRAME\n" + planes
+        d.update(container="y4m", kind="video", width=w, height=h,
+                 codec=f"yuv{chroma}", n_frames=nfr,
+                 duration_ms=int(round(nfr * 1000 * rate[1] / rate[0])))
+        return d
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        p = mp4_probe(payload)
+        vid = next((t for t in p["tracks"] if t.get("width")), None)
+        d.update(container="mp4",
+                 kind="video" if vid else "audio",
+                 width=vid["width"] if vid else None,
+                 height=vid["height"] if vid else None,
+                 duration_ms=p["duration_ms"],
+                 codec=(vid or (p["tracks"][0] if p["tracks"]
+                                else {})).get("codec"))
+        return d
+    raise ValueError("unrecognized media payload")
+
+
+def video_decode(payload: bytes, every: int = 1, max_frames: int = 0
+                 ) -> tuple[np.ndarray, tuple[int, int]]:
+    """Sniff-and-decode sampled luma frames from a video payload:
+    Y4M or Motion-JPEG AVI."""
+    if payload.startswith(b"YUV4MPEG2"):
+        return y4m_decode(payload, every=every, max_frames=max_frames)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return avi_mjpeg_decode(payload, every=every,
+                                max_frames=max_frames)
+    raise ValueError("unknown video format (not Y4M/AVI)")

@@ -2,13 +2,15 @@
 
 Two tiers of decode:
 
-- **Real (round 4)**: PNG and baseline JPEG images, WAV/PCM audio and
-  Y4M video decode fully via the from-scratch codecs in
-  ``operators/mediacodec.py`` — ``image_features`` /
+- **Real (round 4)**: PNG and baseline JPEG images, WAV/PCM audio,
+  Y4M and Motion-JPEG AVI video decode fully via the from-scratch
+  codecs in ``operators/mediacodec.py`` — ``image_features`` /
   ``audio_features`` / ``video_frame_features`` below compute genuine
-  per-channel pixel stats and signal stats from decoded payloads.
+  per-channel pixel stats and signal stats from decoded payloads, and
+  ``media_metadata`` probes every container (incl. MP4 box-tree
+  metadata) at header speed.
 - **Stub**: formats that need native libs absent from this container
-  (MP4/H.264, progressive JPEG) keep the deterministic stand-in (first 64
+  (H.264/HEVC frames, progressive JPEG) keep the deterministic stand-in (first 64
   payload bytes as an 8x8 pseudo-pixel tile) so the Spark-side
   plumbing — schema, Arrow batch shapes, zero-copy binary buffers,
   vectorized batch math, partition sizing — stays real and tested.
@@ -154,10 +156,11 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Real decoders (round 4): PNG images and WAV audio via the
-# from-scratch stdlib codecs in operators/mediacodec.py — decode is no
-# longer environment-blocked for these formats. JPEG/MP4 still need
-# the native libs and keep the stub/swap-point story above.
+# Real decoders (round 4): PNG + baseline JPEG images, WAV audio, Y4M
+# + Motion-JPEG AVI video via the from-scratch codecs in
+# operators/mediacodec.py, plus the metadata-speed media_probe (incl.
+# MP4 box-tree metadata). Only H.264/HEVC frame decode and progressive
+# JPEG still need native libs and keep the stub/swap-point story above.
 # ---------------------------------------------------------------------------
 
 IMAGE_FEATURE_SCHEMA = T.StructType([
@@ -370,11 +373,12 @@ VIDEO_FEATURE_SCHEMA = T.StructType([
 
 def video_frame_features(df: DataFrame, every: int = 5,
                          max_frames: int = 16) -> DataFrame:
-    """REAL video frame sampling for Y4M payloads
-    (`mediacodec.y4m_decode`): every k-th luma frame is decoded (the
-    skipped frames' bytes are never touched), yielding per-frame mean
-    luma and a motion score (mean absolute difference between
-    consecutive sampled frames). Non-Y4M payloads yield NULLs."""
+    """REAL video frame sampling for Y4M and Motion-JPEG AVI payloads
+    (`mediacodec.video_decode`): every k-th luma frame is decoded (the
+    skipped frames' bytes are never touched — Y4M seeks over planes,
+    AVI skips whole RIFF chunks), yielding per-frame mean luma and a
+    motion score (mean absolute difference between consecutive sampled
+    frames). Undecodable payloads yield NULLs."""
     from . import mediacodec as mc
 
     def run(batches) -> Iterator["pa.RecordBatch"]:
@@ -395,7 +399,7 @@ def video_frame_features(df: DataFrame, every: int = 5,
             for p in pays:
                 rows["nb"].append(len(p) if p is not None else 0)
                 try:
-                    frames, (fn, fd) = mc.y4m_decode(
+                    frames, (fn, fd) = mc.video_decode(
                         p, every=every, max_frames=max_frames)
                 except Exception:
                     for k in ("w", "h", "nf", "fps", "fm", "mo"):
@@ -498,5 +502,92 @@ def synthetic_y4m_media(spark, n: int = 6, seed: int = 9) -> DataFrame:
             .astype(np.uint8)
         rows.append((i, "video", "video/x-y4m",
                      mc.y4m_encode(frames, rate=(30, 1)),
+                     w, h, int(nf * 1000 / 30)))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+PROBE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("container", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("n_bytes", T.IntegerType()),
+])
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """Metadata-speed probe over a mixed media table
+    (`mediacodec.media_probe`): container, kind, dimensions, duration,
+    codec and frame count from the HEADERS alone — no pixel/sample
+    decode, so this scans payload prefixes at IO speed. Covers
+    PNG/JPEG/WAV/Y4M/AVI and MP4 (ISO BMFF box walk — real metadata
+    even though H.264 frame decode needs native libs). Unrecognized
+    payloads yield NULL columns. The triage step a training pipeline
+    runs FIRST: filter/group by format and size before paying for any
+    real decode."""
+    from . import mediacodec as mc
+
+    def run(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        out = pa.schema([
+            ("media_id", pa.int64()), ("container", pa.string()),
+            ("kind", pa.string()), ("width", pa.int32()),
+            ("height", pa.int32()), ("duration_ms", pa.int32()),
+            ("codec", pa.string()), ("n_frames", pa.int32()),
+            ("n_bytes", pa.int32()),
+        ])
+        keys = ("container", "kind", "width", "height", "duration_ms",
+                "codec", "n_frames")
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            pays = batch.column("payload").to_pylist()
+            cols = {k: [] for k in keys}
+            nbs = []
+            for p in pays:
+                nbs.append(len(p) if p is not None else 0)
+                try:
+                    d = mc.media_probe(p)
+                except Exception:
+                    d = {}
+                for k in keys:
+                    cols[k].append(d.get(k))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(cols["container"], type=pa.string()),
+                 pa.array(cols["kind"], type=pa.string()),
+                 pa.array(cols["width"], type=pa.int32()),
+                 pa.array(cols["height"], type=pa.int32()),
+                 pa.array(cols["duration_ms"], type=pa.int32()),
+                 pa.array(cols["codec"], type=pa.string()),
+                 pa.array(cols["n_frames"], type=pa.int32()),
+                 pa.array(nbs, type=pa.int32())], schema=out)
+
+    return df.select("media_id", "payload").mapInArrow(
+        run, schema=PROBE_SCHEMA)
+
+
+def synthetic_avi_media(spark, n: int = 6, seed: int = 13) -> DataFrame:
+    """Deterministic REAL Motion-JPEG AVI media table."""
+    from . import mediacodec as mc
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h, w = int(rng.choice([16, 24])), int(rng.choice([16, 32]))
+        nf = int(rng.integers(6, 20))
+        yy = np.linspace(0, float(rng.integers(100, 255)), h)
+        xx = np.linspace(0, float(rng.integers(100, 255)), w)
+        base = np.add.outer(yy, xx) / 2
+        frames = np.stack([
+            np.clip(np.stack([base + 7 * t, base[::-1], 255 - base],
+                             axis=2), 0, 255).astype(np.uint8)
+            for t in range(nf)])
+        rows.append((i, "video", "video/x-msvideo",
+                     mc.avi_mjpeg_encode(frames, rate=(30, 1)),
                      w, h, int(nf * 1000 / 30)))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

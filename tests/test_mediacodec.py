@@ -360,3 +360,148 @@ def test_resize_images_jpeg_payloads(spark):
         b = bytes(p)
         assert b[:2] == b"\xff\xd8"
         assert mc.image_decode(b).shape[:2] == (8, 8)
+
+
+# ---------------------------------------------------------------------------
+# AVI / Motion-JPEG + media probes
+# ---------------------------------------------------------------------------
+
+def _avi_fixture(n=8, h=24, w=32, q=92):
+    yy = np.linspace(0, 255, h)
+    xx = np.linspace(0, 255, w)
+    base = np.add.outer(yy, xx) / 2
+    frames = np.stack([
+        np.clip(np.stack([base + 5 * t, base[::-1], 255 - base],
+                         axis=2), 0, 255).astype(np.uint8)
+        for t in range(n)])
+    return frames, mc.avi_mjpeg_encode(frames, rate=(30, 1), quality=q)
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    frames, avi = _avi_fixture()
+    luma, rate = mc.avi_mjpeg_decode(avi)
+    assert luma.shape == (8, 24, 32) and rate == (30, 1)
+    exp = np.stack([mc._rgb_to_luma(f) for f in frames])
+    assert np.abs(luma.astype(int) - exp.astype(int)).mean() < 2.0
+    # frame sampling: every 3rd, capped — identical to slicing the
+    # full decode (the skipped chunks are never JPEG-decoded)
+    part, _ = mc.avi_mjpeg_decode(avi, every=3, max_frames=2)
+    assert np.array_equal(part, luma[::3][:2])
+    with pytest.raises(ValueError):
+        mc.avi_mjpeg_decode(b"RIFFxxxxWAVE")
+
+
+def test_video_decode_dispatch():
+    frames, avi = _avi_fixture(n=4)
+    exp = np.stack([mc._rgb_to_luma(f) for f in frames])
+    y4m = mc.y4m_encode(exp, rate=(30, 1))
+    a, _ = mc.video_decode(avi)
+    b, _ = mc.video_decode(y4m)
+    assert a.shape == b.shape == (4, 24, 32)
+    assert np.array_equal(b, exp)          # Y4M luma is lossless
+    with pytest.raises(ValueError):
+        mc.video_decode(b"\x00\x01\x02")
+
+
+def _mp4_fixture(duration_ms=5500, w=640, h=360, codec=b"avc1"):
+    import struct as st
+
+    def box(t, body):
+        return st.pack(">I", 8 + len(body)) + t + body
+
+    mvhd = box(b"mvhd", bytes(4) + bytes(8)
+               + st.pack(">II", 1000, duration_ms) + bytes(80))
+    tkhd = box(b"tkhd", bytes(4) + bytes(28) + bytes(8)
+               + st.pack(">HHHH", 0, 0, 0, 0) + bytes(36)
+               + st.pack(">II", w << 16, h << 16))
+    stsd = box(b"stsd", bytes(4) + st.pack(">I", 1)
+               + box(codec, bytes(70)))
+    mdia = box(b"mdia", box(b"minf", box(b"stbl", stsd)))
+    return (box(b"ftyp", b"isom" + bytes(8))
+            + box(b"moov", mvhd + box(b"trak", tkhd + mdia)))
+
+
+def test_mp4_probe():
+    p = mc.mp4_probe(_mp4_fixture())
+    assert p["brand"] == "isom" and p["duration_ms"] == 5500
+    assert p["tracks"] == [
+        {"codec": "avc1", "width": 640, "height": 360}]
+    with pytest.raises(ValueError):
+        mc.mp4_probe(b"not an mp4 at all!")
+
+
+def test_media_probe_all_formats():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (12, 20, 3), dtype=np.uint8)
+    gray = img[:, :, 0]
+    probes = {
+        "png": mc.media_probe(mc.png_encode(img)),
+        "jpeg": mc.media_probe(mc.jpeg_encode(img, quality=90)),
+        "wav": mc.media_probe(mc.wav_encode(
+            np.zeros(16000, dtype=np.int16), 16000)),
+        "y4m": mc.media_probe(mc.y4m_encode(
+            np.stack([gray[:12, :20]] * 5), rate=(25, 1))),
+        "avi": mc.media_probe(_avi_fixture(n=6)[1]),
+        "mp4": mc.media_probe(_mp4_fixture()),
+    }
+    assert probes["png"] == {"container": "png", "kind": "image",
+                             "width": 20, "height": 12,
+                             "duration_ms": None, "codec": "png8c2",
+                             "n_frames": None}
+    assert (probes["jpeg"]["width"], probes["jpeg"]["height"]) == (20, 12)
+    assert probes["jpeg"]["codec"] == "jpeg-baseline"
+    assert probes["wav"]["duration_ms"] == 1000
+    assert probes["y4m"]["n_frames"] == 5
+    assert probes["y4m"]["duration_ms"] == 200
+    assert probes["avi"]["n_frames"] == 6 and probes["avi"]["codec"] \
+        == "mjpeg"
+    assert probes["mp4"]["codec"] == "avc1"
+    assert probes["mp4"]["duration_ms"] == 5500
+    with pytest.raises(ValueError):
+        mc.media_probe(b"GIF89a nope")
+
+
+def test_video_frame_features_avi(spark):
+    df = multimodal.synthetic_avi_media(spark, n=4)
+    got = multimodal.video_frame_features(df, every=2, max_frames=8) \
+        .toPandas().set_index("media_id").sort_index()
+    assert got["n_frames_sampled"].notna().all()
+    rows = df.select("media_id", "payload").collect()
+    for r in rows:
+        luma, (fn, fd) = mc.video_decode(bytes(r.payload), every=2,
+                                         max_frames=8)
+        g = got.loc[r.media_id]
+        assert g["n_frames_sampled"] == len(luma)
+        assert np.allclose(
+            np.array(g["frame_means"]),
+            luma.astype(np.float64).mean(axis=(1, 2)), atol=1e-3)
+
+
+def test_media_metadata_operator(spark):
+    """One probe operator over a MIXED table of all six containers."""
+    import pyarrow as pa  # noqa: F401  (import parity with operators)
+
+    parts = [
+        multimodal.synthetic_png_media(spark, n=3),
+        multimodal.synthetic_jpeg_media(spark, n=3),
+        multimodal.synthetic_wav_media(spark, n=3),
+        multimodal.synthetic_y4m_media(spark, n=3),
+        multimodal.synthetic_avi_media(spark, n=3),
+    ]
+    from pyspark.sql import functions as SF
+    dfs = [p.withColumn("media_id",
+                        SF.col("media_id") + SF.lit(100 * i))
+           for i, p in enumerate(parts)]
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.union(d)
+    got = multimodal.media_metadata(df).toPandas()
+    assert len(got) == 15 and got["container"].notna().all()
+    assert set(got["container"]) == {"png", "jpeg", "wav", "y4m", "avi"}
+    by_kind = got.groupby("kind").size().to_dict()
+    assert by_kind == {"image": 6, "audio": 3, "video": 6}
+    # video rows carry real frame counts; audio rows real durations
+    vid = got[got["kind"] == "video"]
+    assert (vid["n_frames"] > 0).all()
+    aud = got[got["kind"] == "audio"]
+    assert (aud["duration_ms"] > 0).all()
