@@ -252,8 +252,12 @@ def y4m_decode(payload: bytes, every: int = 1, max_frames: int = 0
         raise ValueError("Y4M without W/H")
     if chroma.startswith("420"):
         frame_bytes = h * w + 2 * (h // 2) * (w // 2)
+    elif chroma.startswith("422"):
+        frame_bytes = h * w + 2 * h * (w // 2)
     elif chroma.startswith("444"):
         frame_bytes = 3 * h * w
+    elif chroma.startswith("mono"):
+        frame_bytes = h * w
     else:
         raise NotImplementedError(f"chroma {chroma}")
     frames = []
@@ -494,12 +498,15 @@ _JPEG_SAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
 
 
 def jpeg_encode(img: np.ndarray, quality: int = 90,
-                subsample: str = "420", restart: int = 0) -> bytes:
+                subsample: str = "420", restart: int = 0,
+                interleave: bool = True) -> bytes:
     """Baseline JFIF writer: (H, W) grayscale or (H, W, 3) RGB uint8,
     quality-scaled Annex K quant tables, typical huffman tables,
     ``subsample`` in {'444', '422', '420'} for color input,
     ``restart`` > 0 emits a DRI segment + RSTn markers every that
-    many MCUs (error-resilience structure real encoders produce)."""
+    many MCUs (error-resilience structure real encoders produce),
+    ``interleave=False`` writes one SOS per component (the equally
+    legal non-interleaved baseline layout, T.81 A.2.2)."""
     a = np.ascontiguousarray(img, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
@@ -538,28 +545,49 @@ def jpeg_encode(img: np.ndarray, quality: int = 90,
         blocks.append(_plane_blocks(p, qts[tq]))
     dc_tabs = [_huff_codes(*_DC_L), _huff_codes(*_DC_C)]
     ac_tabs = [_huff_codes(*_AC_L), _huff_codes(*_AC_C)]
-    bw = _BitWriter()
-    preds = [0] * len(comps)
-    pieces: list[bytes] = []
-    done = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
+
+    def tab_of(ci):
+        return min(comps[ci][3], 1) if len(comps) > 1 else 0
+
+    def encode_scan(units):
+        """``units``: iterable of MCUs, each a list of (ci, zz)."""
+        bw = _BitWriter()
+        preds = [0] * len(comps)
+        pieces: list[bytes] = []
+        done = 0
+        for slots in units:
             if restart and done and done % restart == 0:
                 pieces.append(bw.flush())    # byte-align the segment
                 pieces.append(struct.pack(
                     ">H", 0xFFD0 + (done // restart - 1) % 8))
                 bw = _BitWriter()
                 preds = [0] * len(comps)     # RST resets DC prediction
-            for ci, (cid, ch_, cv, tq) in enumerate(comps):
-                t = min(tq, 1) if len(comps) > 1 else 0
-                for v in range(cv):
-                    for hh in range(ch_):
-                        zz = blocks[ci][my * cv + v, mx * ch_ + hh]
-                        preds[ci] = _encode_block(
-                            zz, preds[ci], dc_tabs[t], ac_tabs[t], bw)
+            for ci, zz in slots:
+                t = tab_of(ci)
+                preds[ci] = _encode_block(zz, preds[ci], dc_tabs[t],
+                                          ac_tabs[t], bw)
             done += 1
-    pieces.append(bw.flush())
-    scan = b"".join(pieces)
+        pieces.append(bw.flush())
+        return b"".join(pieces)
+
+    if interleave or len(comps) == 1:
+        scan_list = [(list(range(len(comps))), encode_scan(
+            [[(ci, blocks[ci][my * cv + v, mx * ch_ + hh])
+              for ci, (cid, ch_, cv, tq) in enumerate(comps)
+              for v in range(cv) for hh in range(ch_)]
+             for my in range(mcuy) for mx in range(mcux)]))]
+    else:
+        # one scan per component, walked in ITS true block raster
+        # (T.81 A.2.2) — blocks beyond ceil(cew/8) x ceil(ceh/8) are
+        # MCU padding and are not transmitted
+        scan_list = []
+        for ci, (cid, ch_, cv, tq) in enumerate(comps):
+            cew = -(-w * ch_ // hmax)
+            ceh = -(-h * cv // vmax)
+            bw_, bh_ = -(-cew // 8), -(-ceh // 8)
+            scan_list.append(([ci], encode_scan(
+                [[(ci, blocks[ci][by, bx])]
+                 for by in range(bh_) for bx in range(bw_)])))
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -575,9 +603,11 @@ def jpeg_encode(img: np.ndarray, quality: int = 90,
     sof_body = struct.pack(">BHHB", 8, h, w, len(comps)) + b"".join(
         struct.pack(">BBB", cid, (ch_ << 4) | cv, tq)
         for cid, ch_, cv, tq in comps)
-    sos_body = bytes([len(comps)]) + b"".join(
-        struct.pack(">BB", cid, ((min(tq, 1)) << 4) | min(tq, 1))
-        for cid, _, _, tq in comps) + bytes([0, 63, 0])
+    def sos_for(cis):
+        return bytes([len(cis)]) + b"".join(
+            struct.pack(">BB", comps[ci][0],
+                        (tab_of(ci) << 4) | tab_of(ci))
+            for ci in cis) + bytes([0, 63, 0])
     out = [b"\xff\xd8",                      # SOI
            seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
            dqt(0, ql)]
@@ -591,8 +621,9 @@ def jpeg_encode(img: np.ndarray, quality: int = 90,
         out.append(dht(1, 1, *_AC_C))
     if restart:
         out.append(seg(0xFFDD, struct.pack(">H", restart)))  # DRI
-    out.append(seg(0xFFDA, sos_body))
-    out.append(scan)
+    for cis, scan in scan_list:
+        out.append(seg(0xFFDA, sos_for(cis)))
+        out.append(scan)
     out.append(b"\xff\xd9")                  # EOI
     return b"".join(out)
 
@@ -699,7 +730,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     restart = 0
     pos = 2
     n = len(payload)
-    segs = scan_comps = None
+    scans: list[tuple[list, list, int]] = []   # (comps, segs, dri)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -761,13 +792,14 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 scan_comps.append((cs, tt >> 4, tt & 0xF))
             segs, pos = _split_scan(payload, pos)
-            break                            # baseline: single scan
+            # baseline files may carry SEVERAL scans (one per
+            # component, non-interleaved) — keep walking to EOI
+            scans.append((scan_comps, segs, restart))
         # APPn / COM / anything else: skipped by the length walk
-    if frame is None or segs is None:
+    if frame is None or not scans:
         raise ValueError("JPEG without SOF/SOS")
     h, w, comps = frame
     by_id = {c[0]: c for c in comps}
-    order = [by_id[cs] for cs, _, _ in scan_comps]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -776,43 +808,72 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     # huffman pass: per component, zigzag coefficient rows per block
     coefs = {c[0]: np.zeros((mcuy * c[2] * mcux * c[1], 64),
                             dtype=np.int32) for c in comps}
-    tabsel = {cs: (td, ta) for cs, td, ta in scan_comps}
-    mcu = 0
-    for seg_bytes in segs:
-        br = _BitReader(seg_bytes)
-        preds = {c[0]: 0 for c in comps}
-        limit = min(total_mcus, mcu + restart) if restart else total_mcus
-        while mcu < limit:
-            my, mx = divmod(mcu, mcux)
-            for cid, ch_, cv, _tq in order:
-                dct = htabs[(0, tabsel[cid][0])]
-                act = htabs[(1, tabsel[cid][1])]
-                for v in range(cv):
-                    for hh in range(ch_):
-                        zz = np.zeros(64, dtype=np.int32)
-                        s = br.decode(dct)
-                        diff = _extend(br.receive(s), s)
-                        preds[cid] += diff
-                        zz[0] = preds[cid]
-                        k = 1
-                        while k < 64:
-                            rs = br.decode(act)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break        # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC overflow")
-                            zz[k] = _extend(br.receive(s), s)
-                            k += 1
-                        row = ((my * cv + v) * mcux + mx) * ch_ + hh
-                        coefs[cid][row] = zz
-            mcu += 1
-        if mcu >= total_mcus:
-            break
+
+    def read_block(br, dct, act, pred):
+        zz = np.zeros(64, dtype=np.int32)
+        s = br.decode(dct)
+        pred += _extend(br.receive(s), s)
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = br.decode(act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:                  # ZRL
+                    k += 16
+                    continue
+                break                        # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC overflow")
+            zz[k] = _extend(br.receive(s), s)
+            k += 1
+        return zz, pred
+
+    for scan_comps, segs, dri in scans:
+        order = [by_id[cs] for cs, _, _ in scan_comps]
+        tabsel = {cs: (td, ta) for cs, td, ta in scan_comps}
+        non_il = len(order) == 1
+        if non_il:
+            # non-interleaved scan (T.81 A.2.2): one data unit per
+            # "MCU", walked in the COMPONENT's own block raster —
+            # ceil(cew/8) wide, not the MCU-padded grid (a lone
+            # component with 2x2 declared sampling still rasters at
+            # its true dimensions)
+            cid0, ch0, cv0, _tq0 = order[0]
+            cew = -(-w * ch0 // hmax)
+            ceh = -(-h * cv0 // vmax)
+            bw_ = -(-cew // 8)
+            total_units = bw_ * -(-ceh // 8)
+            row_w = mcux * ch0               # padded plane row stride
+        else:
+            total_units = total_mcus
+        unit = 0
+        for seg_bytes in segs:
+            br = _BitReader(seg_bytes)
+            preds = {c[0]: 0 for c in comps}
+            limit = min(total_units, unit + dri) if dri \
+                else total_units
+            while unit < limit:
+                if non_il:
+                    by, bx = divmod(unit, bw_)
+                    slots = [(order[0], by * row_w + bx)]
+                else:
+                    my, mx = divmod(unit, mcux)
+                    slots = [
+                        (comp, ((my * comp[2] + v) * mcux + mx)
+                         * comp[1] + hh)
+                        for comp in order
+                        for v in range(comp[2])
+                        for hh in range(comp[1])]
+                for (cid, ch_, cv, _tq), row in slots:
+                    zz, preds[cid] = read_block(
+                        br, htabs[(0, tabsel[cid][0])],
+                        htabs[(1, tabsel[cid][1])], preds[cid])
+                    coefs[cid][row] = zz
+                unit += 1
+            if unit >= total_units:
+                break
     # numpy pass: dequantize + unzigzag + IDCT every block per plane
     planes = []
     for cid, ch_, cv, tq in comps:
@@ -993,8 +1054,12 @@ def mp4_probe(payload: bytes) -> dict:
                 if ts:
                     out["duration_ms"] = int(round(dur * 1000 / ts))
             elif typ == b"tkhd" and track is not None:
+                # v0: ver/flags(4) + ctime(4) + mtime(4) + track_id(4)
+                # + reserved(4) + duration(4) = 24 bytes, then
+                # reserved[8]; v1 widens the three times to 8 bytes
+                # (ISO 14496-12 §8.3.2)
                 ver = payload[body]
-                off = body + (32 if ver == 0 else 44)  # -> reserved[8]
+                off = body + (24 if ver == 0 else 36)  # -> reserved[8]
                 dims = off + 8 + 2 + 2 + 2 + 2 + 36    # + l/a/v/r + matrix
                 w16, h16 = struct.unpack(
                     ">II", payload[dims:dims + 8])
@@ -1092,12 +1157,31 @@ def media_probe(payload: bytes) -> dict:
                 rate = (int(a), int(b))
             elif t[0] == "C":
                 chroma = t[1:]
-        fb = (h * w + 2 * (h // 2) * (w // 2)
-              if chroma.startswith("420") else 3 * h * w)
-        nfr = (len(payload) - nl - 1) // (6 + fb)  # b"FRAME\n" + planes
+        # exact frame size per chroma mode; unknown modes still probe
+        # the header but report no frame count rather than a wrong one
+        if chroma.startswith("420"):
+            fb = h * w + 2 * (h // 2) * (w // 2)
+        elif chroma.startswith("422"):
+            fb = h * w + 2 * h * (w // 2)
+        elif chroma.startswith("444"):
+            fb = 3 * h * w
+        elif chroma.startswith("mono"):
+            fb = h * w
+        else:
+            fb = None
+        nfr = None
+        if fb is not None:
+            # walk the FRAME markers (each may carry parameters, so
+            # the marker line length varies — count, don't divide)
+            nfr, pos = 0, nl + 1
+            while pos < len(payload) \
+                    and payload[pos:pos + 5] == b"FRAME":
+                pos = payload.index(b"\n", pos) + 1 + fb
+                nfr += 1
         d.update(container="y4m", kind="video", width=w, height=h,
                  codec=f"yuv{chroma}", n_frames=nfr,
-                 duration_ms=int(round(nfr * 1000 * rate[1] / rate[0])))
+                 duration_ms=int(round(nfr * 1000 * rate[1] / rate[0]))
+                 if nfr is not None else None)
         return d
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         p = mp4_probe(payload)

@@ -171,25 +171,40 @@ def _write_lock(path: str, timeout: float = 60.0, ttl: float = 300.0):
     succeeds)."""
     lock = os.path.join(path, _WLOCK_DIR)
     deadline = time.monotonic() + timeout
+    # steal only after CONFIRMING staleness: the same lock mtime must
+    # be observed as stale across a short window (so a lock released
+    # and re-acquired by a live writer in between — new mtime — is
+    # never renamed away; the classic check-then-steal TOCTOU shrinks
+    # to one poll interval). Residual risk and the wall-clock-vs-file-
+    # mtime skew caveat are documented above: a real multi-writer
+    # object-store deployment uses a catalog lock, not this.
+    stale_seen: Optional[tuple[float, float]] = None  # (mtime, since)
     while True:
         try:
             os.mkdir(lock)
             break
         except FileExistsError:
+            now = time.monotonic()
             try:
-                age = time.time() - os.path.getmtime(lock)
+                mt = os.path.getmtime(lock)
             except OSError:
-                continue                     # released between checks
-            if age > ttl:
-                stale = f"{lock}.stale-{uuid.uuid4().hex}"
-                try:
-                    os.rename(lock, stale)
-                except OSError:
-                    pass                     # another stealer won
-                else:
-                    shutil.rmtree(stale, ignore_errors=True)
-                continue
-            if time.monotonic() > deadline:
+                mt = None                    # released between checks
+            if mt is not None and time.time() - mt > ttl:
+                if stale_seen is None or stale_seen[0] != mt:
+                    stale_seen = (mt, now)
+                elif now - stale_seen[1] > 2.0:
+                    stale = f"{lock}.stale-{uuid.uuid4().hex}"
+                    try:
+                        if os.path.getmtime(lock) == mt:
+                            os.rename(lock, stale)
+                            shutil.rmtree(stale, ignore_errors=True)
+                    except OSError:
+                        pass                 # another stealer/release won
+                    stale_seen = None
+                    continue
+            else:
+                stale_seen = None
+            if now > deadline:
                 raise TimeoutError(
                     f"could not acquire the write lock on {path} "
                     f"within {timeout}s: another writer is committing "
@@ -203,6 +218,33 @@ def _write_lock(path: str, timeout: float = 60.0, ttl: float = 300.0):
         yield
     finally:
         shutil.rmtree(lock, ignore_errors=True)
+
+
+_SWEEP_GRACE = 300.0   # seconds; matches the write-lock TTL
+
+
+def _sweep_orphans(pattern: str, keep: set, own_prefix: str = "",
+                   grace: float = _SWEEP_GRACE) -> None:
+    """Remove unreferenced files matching ``pattern`` — but only ones
+    older than ``grace`` (or carrying ``own_prefix``, i.e. this job's
+    own attempts). A concurrent writer's tasks may have landed files
+    that its commit has not yet published: fresh files are NOT
+    orphans, they are someone's in-flight work. Crashed jobs' leftovers
+    are by definition old by the time a later commit sweeps."""
+    for f in glob.glob(pattern):
+        name = os.path.basename(f)
+        if name in keep:
+            continue
+        if not (own_prefix and name.startswith(own_prefix)):
+            try:
+                if time.time() - os.path.getmtime(f) < grace:
+                    continue
+            except OSError:
+                continue                     # raced a concurrent sweep
+        try:
+            os.remove(f)
+        except OSError:
+            pass
 
 
 def read_sidecar(path: str) -> dict:
@@ -1192,14 +1234,32 @@ class OrochWriter(DataSourceArrowWriter):
         # compaction committing between our read and our publish
         if self.overwrite:
             # all tasks succeeded: the sidecar swap (with the new file
-            # registry) IS the publish; only then drop every file that
-            # is not part of this snapshot (previous batch parts,
-            # stale stream parts + manifests, crashed jobs' leftovers)
+            # registry) IS the publish; only then drop the replaced
+            # snapshot. Files named by the PREVIOUS registry (or any
+            # committed stream manifest) were committed table data and
+            # go immediately; unreferenced files get the grace period
+            # — a fresh one may be a concurrent append's in-flight
+            # part (its commit then adds rows onto the NEW table:
+            # "append after overwrite" ordering, never a registry
+            # naming deleted files).
+            replaced = set()
+            if os.path.exists(os.path.join(self.path, SIDECAR)):
+                replaced.update(read_sidecar(self.path).get("files")
+                                or [])
+            for mf in _manifest_paths(self.path):
+                try:
+                    with open(mf) as f:
+                        replaced.update(json.load(f)["files"])
+                except OSError:
+                    pass
             write_sidecar(self.path, self.kinds, self.key_cols,
                           files=sorted(keep))
-            for f in glob.glob(os.path.join(self.path, "*.parquet")):
-                if os.path.basename(f) not in keep:
-                    os.remove(f)
+            for name in replaced - keep:
+                p = os.path.join(self.path, name)
+                if os.path.exists(p):
+                    os.remove(p)
+            _sweep_orphans(os.path.join(self.path, "*.parquet"),
+                           keep | replaced)
             bdir = os.path.join(self.path, _BATCH_DIR)
             if os.path.isdir(bdir):
                 shutil.rmtree(bdir, ignore_errors=True)
@@ -1211,10 +1271,22 @@ class OrochWriter(DataSourceArrowWriter):
                 prev_files = prev.get("files")
                 # re-merge under the lock: a concurrent append that
                 # committed since __init__ may have added columns of
-                # its own — keep them (its files carry them)
+                # its own — keep them (its files carry them). A column
+                # BOTH jobs added must agree on kind: our blocks are
+                # already written with ours, so a mismatch cannot be
+                # papered over — fail this commit (Spark aborts, our
+                # unpublished parts are swept) instead of publishing a
+                # sidecar that mis-decodes one job's blocks.
+                prev_by = dict(prev["kinds"])
+                for n, k in self.merged_kinds:
+                    if n in prev_by and prev_by[n] != k:
+                        raise ValueError(
+                            f"append column {n!r} kind {k!r} != "
+                            f"kind {prev_by[n]!r} committed by a "
+                            "concurrent append")
                 merged = list(prev["kinds"]) + [
                     kv for kv in self.merged_kinds
-                    if kv[0] not in dict(prev["kinds"])]
+                    if kv[0] not in prev_by]
             if prev_files is None:
                 # legacy table without a registry: everything
                 # currently on disk (minus this job) was visible
@@ -1227,13 +1299,15 @@ class OrochWriter(DataSourceArrowWriter):
             write_sidecar(self.path, merged, self.key_cols,
                           files=sorted(committed))
             # a CRASHED append never published its files: they are
-            # invisible to registry readers and swept here, at the
-            # next successful commit (single WRITER per table — the
-            # registry is read-modify-write; readers are safe anytime)
-            for f in glob.glob(os.path.join(self.path,
-                                            "part-*.parquet")):
-                if os.path.basename(f) not in committed:
-                    os.remove(f)
+            # invisible to registry readers and swept here, at a later
+            # successful commit — but only once older than the grace
+            # period, because an unreferenced FRESH part may belong to
+            # a concurrent append that has not committed yet (deleting
+            # it would make that job publish a registry naming dead
+            # files)
+            _sweep_orphans(os.path.join(self.path, "part-*.parquet"),
+                           committed,
+                           own_prefix=f"part-{self.job_id}-")
             succ = os.path.join(self.path, "_SUCCESS")
             if os.path.exists(succ):
                 with open(succ) as f:
@@ -1308,15 +1382,16 @@ class OrochStreamWriter(DataSourceStreamArrowWriter):
                 + [f"{batchId}.json"])))
             write_sidecar(self.path, self.kinds, self.key_cols)
             # sweep orphans (failed attempts, superseded replays): a
-            # file is live iff some committed manifest names it
+            # file is live iff some committed manifest names it. The
+            # grace period protects a concurrent compaction's freshly
+            # landed stream-compact-* parts, whose manifest publishes
+            # moments later under this same lock.
             live = set()
             for mf in _manifest_paths(self.path):
                 with open(mf) as f:
                     live.update(json.load(f)["files"])
-            for f in glob.glob(os.path.join(self.path,
-                                            "stream-*.parquet")):
-                if os.path.basename(f) not in live:
-                    os.remove(f)
+            _sweep_orphans(os.path.join(self.path, "stream-*.parquet"),
+                           live)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

@@ -508,15 +508,25 @@ def test_crashed_append_parts_invisible_and_swept(dsspark, tmp_path):
     with open(stray, "wb") as f:
         f.write(b"not even parquet")   # never opened if invisible
     assert dsspark.read.format("oroch").load(path).count() == 100
-    # the next commit sweeps it
+    # a FRESH unreferenced part might be a concurrent append's
+    # in-flight work — commits must NOT sweep it yet
+    dsspark.range(200, 210).withColumnRenamed("id", "k") \
+        .coalesce(1).write.format("oroch").mode("append") \
+        .option("key_cols", "k").save(path)
+    assert os.path.exists(stray)
+    # once older than the grace period it is a crashed job's orphan
+    # and the next commit sweeps it
+    import time as _t
+    old = _t.time() - 2 * ds._SWEEP_GRACE
+    os.utime(stray, (old, old))
     dsspark.range(100, 150).withColumnRenamed("id", "k") \
         .coalesce(1).write.format("oroch").mode("append") \
         .option("key_cols", "k").save(path)
     assert not os.path.exists(stray)
-    assert dsspark.read.format("oroch").load(path).count() == 150
+    assert dsspark.read.format("oroch").load(path).count() == 160
     with open(os.path.join(path, ds.SIDECAR)) as f:
         reg = json.load(f)["files"]
-    assert len(reg) == 2 and all(r.endswith(".parquet") for r in reg)
+    assert len(reg) == 3 and all(r.endswith(".parquet") for r in reg)
 
 
 # ---------------------------------------------------------------------------
@@ -636,11 +646,16 @@ def test_write_lock_timeout_and_stale_steal(tmp_path):
     with pytest.raises(TimeoutError):
         with ds._write_lock(path, timeout=0.3):
             pass
-    # a crashed writer's lock (older than ttl) is stolen
+    # a crashed writer's lock (older than ttl) is stolen — after the
+    # ~2s same-mtime confirmation window (a lock RELEASED and re-taken
+    # by a live writer in between gets a fresh mtime and is never
+    # stolen)
     old = _t.time() - 1000
     os.utime(lock, (old, old))
-    with ds._write_lock(path, timeout=1, ttl=300):
+    t0 = _t.monotonic()
+    with ds._write_lock(path, timeout=10, ttl=300):
         pass                            # acquired by stealing
+    assert _t.monotonic() - t0 >= 2.0   # staleness was confirmed
     assert not os.path.exists(lock)
 
 
@@ -735,3 +750,58 @@ def test_compaction_keeps_mid_run_stream_batch(dsspark, tmp_path,
     names = {os.path.basename(m) for m in ds._manifest_paths(path)}
     assert "2.json" in names
     assert not any(n in names for n in ("0.json", "1.json"))
+
+
+def test_concurrent_append_kind_conflict_fails_cleanly(dsspark,
+                                                       tmp_path):
+    """Two concurrent appends adding the SAME new column with
+    different kinds: the second commit must fail (its blocks already
+    encode its kind) instead of publishing a sidecar that mis-decodes
+    one job's data."""
+    import pyarrow as pa
+
+    path = str(tmp_path / "kindconf")
+    dsspark.range(10).withColumnRenamed("id", "k") \
+        .coalesce(1).write.format("oroch").mode("overwrite") \
+        .option("key_cols", "k").save(path)
+    wa = ds.OrochWriter({"path": path, "key_cols": "k"},
+                        [("k", "i64"), ("x", "i64")], overwrite=False)
+    wb = ds.OrochWriter({"path": path, "key_cols": "k"},
+                        [("k", "i64"), ("x", "str")], overwrite=False)
+    ma = wa.write(iter([pa.RecordBatch.from_pydict(
+        {"k": [100], "x": [1]})]))
+    wa.commit([ma])
+    mb = wb.write(iter([pa.RecordBatch.from_pydict(
+        {"k": [200], "x": ["s"]})]))
+    with pytest.raises(ValueError, match="concurrent append"):
+        wb.commit([mb])
+    # the table still reads consistently with A's commit only
+    back = dsspark.read.format("oroch").load(path)
+    assert back.count() == 11
+    assert dict(ds.read_sidecar(path)["kinds"])["x"] == "i64"
+
+
+def test_stream_sweep_spares_fresh_unreferenced_parts(dsspark,
+                                                      tmp_path):
+    """The stream commit's orphan sweep must not delete FRESH
+    unreferenced stream-* files (a concurrent compaction's landed
+    parts whose manifest publishes moments later); old ones go."""
+    import time as _t
+
+    import pyarrow as pa
+
+    path = str(tmp_path / "sweepgrace")
+    os.makedirs(os.path.join(path, ds._BATCH_DIR))
+    w = ds.OrochStreamWriter({"path": path, "key_cols": "k"},
+                             [("k", "i64")])
+    fresh = os.path.join(path, "stream-compact-9-abc.parquet")
+    stale = os.path.join(path, "stream-00000-dead.parquet")
+    for p in (fresh, stale):
+        with open(p, "wb") as f:
+            f.write(b"x")
+    old = _t.time() - 2 * ds._SWEEP_GRACE
+    os.utime(stale, (old, old))
+    m = w.write(iter([pa.RecordBatch.from_pydict({"k": [1, 2]})]))
+    w.commit([m], 0)
+    assert os.path.exists(fresh)       # in-flight compaction output
+    assert not os.path.exists(stale)   # genuinely crashed leftover

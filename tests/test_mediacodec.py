@@ -409,9 +409,14 @@ def _mp4_fixture(duration_ms=5500, w=640, h=360, codec=b"avc1"):
     def box(t, body):
         return st.pack(">I", 8 + len(body)) + t + body
 
+    # spec-layout v0 boxes (ISO 14496-12): mvhd = ver/flags(4) +
+    # ctime(4) + mtime(4) + timescale(4) + duration(4) + rest;
+    # tkhd = ver/flags(4) + ctime(4)+mtime(4)+track_id(4)+reserved(4)
+    # + duration(4) + reserved[8] + layer/alt/vol/reserved(8) +
+    # matrix(36) + width/height (16.16 fixed)
     mvhd = box(b"mvhd", bytes(4) + bytes(8)
                + st.pack(">II", 1000, duration_ms) + bytes(80))
-    tkhd = box(b"tkhd", bytes(4) + bytes(28) + bytes(8)
+    tkhd = box(b"tkhd", bytes(4) + bytes(20) + bytes(8)
                + st.pack(">HHHH", 0, 0, 0, 0) + bytes(36)
                + st.pack(">II", w << 16, h << 16))
     stsd = box(b"stsd", bytes(4) + st.pack(">I", 1)
@@ -505,3 +510,85 @@ def test_media_metadata_operator(spark):
     assert (vid["n_frames"] > 0).all()
     aud = got[got["kind"] == "audio"]
     assert (aud["duration_ms"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# review fixes: non-interleaved JPEG, tkhd v1, Y4M probe exactness
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_jpeg_non_interleaved_scans(sub):
+    """Baseline files with one SOS per component (T.81 A.2.2) decode
+    bit-identically to the interleaved layout — and combined with
+    restart intervals."""
+    img = _smooth_rgb(56, 40)
+    il = mc.jpeg_decode(mc.jpeg_encode(img, quality=92, subsample=sub))
+    b = mc.jpeg_encode(img, quality=92, subsample=sub,
+                       interleave=False)
+    assert b.count(b"\xff\xda") == 3      # three scans
+    assert np.array_equal(mc.jpeg_decode(b), il)
+    br = mc.jpeg_encode(img, quality=92, subsample=sub,
+                        interleave=False, restart=3)
+    assert np.array_equal(mc.jpeg_decode(br), il)
+
+
+def test_jpeg_gray_with_declared_sampling():
+    """A single-component scan walks the COMPONENT's true block
+    raster even when the frame declares 2x2 sampling factors (the
+    declared factors only matter interleaved)."""
+    img = _smooth_rgb(24, 40)[:, :, 0]
+    b = bytearray(mc.jpeg_encode(img, quality=100))
+    base = mc.jpeg_decode(bytes(b))
+    i = b.find(b"\xff\xc0")
+    assert b[i + 11] == 0x11              # id(+10) hv(+11)
+    b[i + 11] = 0x22                      # declare 2x2 on the lone comp
+    patched = mc.jpeg_decode(bytes(b))
+    assert np.array_equal(patched, base)
+
+
+def test_mp4_probe_tkhd_v1():
+    import struct as st
+
+    def box(t, body):
+        return st.pack(">I", 8 + len(body)) + t + body
+
+    mvhd = box(b"mvhd", b"\x01" + bytes(3) + bytes(16)
+               + st.pack(">IQ", 1000, 7250) + bytes(80))
+    tkhd = box(b"tkhd", b"\x01" + bytes(3) + bytes(32) + bytes(8)
+               + st.pack(">HHHH", 0, 0, 0, 0) + bytes(36)
+               + st.pack(">II", 1920 << 16, 1080 << 16))
+    stsd = box(b"stsd", bytes(4) + st.pack(">I", 1)
+               + box(b"hvc1", bytes(70)))
+    mp4 = (box(b"ftyp", b"mp42" + bytes(8))
+           + box(b"moov", mvhd + box(b"trak", tkhd + box(
+               b"mdia", box(b"minf", box(b"stbl", stsd))))))
+    p = mc.mp4_probe(mp4)
+    assert p["duration_ms"] == 7250
+    assert p["tracks"] == [
+        {"codec": "hvc1", "width": 1920, "height": 1080}]
+
+
+def test_y4m_probe_frame_params_and_chroma_modes():
+    """Frame markers may carry parameters and chroma may be
+    422/444/mono: the probe walks markers with the exact per-mode
+    frame size instead of dividing by a guessed stride."""
+    frames = np.stack([np.full((8, 8), v, dtype=np.uint8)
+                       for v in (0, 50, 100, 150)])
+    y = mc.y4m_encode(frames, rate=(25, 1))
+    assert mc.media_probe(y)["n_frames"] == 4
+    y_params = y.replace(b"FRAME\n", b"FRAME Ip\n")
+    assert mc.media_probe(y_params)["n_frames"] == 4
+    luma, _ = mc.y4m_decode(y_params)     # decode tolerates params too
+    assert np.array_equal(luma, frames)
+    # a 422 stream: decode (luma) and probe agree on the frame count
+    h, w = 8, 8
+    head = b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C422\n"
+    fb = h * w + 2 * h * (w // 2)
+    body = b"".join(b"FRAME\n" + bytes([i]) * fb for i in range(3))
+    p = mc.media_probe(head + body)
+    assert p["n_frames"] == 3 and p["codec"] == "yuv422"
+    luma, _ = mc.y4m_decode(head + body)
+    assert luma.shape == (3, 8, 8)
+    # unknown chroma: header probes, frame count honestly None
+    weird = head.replace(b"C422", b"C410") + body
+    assert mc.media_probe(weird)["n_frames"] is None
