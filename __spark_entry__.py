@@ -798,7 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow,
         "langid_documents": _q_langid,
         "near_dup_pairs": _q_near_dup_emb_lsh,
-        "media_features": _q_media_features,   # rows-only (stubbed decode)
+        "media_features": _q_media_features,   # oracle-checked (see docstring)
         "recompact_nation": _q_recompact,
         "rt_append_events": _q_rt_append,
         "latest_wins_events": _q_latest_wins,
