@@ -1,5 +1,6 @@
 """From-scratch media codecs for the multimodal pipeline: PNG,
-baseline JPEG, WAV, Y4M, Motion-JPEG AVI, plus an MP4 metadata probe.
+baseline JPEG, WAV, Y4M, Motion-JPEG AVI and Motion-JPEG MP4 (full
+ISO-BMFF sample-table demux), plus an MP4 metadata probe.
 
 The container has no PIL/libjpeg/ffmpeg, but two of the common training
 -data media formats are fully decodable with the standard library plus
@@ -7,9 +8,9 @@ numpy — PNG's compression is stdlib ``zlib`` and its scanline filters
 are pure arithmetic (PNG spec, RFC 2083 §6), WAV PCM is a RIFF header
 walk plus a dtype view, and baseline JPEG (ITU-T T.81) is huffman
 coding + IDCT — all implementable in numpy. These decoders make
-``media_features`` REAL for PNG/JPEG images and WAV audio; MP4/H.264
-and progressive JPEG remain the documented swap point for clusters
-with the native libs.
+``media_features`` REAL for PNG/JPEG images and WAV audio; H.264/HEVC
+bitstreams and progressive JPEG remain the documented swap point for
+clusters with the native libs (the MP4 demux around them is real).
 
 Scope (deliberately the well-specified core of each format):
 
@@ -23,8 +24,11 @@ Scope (deliberately the well-specified core of each format):
   Progressive/arithmetic/12-bit raise NotImplementedError.
 - AVI/Motion-JPEG: RIFF walk + the JPEG decoder per sampled frame
   (un-sampled frames' chunks are skipped, never decoded).
-- MP4/ISO BMFF: metadata probe only (box tree -> duration, track
-  dims, codec fourcc); H.264/HEVC FRAME decode stays native-lib.
+- MP4/ISO BMFF: metadata probe (box tree -> duration, track dims,
+  codec fourcc) PLUS full sample-table demux (stsd/stts/stsc/stsz/
+  stco|co64 chunk expansion, ISO 14496-12 §8.5-8.7) with real frame
+  decode for 'jpeg' sample entries; H.264/HEVC BITSTREAM decode
+  stays the native-lib swap point — the demux around it is complete.
 - ``media_probe``: one metadata-speed header walk across all six
   containers — no pixel/sample decode.
 
@@ -1193,17 +1197,244 @@ def media_probe(payload: bytes) -> dict:
                  duration_ms=p["duration_ms"],
                  codec=(vid or (p["tracks"][0] if p["tracks"]
                                 else {})).get("codec"))
+        # frame count from the sample tables when the file carries them
+        # (the probe fixtures are header-only; stsz is optional there)
+        sized = [t for t in _mp4_tracks(payload)
+                 if t["sizes"] is not None and len(t["sizes"])]
+        if sized:
+            d["n_frames"] = int(len(sized[0]["sizes"]))
         return d
     raise ValueError("unrecognized media payload")
+
+
+# ---------------------------------------------------------------------------
+# MP4 Motion-JPEG: real demux (stsd/stts/stsc/stsz/stco sample tables,
+# ISO 14496-12 §8.5-8.7) + the from-scratch JPEG decoder per sampled
+# frame. 'jpeg' sample entries are plain JFIF payloads (the classic
+# QuickTime Motion-JPEG-in-MP4 profile); H.264/HEVC sample DECODE is
+# still the declared native-lib swap point, but the demux below — the
+# part a pipeline needs to sample/slice/filter — is format-complete.
+# ---------------------------------------------------------------------------
+
+def _mp4_tracks(payload: bytes) -> list[dict]:
+    """Walk the box tree and return per-track sample tables:
+    ``{"codec", "timescale", "delta", "sizes", "stsc", "stco"}``."""
+    tracks: list[dict] = []
+    track: dict | None = None
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal track
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", payload[pos:pos + 4])
+            typ = payload[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:
+                (size,) = struct.unpack(">Q", payload[body:body + 8])
+                body += 8
+            elif size == 0:
+                size = end - pos
+            nxt = pos + size
+            if typ in _MP4_CONTAINERS:
+                if typ == b"trak":
+                    track = {"codec": None, "timescale": None,
+                             "delta": None, "sizes": None,
+                             "stsc": [], "stco": None}
+                    tracks.append(track)
+                walk(body, min(nxt, end))
+            elif track is not None and typ == b"stsd":
+                (cnt,) = struct.unpack(">I", payload[body + 4:body + 8])
+                if cnt:
+                    track["codec"] = payload[body + 12:body + 16]
+            elif track is not None and typ == b"mdhd":
+                ver = payload[body]
+                off = body + (12 if ver == 0 else 20)
+                (track["timescale"],) = struct.unpack(
+                    ">I", payload[off:off + 4])
+            elif track is not None and typ == b"stts":
+                (cnt,) = struct.unpack(">I", payload[body + 4:body + 8])
+                if cnt:
+                    _, track["delta"] = struct.unpack(
+                        ">II", payload[body + 8:body + 16])
+            elif track is not None and typ == b"stsz":
+                uniform, cnt = struct.unpack(
+                    ">II", payload[body + 4:body + 12])
+                if uniform:
+                    track["sizes"] = np.full(cnt, uniform, dtype=np.int64)
+                else:
+                    track["sizes"] = np.frombuffer(
+                        payload, dtype=">u4", count=cnt,
+                        offset=body + 12).astype(np.int64)
+            elif track is not None and typ == b"stsc":
+                (cnt,) = struct.unpack(">I", payload[body + 4:body + 8])
+                vals = struct.unpack(f">{3 * cnt}I",
+                                     payload[body + 8:body + 8 + 12 * cnt])
+                track["stsc"] = [tuple(vals[i:i + 3])
+                                 for i in range(0, 3 * cnt, 3)]
+            elif track is not None and typ in (b"stco", b"co64"):
+                (cnt,) = struct.unpack(">I", payload[body + 4:body + 8])
+                dt = ">u4" if typ == b"stco" else ">u8"
+                track["stco"] = np.frombuffer(
+                    payload, dtype=dt, count=cnt,
+                    offset=body + 8).astype(np.int64)
+            pos = nxt
+            if size <= 0:
+                break
+
+    walk(0, len(payload))
+    return tracks
+
+
+def _mp4_sample_offsets(track: dict) -> np.ndarray:
+    """Per-sample absolute file offsets from the stsc/stco/stsz tables
+    (the standard chunk-expansion: stsc entry i covers chunks
+    first_i .. first_{i+1}-1 at samples_per_chunk_i each)."""
+    sizes, stsc, stco = track["sizes"], track["stsc"], track["stco"]
+    n = len(sizes)
+    spc = np.zeros(len(stco), dtype=np.int64)
+    for i, (first, cnt, _desc) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(stco)
+        spc[first - 1:last] = cnt
+    offsets = np.empty(n, dtype=np.int64)
+    s = 0
+    for ci in range(len(stco)):
+        k = min(int(spc[ci]), n - s)
+        if k <= 0:
+            continue
+        csz = sizes[s:s + k]
+        offsets[s:s + k] = stco[ci] + np.concatenate(
+            [[0], np.cumsum(csz[:-1])])
+        s += k
+    if s < n:
+        raise ValueError("MP4 sample tables truncated "
+                         f"({s} of {n} samples mapped to chunks)")
+    return offsets
+
+
+def mp4_mjpeg_encode(frames: np.ndarray, rate: tuple[int, int] = (25, 1),
+                     quality: int = 85,
+                     samples_per_chunk: int = 0) -> bytes:
+    """Minimal MP4 writer with 'jpeg' sample entries: ftyp + mdat of
+    concatenated JFIF samples + a full moov (mvhd/tkhd/mdhd/hdlr/vmhd/
+    dinf/stsd/stts/stsc/stsz/stco). ``samples_per_chunk`` groups
+    samples into multi-sample chunks (0 = one chunk) so the reader's
+    stsc expansion is a genuinely exercised path, not dead code."""
+    n = len(frames)
+    h, w = frames[0].shape[:2]
+    samples = [jpeg_encode(f, quality=quality) for f in frames]
+    spc = samples_per_chunk if samples_per_chunk > 0 else n
+
+    def box(tag: bytes, *bodies: bytes) -> bytes:
+        body = b"".join(bodies)
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    def fbox(tag: bytes, ver: int, flags: int, body: bytes) -> bytes:
+        return box(tag, bytes([ver]) + flags.to_bytes(3, "big") + body)
+
+    ftyp = box(b"ftyp", b"isom", struct.pack(">I", 0x200),
+               b"isom" + b"mp41")
+    mdat_payload = b"".join(samples)
+    data_start = len(ftyp) + 8
+    sizes = np.array([len(s) for s in samples], dtype=np.int64)
+    sample_off = data_start + np.concatenate(
+        [[0], np.cumsum(sizes[:-1])]) if n else np.zeros(0, np.int64)
+    chunk_starts = list(range(0, n, spc))
+    stco_offsets = [int(sample_off[cs]) for cs in chunk_starts]
+    # stsc run-length entries over the chunking (last chunk may be short)
+    stsc_entries = [(1, min(spc, n), 1)]
+    last = n - chunk_starts[-1] if chunk_starts else 0
+    if len(chunk_starts) > 1 and last != spc:
+        stsc_entries.append((len(chunk_starts), last, 1))
+
+    timescale, delta = rate
+    dur = n * delta
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    mvhd = fbox(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, dur)
+        + struct.pack(">IHH", 0x10000, 0x100, 0) + bytes(8)
+        + matrix + bytes(24) + struct.pack(">I", 2))
+    tkhd = fbox(b"tkhd", 0, 7, struct.pack(">IIIII", 0, 0, 1, 0, dur)
+                + bytes(8) + struct.pack(">HHHH", 0, 0, 0, 0)
+                + matrix + struct.pack(">II", w << 16, h << 16))
+    mdhd = fbox(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, timescale, dur, 0x55C4, 0))
+    hdlr = fbox(b"hdlr", 0, 0, bytes(4) + b"vide" + bytes(12)
+                + b"Motion-JPEG\x00")
+    vmhd = fbox(b"vmhd", 0, 1, bytes(8))
+    dinf = box(b"dinf", fbox(b"dref", 0, 0, struct.pack(">I", 1)
+                             + fbox(b"url ", 0, 1, b"")))
+    entry = (struct.pack(">I", 86) + b"jpeg" + bytes(6)
+             + struct.pack(">H", 1) + bytes(16)
+             + struct.pack(">HH", w, h)
+             + struct.pack(">II", 0x480000, 0x480000) + bytes(4)
+             + struct.pack(">H", 1)
+             + b"Motion-JPEG".ljust(32, b"\x00")
+             + struct.pack(">Hh", 24, -1))
+    stsd = fbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = fbox(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = fbox(b"stsc", 0, 0, struct.pack(">I", len(stsc_entries))
+                + b"".join(struct.pack(">III", *e)
+                           for e in stsc_entries))
+    stsz = fbox(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                + b"".join(struct.pack(">I", int(s)) for s in sizes))
+    stco = fbox(b"stco", 0, 0, struct.pack(">I", len(stco_offsets))
+                + b"".join(struct.pack(">I", o) for o in stco_offsets))
+    stbl = box(b"stbl", stsd, stts, stsc, stsz, stco)
+    minf = box(b"minf", vmhd, dinf, stbl)
+    mdia = box(b"mdia", mdhd, hdlr, minf)
+    trak = box(b"trak", tkhd, mdia)
+    moov = box(b"moov", mvhd, trak)
+    return ftyp + box(b"mdat", mdat_payload) + moov
+
+
+def mp4_mjpeg_decode(payload: bytes, every: int = 1, max_frames: int = 0
+                     ) -> tuple[np.ndarray, tuple[int, int]]:
+    """Decode an MP4 whose video samples are 'jpeg' entries to (luma
+    frames (k, H, W) uint8, (fps_num, fps_den)). Sample offsets come
+    from the real chunk expansion, so un-sampled frames' bytes are
+    never touched. Non-JPEG sample codecs (avc1/hvc1/...) raise
+    NotImplementedError — the demux worked; only the bitstream decode
+    needs a native library."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4/ISO-BMFF payload")
+    tracks = [t for t in _mp4_tracks(payload)
+              if t["sizes"] is not None and t["stco"] is not None
+              and len(t["sizes"])]
+    if not tracks:
+        raise ValueError("MP4 without sample tables")
+    vid = next((t for t in tracks if t["codec"] == b"jpeg"), None)
+    if vid is None:
+        found = [t["codec"].decode("latin1", "replace")
+                 for t in tracks if t["codec"]]
+        raise NotImplementedError(
+            f"MP4 sample decode supports 'jpeg' entries (found {found});"
+            " H.264/HEVC bitstreams need a native decoder")
+    offsets = _mp4_sample_offsets(vid)
+    sizes = vid["sizes"]
+    rate = (25, 1)
+    if vid["timescale"] and vid["delta"]:
+        rate = (int(vid["timescale"]), int(vid["delta"]))
+    frames = []
+    for i in range(0, len(offsets), every):
+        if max_frames and len(frames) >= max_frames:
+            break
+        o, ln = int(offsets[i]), int(sizes[i])
+        frames.append(_rgb_to_luma(jpeg_decode(payload[o:o + ln])))
+    if not frames:
+        raise ValueError("MP4 without decodable frames")
+    return np.stack(frames), rate
 
 
 def video_decode(payload: bytes, every: int = 1, max_frames: int = 0
                  ) -> tuple[np.ndarray, tuple[int, int]]:
     """Sniff-and-decode sampled luma frames from a video payload:
-    Y4M or Motion-JPEG AVI."""
+    Y4M, Motion-JPEG AVI, or Motion-JPEG MP4."""
     if payload.startswith(b"YUV4MPEG2"):
         return y4m_decode(payload, every=every, max_frames=max_frames)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return avi_mjpeg_decode(payload, every=every,
                                 max_frames=max_frames)
-    raise ValueError("unknown video format (not Y4M/AVI)")
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return mp4_mjpeg_decode(payload, every=every,
+                                max_frames=max_frames)
+    raise ValueError("unknown video format (not Y4M/AVI/MP4)")

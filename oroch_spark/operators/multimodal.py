@@ -3,7 +3,7 @@
 Two tiers of decode:
 
 - **Real (round 4)**: PNG and baseline JPEG images, WAV/PCM audio,
-  Y4M and Motion-JPEG AVI video decode fully via the from-scratch
+  Y4M and Motion-JPEG AVI/MP4 video decode fully via the from-scratch
   codecs in ``operators/mediacodec.py`` — ``image_features`` /
   ``audio_features`` / ``video_frame_features`` below compute genuine
   per-channel pixel stats and signal stats from decoded payloads, and
@@ -157,10 +157,11 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Real decoders (round 4): PNG + baseline JPEG images, WAV audio, Y4M
-# + Motion-JPEG AVI video via the from-scratch codecs in
-# operators/mediacodec.py, plus the metadata-speed media_probe (incl.
-# MP4 box-tree metadata). Only H.264/HEVC frame decode and progressive
-# JPEG still need native libs and keep the stub/swap-point story above.
+# + Motion-JPEG AVI/MP4 video (full ISO-BMFF sample-table demux) via
+# the from-scratch codecs in operators/mediacodec.py, plus the
+# metadata-speed media_probe. Only H.264/HEVC bitstream decode and
+# progressive JPEG still need native libs and keep the swap-point
+# story above.
 # ---------------------------------------------------------------------------
 
 IMAGE_FEATURE_SCHEMA = T.StructType([
@@ -373,12 +374,13 @@ VIDEO_FEATURE_SCHEMA = T.StructType([
 
 def video_frame_features(df: DataFrame, every: int = 5,
                          max_frames: int = 16) -> DataFrame:
-    """REAL video frame sampling for Y4M and Motion-JPEG AVI payloads
-    (`mediacodec.video_decode`): every k-th luma frame is decoded (the
-    skipped frames' bytes are never touched — Y4M seeks over planes,
-    AVI skips whole RIFF chunks), yielding per-frame mean luma and a
-    motion score (mean absolute difference between consecutive sampled
-    frames). Undecodable payloads yield NULLs."""
+    """REAL video frame sampling for Y4M and Motion-JPEG AVI/MP4
+    payloads (`mediacodec.video_decode`): every k-th luma frame is
+    decoded (the skipped frames' bytes are never touched — Y4M seeks
+    over planes, AVI skips whole RIFF chunks, MP4 reads only the
+    sampled entries' chunk offsets), yielding per-frame mean luma and
+    a motion score (mean absolute difference between consecutive
+    sampled frames). Undecodable payloads yield NULLs."""
     from . import mediacodec as mc
 
     def run(batches) -> Iterator["pa.RecordBatch"]:

@@ -592,3 +592,94 @@ def test_y4m_probe_frame_params_and_chroma_modes():
     # unknown chroma: header probes, frame count honestly None
     weird = head.replace(b"C422", b"C410") + body
     assert mc.media_probe(weird)["n_frames"] is None
+
+
+# ---------------------------------------------------------------------------
+# MP4 / Motion-JPEG: sample-table demux + real frame decode
+# ---------------------------------------------------------------------------
+
+def _mp4_frames(n=8, h=24, w=32):
+    yy = np.linspace(0, 255, h)
+    xx = np.linspace(0, 255, w)
+    base = np.add.outer(yy, xx) / 2
+    return np.stack([
+        np.clip(np.stack([base + 5 * t, base[::-1], 255 - base],
+                         axis=2), 0, 255).astype(np.uint8)
+        for t in range(n)])
+
+
+def test_mp4_mjpeg_roundtrip_and_sampling():
+    frames = _mp4_frames()
+    mp4 = mc.mp4_mjpeg_encode(frames, rate=(30, 1), quality=92)
+    luma, rate = mc.mp4_mjpeg_decode(mp4)
+    assert luma.shape == (8, 24, 32) and rate == (30, 1)
+    exp = np.stack([mc._rgb_to_luma(f) for f in frames])
+    assert np.abs(luma.astype(int) - exp.astype(int)).mean() < 2.0
+    part, _ = mc.mp4_mjpeg_decode(mp4, every=3, max_frames=2)
+    assert np.array_equal(part, luma[::3][:2])
+    with pytest.raises(ValueError):
+        mc.mp4_mjpeg_decode(b"\x00\x00\x00\x08free")
+
+
+def test_mp4_multichunk_stsc_expansion():
+    # 8 samples in chunks of 3 -> chunks of (3,3,2): two stsc entries,
+    # three stco offsets; decode must reassemble the exact same frames
+    frames = _mp4_frames()
+    one = mc.mp4_mjpeg_encode(frames, quality=92)
+    many = mc.mp4_mjpeg_encode(frames, quality=92, samples_per_chunk=3)
+    assert one != many                      # layout genuinely differs
+    a, _ = mc.mp4_mjpeg_decode(one)
+    b, _ = mc.mp4_mjpeg_decode(many)
+    assert np.array_equal(a, b)
+    tr = [t for t in mc._mp4_tracks(many) if t["codec"] == b"jpeg"][0]
+    assert len(tr["stco"]) == 3 and len(tr["stsc"]) == 2
+
+
+def test_mp4_probe_and_media_probe_on_real_file():
+    frames = _mp4_frames(n=6)
+    mp4 = mc.mp4_mjpeg_encode(frames, rate=(30, 1), samples_per_chunk=4)
+    p = mc.mp4_probe(mp4)
+    assert p["tracks"][0]["codec"] == "jpeg"
+    assert p["tracks"][0]["width"] == 32
+    assert p["tracks"][0]["height"] == 24
+    assert p["duration_ms"] == 200          # 6 frames at 30 fps
+    d = mc.media_probe(mp4)
+    assert d["container"] == "mp4" and d["kind"] == "video"
+    assert d["n_frames"] == 6
+    assert d["codec"] == "jpeg"
+
+
+def test_mp4_non_jpeg_codec_raises_not_implemented():
+    frames = _mp4_frames(n=2)
+    mp4 = mc.mp4_mjpeg_encode(frames)
+    # moov sits after mdat, so the LAST 'jpeg' occurrence is the stsd
+    # sample-entry fourcc; rebrand it avc1 to simulate an H.264 track
+    i = mp4.rindex(b"jpeg")
+    fake = mp4[:i] + b"avc1" + mp4[i + 4:]
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mc.mp4_mjpeg_decode(fake)
+
+
+def test_video_decode_dispatch_mp4():
+    frames = _mp4_frames(n=4)
+    mp4 = mc.mp4_mjpeg_encode(frames, rate=(30, 1), quality=92)
+    a, rate = mc.video_decode(mp4, every=2)
+    direct, _ = mc.mp4_mjpeg_decode(mp4, every=2)
+    assert np.array_equal(a, direct) and rate == (30, 1)
+
+
+def test_video_frame_features_mp4(spark):
+    frames = _mp4_frames(n=6)
+    rows = [(i, bytearray(mc.mp4_mjpeg_encode(
+        frames[: 3 + (i % 3)], rate=(30, 1), quality=92,
+        samples_per_chunk=2))) for i in range(3)]
+    df = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    got = multimodal.video_frame_features(df, every=2, max_frames=8) \
+        .toPandas().set_index("media_id").sort_index()
+    for i, payload in rows:
+        luma, _ = mc.video_decode(bytes(payload), every=2, max_frames=8)
+        g = got.loc[i]
+        assert g["n_frames_sampled"] == len(luma)
+        assert np.allclose(np.array(g["frame_means"]),
+                           luma.astype(np.float64).mean(axis=(1, 2)),
+                           atol=1e-3)
