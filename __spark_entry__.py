@@ -792,7 +792,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rt_append_events, latest_wins_events, rt_dims_join,
     ds_filter_events. Entries whose r3 row was missing — and the new
     ones — lead the dict in case the driver cap is
-    ordering-sensitive."""
+    ordering-sensitive.
+
+    Library-level ops added late in r4 stay OUT of this capped
+    surface and are evidenced by pytest + PARITY.md instead:
+    dedup.connected_components / dedup_clusters / near_dup_dedup
+    (exact union-find oracle in tests/test_cc_clusters.py) and the
+    Motion-JPEG MP4 demux/decode (tests/test_mediacodec.py)."""
     return {
         # --- round-3 gaps + round-4 additions first -----------------
         "winnow_fingerprints": _q_winnow,
