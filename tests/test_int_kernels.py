@@ -288,3 +288,23 @@ def test_delta_gate_never_changes_selection():
                 == tuple(getattr(d2, f) for f in fields)
     finally:
         ic._delta_lower_bound = orig
+
+
+def test_bit_length_table_and_frexp_paths_agree():
+    """The 16-bit table gather and the frexp fallback must agree with
+    int.bit_length at every path boundary (0, 2^16, 2^53, 2^64-1)."""
+    import numpy as np
+
+    from oroch_spark.kernels import bits
+
+    edges = [0, 1, 2, 255, 256, 65535,            # table path
+             65536, 65537, (1 << 53) - 1, 1 << 53,  # frexp + fixup
+             (1 << 53) + 1, (1 << 63), (1 << 64) - 1]
+    # all-small array exercises the table; mixed array the frexp path
+    small = np.array([e for e in edges if e < 65536], dtype=np.uint64)
+    mixed = np.array(edges, dtype=np.uint64)
+    for arr in (small, mixed):
+        got = bits.bit_length(arr)
+        exp = [int(x).bit_length() for x in arr.tolist()]
+        assert [int(g) for g in got] == exp
+    assert bits.bit_length(np.zeros(0, dtype=np.uint64)).size == 0
