@@ -312,7 +312,14 @@ def _translate(filters: list["Filter"], cols_ok: set[str]):
     """Split filters into (accepted, unsupported, {col: pred}). A
     filter is accepted only if the reader can enforce it EXACTLY
     (Spark does not re-apply accepted filters): single-column
-    =/IN/</<=/>/>= on any projected string/integer-domain column."""
+    =/IN/</<=/>/>= on any projected string/integer-domain column.
+
+    OR-of-columns never arrives here by API construction: PySpark's
+    DataSource pushdown vocabulary (pyspark.sql.datasource) has leaf
+    filters plus Not only — no Or/And classes — so Spark keeps
+    disjunctions JVM-side (correct, just unpruned) and offers the
+    conjuncts it can split. The engine-level OR prune
+    (engine.prune_blocks_in) remains available via the library API."""
     preds: dict[str, _KeyPred] = {}
     accepted: list[Filter] = []
     unsupported: list[Filter] = []
