@@ -1,6 +1,6 @@
 """From-scratch media codecs for the multimodal pipeline: PNG,
-baseline JPEG, WAV, Y4M, Motion-JPEG AVI and Motion-JPEG MP4 (full
-ISO-BMFF sample-table demux), plus an MP4 metadata probe.
+baseline + progressive JPEG, WAV, Y4M, Motion-JPEG AVI and Motion-JPEG
+MP4 (full ISO-BMFF sample-table demux), plus an MP4 metadata probe.
 
 The container has no PIL/libjpeg/ffmpeg, but two of the common training
 -data media formats are fully decodable with the standard library plus
@@ -8,9 +8,9 @@ numpy — PNG's compression is stdlib ``zlib`` and its scanline filters
 are pure arithmetic (PNG spec, RFC 2083 §6), WAV PCM is a RIFF header
 walk plus a dtype view, and baseline JPEG (ITU-T T.81) is huffman
 coding + IDCT — all implementable in numpy. These decoders make
-``media_features`` REAL for PNG/JPEG images and WAV audio; H.264/HEVC
-bitstreams and progressive JPEG remain the documented swap point for
-clusters with the native libs (the MP4 demux around them is real).
+``media_features`` REAL for PNG/JPEG images and WAV audio; only
+H.264/HEVC bitstreams remain the documented swap point for clusters
+with the native libs (the MP4 demux around them is real).
 
 Scope (deliberately the well-specified core of each format):
 
@@ -18,10 +18,14 @@ Scope (deliberately the well-specified core of each format):
   all five scanline filters (None/Sub/Up/Average/Paeth). The encoder
   (test fixtures + a usable writer) emits filter-0 scanlines.
 - WAV: RIFF/WAVE with PCM (format 1) 8/16/32-bit, any channel count.
-- JPEG: baseline sequential DCT (SOF0/1), 8-bit, grayscale + YCbCr,
-  sampling factors 1-2 per axis (4:4:4/4:2:2/4:2:0), restart
-  intervals; the encoder writes quality-scaled Annex K tables.
-  Progressive/arithmetic/12-bit raise NotImplementedError.
+- JPEG: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2,
+  T.81 Annex G: spectral selection + successive approximation with
+  EOBn runs), 8-bit, grayscale + YCbCr, sampling factors 1-2 per
+  axis (4:4:4/4:2:2/4:2:0), restart intervals; the baseline encoder
+  writes quality-scaled Annex K tables, the progressive encoder the
+  libjpeg scan script with per-scan optimal (Annex K.2) tables.
+  Arithmetic coding / lossless (SOF3+) / 12-bit raise
+  NotImplementedError.
 - AVI/Motion-JPEG: RIFF walk + the JPEG decoder per sampled frame
   (un-sampled frames' chunks are skipped, never decoded).
 - MP4/ISO BMFF: metadata probe (box tree -> duration, track dims,
@@ -501,21 +505,15 @@ def _plane_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
 _JPEG_SAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 90,
-                subsample: str = "420", restart: int = 0,
-                interleave: bool = True) -> bytes:
-    """Baseline JFIF writer: (H, W) grayscale or (H, W, 3) RGB uint8,
-    quality-scaled Annex K quant tables, typical huffman tables,
-    ``subsample`` in {'444', '422', '420'} for color input,
-    ``restart`` > 0 emits a DRI segment + RSTn markers every that
-    many MCUs (error-resilience structure real encoders produce),
-    ``interleave=False`` writes one SOS per component (the equally
-    legal non-interleaved baseline layout, T.81 A.2.2)."""
+def _jpeg_prepare(img: np.ndarray, quality: int, subsample: str):
+    """Shared encoder front end: RGB->YCbCr, chroma pooling, FDCT +
+    quantize + zigzag per component. Returns (h, w, comps, blocks,
+    ql, qc, hmax, vmax, mcux, mcuy); comps are (id, h, v, tq)."""
     a = np.ascontiguousarray(img, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
     if not gray and a.shape[2] != 3:
-        raise ValueError("jpeg_encode wants (H,W) gray or (H,W,3) RGB")
+        raise ValueError("jpeg encode wants (H,W) gray or (H,W,3) RGB")
     ql, qc = _quality_tables(quality)
     if gray:
         comps = [(1, 1, 1, 0)]               # id, h, v, tq
@@ -547,6 +545,21 @@ def jpeg_encode(img: np.ndarray, quality: int = 90,
                    ((0, th - p.shape[0]), (0, tw - p.shape[1])),
                    mode="edge")
         blocks.append(_plane_blocks(p, qts[tq]))
+    return h, w, comps, blocks, ql, qc, hmax, vmax, mcux, mcuy
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 90,
+                subsample: str = "420", restart: int = 0,
+                interleave: bool = True) -> bytes:
+    """Baseline JFIF writer: (H, W) grayscale or (H, W, 3) RGB uint8,
+    quality-scaled Annex K quant tables, typical huffman tables,
+    ``subsample`` in {'444', '422', '420'} for color input,
+    ``restart`` > 0 emits a DRI segment + RSTn markers every that
+    many MCUs (error-resilience structure real encoders produce),
+    ``interleave=False`` writes one SOS per component (the equally
+    legal non-interleaved baseline layout, T.81 A.2.2)."""
+    h, w, comps, blocks, ql, qc, hmax, vmax, mcux, mcuy = \
+        _jpeg_prepare(img, quality, subsample)
     dc_tabs = [_huff_codes(*_DC_L), _huff_codes(*_DC_C)]
     ac_tabs = [_huff_codes(*_AC_L), _huff_codes(*_AC_C)]
 
@@ -629,6 +642,263 @@ def jpeg_encode(img: np.ndarray, quality: int = 90,
         out.append(seg(0xFFDA, sos_for(cis)))
         out.append(scan)
     out.append(b"\xff\xd9")                  # EOI
+    return b"".join(out)
+
+
+def _optimal_table(freq_map: dict[int, int]) -> tuple[list, list]:
+    """Optimal huffman table from symbol frequencies per T.81 Annex
+    K.2 (the code-length derivation libjpeg also uses): pair the two
+    least-frequent symbols repeatedly, chain code sizes through the
+    `others` links, limit lengths to 16 via the bits-adjustment, and
+    drop the reserved all-ones code (fake symbol 256, freq 1). Returns
+    (bits[16], vals) ready for a DHT segment."""
+    freq = [0] * 257
+    for sym, f in freq_map.items():
+        freq[sym] = f
+    if not any(freq[:256]):
+        freq[0] = 1                          # degenerate scan: 1 symbol
+    freq[256] = 1                            # reserve the all-ones code
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1, v = -1, None
+        for i in range(257):
+            if freq[i] and (v is None or freq[i] <= v):
+                v, c1 = freq[i], i           # ties -> larger symbol
+        c2, v = -1, None
+        for i in range(257):
+            if freq[i] and i != c1 and (v is None or freq[i] <= v):
+                v, c2 = freq[i], i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    for i in range(32, 16, -1):              # K.2 length limiting
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1                             # remove the reserved code
+    vals = [s for s in sorted(range(256),
+                              key=lambda s: (codesize[s], s))
+            if codesize[s]]
+    return bits[1:17], vals
+
+
+# libjpeg's default progressive scan script (public jcparam.c layout):
+# DC first at Al=1, luma AC split 1-5/6-63 at Al-levels 2, chroma AC
+# whole-band at Al=1, then the successive-approximation refinements
+# down to Al=0. (comp_indices, Ss, Se, Ah, Al)
+_PROG_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+]
+_PROG_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0),
+]
+
+
+def jpeg_encode_progressive(img: np.ndarray, quality: int = 90,
+                            subsample: str = "420") -> bytes:
+    """Progressive (SOF2) JFIF writer — T.81 Annex G with the classic
+    libjpeg scan script: spectral selection + successive approximation
+    over the same quantized coefficients as :func:`jpeg_encode`, with
+    per-scan OPTIMAL huffman tables (two-pass: count symbols, build
+    Annex K.2 tables, emit). Decoding this output is bit-identical to
+    decoding the baseline encoding of the same image at the same
+    quality — both reconstruct the exact same coefficient matrix."""
+    h, w, comps, blocks, ql, qc, hmax, vmax, mcux, mcuy = \
+        _jpeg_prepare(img, quality, subsample)
+    script = _PROG_SCRIPT_GRAY if len(comps) == 1 else _PROG_SCRIPT_COLOR
+
+    def tab_of(ci):
+        return min(comps[ci][3], 1) if len(comps) > 1 else 0
+
+    def mcu_slots():
+        """(ci, zz_row) per block in MCU interleave order (DC scans)."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (cid, ch_, cv, tq) in enumerate(comps):
+                    for v in range(cv):
+                        for hh in range(ch_):
+                            yield ci, blocks[ci][my * cv + v,
+                                                 mx * ch_ + hh]
+
+    def comp_blocks(ci):
+        """Blocks of one component in ITS true raster (AC scans)."""
+        cid, ch_, cv, tq = comps[ci]
+        cew = -(-w * ch_ // hmax)
+        ceh = -(-h * cv // vmax)
+        for by in range(-(-ceh // 8)):
+            for bx in range(-(-cew // 8)):
+                yield blocks[ci][by, bx]
+
+    def run_scan(cis, ss, se, ah, al, emit_sym, emit_bits):
+        """One scan through either sink (counting or writing)."""
+        if ss == 0 and ah == 0:              # DC first (G.1.2.1)
+            preds = [0] * len(comps)
+            for ci, zz in mcu_slots():
+                if ci not in cis:            # pragma: no cover
+                    continue
+                v = int(zz[0]) >> al         # arithmetic shift (spec)
+                size, amp = _mag_bits(v - preds[ci])
+                preds[ci] = v
+                emit_sym(("dc", tab_of(ci)), size)
+                emit_bits(amp, size)
+        elif ss == 0:                        # DC refinement: raw bits
+            for ci, zz in mcu_slots():
+                emit_bits((int(zz[0]) >> al) & 1, 1)
+        else:                                # AC scans: one component
+            ci = cis[0]
+            tk = ("ac", 0)
+            eobrun = 0
+            ride: list[int] = []             # bits riding the EOB run
+
+            def flush_eobrun():
+                nonlocal eobrun
+                if eobrun > 0:
+                    nb = eobrun.bit_length() - 1
+                    emit_sym(tk, nb << 4)
+                    if nb:
+                        emit_bits(eobrun & ((1 << nb) - 1), nb)
+                    for bit in ride:
+                        emit_bits(bit, 1)
+                    ride.clear()
+                    eobrun = 0
+
+            for zz in comp_blocks(ci):
+                if ah == 0:                  # AC first (G.1.2.2)
+                    r = 0
+                    for k in range(ss, se + 1):
+                        t = int(zz[k])
+                        a = (t if t >= 0 else -t) >> al
+                        if a == 0:
+                            r += 1
+                            continue
+                        flush_eobrun()
+                        while r > 15:
+                            emit_sym(tk, 0xF0)
+                            r -= 16
+                        size, amp = _mag_bits(a if t > 0 else -a)
+                        emit_sym(tk, (r << 4) | size)
+                        emit_bits(amp, size)
+                        r = 0
+                    if r > 0:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+                else:                        # AC refinement (G.1.2.3)
+                    cur: list[int] = []      # this block's pending bits
+                    r = 0
+                    eobpos = -1              # last newly-significant k
+                    for k in range(ss, se + 1):
+                        t = int(zz[k])
+                        if ((t if t >= 0 else -t) >> al) == 1:
+                            eobpos = k
+                    for k in range(ss, se + 1):
+                        t = int(zz[k])
+                        a = (t if t >= 0 else -t) >> al
+                        if a == 0:
+                            r += 1
+                            continue
+                        while r > 15 and k <= eobpos:
+                            flush_eobrun()
+                            emit_sym(tk, 0xF0)
+                            r -= 16
+                            for bit in cur:
+                                emit_bits(bit, 1)
+                            cur = []
+                        if a > 1:            # history: correction bit
+                            cur.append(a & 1)
+                            continue
+                        flush_eobrun()       # newly significant (a==1)
+                        emit_sym(tk, (r << 4) | 1)
+                        emit_bits(1 if t > 0 else 0, 1)
+                        for bit in cur:
+                            emit_bits(bit, 1)
+                        cur = []
+                        r = 0
+                    if r > 0 or cur:
+                        eobrun += 1
+                        ride.extend(cur)
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+            flush_eobrun()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid])
+                   + bytes(int(x) for x in q[_ZIGZAG]))
+
+    sof_body = struct.pack(">BHHB", 8, h, w, len(comps)) + b"".join(
+        struct.pack(">BBB", cid, (ch_ << 4) | cv, tq)
+        for cid, ch_, cv, tq in comps)
+    out = [b"\xff\xd8",
+           seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+           dqt(0, ql)]
+    if len(comps) > 1:
+        out.append(dqt(1, qc))
+    out.append(seg(0xFFC2, sof_body))        # SOF2 progressive
+
+    for cis, ss, se, ah, al in script:
+        # pass 1: symbol statistics for this scan
+        freqs: dict[tuple, dict[int, int]] = {}
+
+        def count_sym(tkey, sym):
+            freqs.setdefault(tkey, {})[sym] = \
+                freqs.get(tkey, {}).get(sym, 0) + 1
+
+        run_scan(cis, ss, se, ah, al, count_sym, lambda v, n: None)
+        # build + emit optimal tables (ids: DC per class, AC always 0)
+        tables: dict[tuple, dict] = {}
+        for tkey, fr in sorted(freqs.items()):
+            bits, vals = _optimal_table(fr)
+            cls = 0 if tkey[0] == "dc" else 1
+            out.append(seg(0xFFC4, bytes([(cls << 4) | tkey[1]])
+                           + bytes(bits) + bytes(vals)))
+            tables[tkey] = _huff_codes(bits, vals)
+        # pass 2: entropy-coded data
+        bw = _BitWriter()
+
+        def write_sym(tkey, sym):
+            code, ln = tables[tkey][sym]
+            bw.put(code, ln)
+
+        run_scan(cis, ss, se, ah, al, write_sym, bw.put)
+        sos = bytes([len(cis)]) + b"".join(
+            struct.pack(">BB", comps[ci][0],
+                        (tab_of(ci) << 4) | 0)
+            for ci in cis) + bytes([ss, se, (ah << 4) | al])
+        out.append(seg(0xFFDA, sos))
+        out.append(bw.flush())
+    out.append(b"\xff\xd9")
     return b"".join(out)
 
 
@@ -719,22 +989,108 @@ def _split_scan(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     return segs, pos
 
 
+def _ac_first(br: "_BitReader", act: _HuffDecoder, zz: np.ndarray,
+              ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC initial scan for one block (T.81 G.1.2.2):
+    run/size codes over the band with EOBn end-of-band run codes
+    (symbol r<<4 means a run of 2^r + next-r-bits blocks whose band is
+    entirely zero AT THIS APPROXIMATION level). Returns the new
+    end-of-band run counter."""
+    if eobrun > 0:
+        return eobrun - 1                    # whole band zero
+    k = ss
+    while k <= se:
+        rs = br.decode(act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1        # this block is done
+                if r:
+                    eobrun += br.receive(r)
+                break
+            k += 16                          # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC overflow")
+        zz[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br: "_BitReader", act: _HuffDecoder, zz: np.ndarray,
+               ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3):
+    run/size codes position NEWLY significant coefficients (size is
+    always 1 — the new magnitude bit — followed by its sign bit);
+    every already-nonzero coefficient passed over contributes one
+    correction bit; EOBn runs cover blocks that gain no new nonzero
+    coefficients but still carry correction bits."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode(act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history positions
+                val = 0
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement size")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    # correction bit for an already-nonzero coefficient
+                    if br.read_bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        if s:
+                            zz[k] = val
+                        break
+                    r -= 1
+                k += 1
+            k += 1
+    if eobrun > 0:
+        # end-of-band run covers the remainder of THIS block too:
+        # correction bits only, no new coefficients
+        while k <= se:
+            c = int(zz[k])
+            if c != 0 and br.read_bit() and (c & p1) == 0:
+                zz[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to (H, W) uint8 grayscale or
-    (H, W, 3) uint8 RGB. Quant/huffman tables come from the file's own
-    DQT/DHT segments; sampling factors up to 2x2 (4:4:4 / 4:2:2 /
+    """Decode a baseline-sequential (SOF0/1) or progressive (SOF2,
+    T.81 Annex G: spectral selection + successive approximation, huffman)
+    JPEG to (H, W) uint8 grayscale or (H, W, 3) uint8 RGB. Quant/huffman
+    tables come from the file's own DQT/DHT segments (tables may be
+    redefined between scans — each scan decodes with the tables in
+    force at ITS header); sampling factors up to 2x2 (4:4:4 / 4:2:2 /
     4:2:0 and friends) and restart intervals (DRI/RSTn) are supported.
     Raises ValueError on non-JPEG bytes, NotImplementedError on
-    progressive (SOF2) / arithmetic / 12-bit / 4-component files."""
+    arithmetic / lossless / 12-bit / 4-component files."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
+    progressive = False
     restart = 0
     pos = 2
     n = len(payload)
-    scans: list[tuple[list, list, int]] = []   # (comps, segs, dri)
+    # (comps, segs, dri, ss, se, ah, al, tables-in-force snapshot)
+    scans: list[tuple] = []
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -765,8 +1121,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 vals = list(body[off + 17:off + 17 + nv])
                 htabs[(cls, tid)] = _HuffDecoder(bits, vals)
                 off += 17 + nv
-        elif marker in (0xC0, 0xC1):         # SOF0/1: (extended)
-            prec, h, w, nc = struct.unpack(">BHHB", body[:6])  # sequential
+        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/1 seq, SOF2 progressive
+            progressive = marker == 0xC2
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
             if nc not in (1, 3):
@@ -781,10 +1138,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                         f"sampling factors {ch_}x{cv}")
                 comps.append([cid, ch_, cv, tq])
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/arithmetic/lossless)")
+                "non-huffman/lossless JPEG (arithmetic or SOF3+)")
         elif marker == 0xDD:                 # DRI
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:                 # SOS: entropy data follows
@@ -795,10 +1152,14 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 scan_comps.append((cs, tt >> 4, tt & 0xF))
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], \
+                body[3 + 2 * ns]
             segs, pos = _split_scan(payload, pos)
-            # baseline files may carry SEVERAL scans (one per
-            # component, non-interleaved) — keep walking to EOI
-            scans.append((scan_comps, segs, restart))
+            # files may carry SEVERAL scans (non-interleaved baseline,
+            # progressive passes) — keep walking to EOI. Tables are
+            # snapshotted: later DHTs must not affect earlier scans.
+            scans.append((scan_comps, segs, restart, ss, se,
+                          a >> 4, a & 0xF, dict(htabs)))
         # APPn / COM / anything else: skipped by the length walk
     if frame is None or not scans:
         raise ValueError("JPEG without SOF/SOS")
@@ -834,10 +1195,19 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             k += 1
         return zz, pred
 
-    for scan_comps, segs, dri in scans:
+    for scan_comps, segs, dri, ss, se, ah, al, tabs in scans:
         order = [by_id[cs] for cs, _, _ in scan_comps]
         tabsel = {cs: (td, ta) for cs, td, ta in scan_comps}
-        non_il = len(order) == 1
+        # AC progressive scans MUST be single-component (G.1.1.1.1);
+        # DC/baseline scans may interleave
+        non_il = len(order) == 1 and (not progressive or ss > 0
+                                      or len(comps) == 1)
+        if progressive and ss > 0 and len(order) != 1:
+            raise ValueError("interleaved progressive AC scan")
+        if progressive and ss == 0 and se != 0:
+            # G.1.1.1.1: a progressive DC scan is exactly [0, 0];
+            # DC+AC in one scan is sequential-only syntax
+            raise ValueError("progressive scan with Ss=0 must have Se=0")
         if non_il:
             # non-interleaved scan (T.81 A.2.2): one data unit per
             # "MCU", walked in the COMPONENT's own block raster —
@@ -856,6 +1226,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         for seg_bytes in segs:
             br = _BitReader(seg_bytes)
             preds = {c[0]: 0 for c in comps}
+            eobrun = 0                       # reset at restarts (G.1.2)
             limit = min(total_units, unit + dri) if dri \
                 else total_units
             while unit < limit:
@@ -871,10 +1242,26 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                         for v in range(comp[2])
                         for hh in range(comp[1])]
                 for (cid, ch_, cv, _tq), row in slots:
-                    zz, preds[cid] = read_block(
-                        br, htabs[(0, tabsel[cid][0])],
-                        htabs[(1, tabsel[cid][1])], preds[cid])
-                    coefs[cid][row] = zz
+                    if not progressive:
+                        zz, preds[cid] = read_block(
+                            br, tabs[(0, tabsel[cid][0])],
+                            tabs[(1, tabsel[cid][1])], preds[cid])
+                        coefs[cid][row] = zz
+                    elif ss == 0 and ah == 0:      # DC first (G.1.2.1)
+                        s = br.decode(tabs[(0, tabsel[cid][0])])
+                        preds[cid] += _extend(br.receive(s), s)
+                        coefs[cid][row, 0] = preds[cid] << al
+                    elif ss == 0:                  # DC refinement
+                        if br.read_bit():
+                            coefs[cid][row, 0] |= (1 << al)
+                    elif ah == 0:                  # AC first (G.1.2.2)
+                        eobrun = _ac_first(
+                            br, tabs[(1, tabsel[cid][1])],
+                            coefs[cid][row], ss, se, al, eobrun)
+                    else:                          # AC refine (G.1.2.3)
+                        eobrun = _ac_refine(
+                            br, tabs[(1, tabsel[cid][1])],
+                            coefs[cid][row], ss, se, al, eobrun)
                 unit += 1
             if unit >= total_units:
                 break

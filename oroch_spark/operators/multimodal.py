@@ -2,15 +2,16 @@
 
 Two tiers of decode:
 
-- **Real (round 4)**: PNG and baseline JPEG images, WAV/PCM audio,
-  Y4M and Motion-JPEG AVI/MP4 video decode fully via the from-scratch
-  codecs in ``operators/mediacodec.py`` — ``image_features`` /
+- **Real (round 4)**: PNG and baseline/progressive JPEG images,
+  WAV/PCM audio, Y4M and Motion-JPEG AVI/MP4 video decode fully via
+  the from-scratch codecs in ``operators/mediacodec.py`` —
+  ``image_features`` /
   ``audio_features`` / ``video_frame_features`` below compute genuine
   per-channel pixel stats and signal stats from decoded payloads, and
   ``media_metadata`` probes every container (incl. MP4 box-tree
   metadata) at header speed.
 - **Stub**: formats that need native libs absent from this container
-  (H.264/HEVC frames, progressive JPEG) keep the deterministic stand-in (first 64
+  (H.264/HEVC bitstreams) keep the deterministic stand-in (first 64
   payload bytes as an 8x8 pseudo-pixel tile) so the Spark-side
   plumbing — schema, Arrow batch shapes, zero-copy binary buffers,
   vectorized batch math, partition sizing — stays real and tested.
@@ -156,12 +157,12 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Real decoders (round 4): PNG + baseline JPEG images, WAV audio, Y4M
-# + Motion-JPEG AVI/MP4 video (full ISO-BMFF sample-table demux) via
-# the from-scratch codecs in operators/mediacodec.py, plus the
-# metadata-speed media_probe. Only H.264/HEVC bitstream decode and
-# progressive JPEG still need native libs and keep the swap-point
-# story above.
+# Real decoders (round 4): PNG + baseline/progressive JPEG images,
+# WAV audio, Y4M + Motion-JPEG AVI/MP4 video (full ISO-BMFF
+# sample-table demux) via the from-scratch codecs in
+# operators/mediacodec.py, plus the metadata-speed media_probe. Only
+# H.264/HEVC bitstream decode still needs native libs and keeps the
+# swap-point story above.
 # ---------------------------------------------------------------------------
 
 IMAGE_FEATURE_SCHEMA = T.StructType([

@@ -297,9 +297,14 @@ def test_jpeg_rejects_out_of_scope():
         mc.jpeg_decode(b"definitely not a jpeg")
     good = bytearray(mc.jpeg_encode(np.zeros((8, 8), dtype=np.uint8)))
     i = good.find(b"\xff\xc0")
+    # a baseline file rebranded SOF2 is ILLEGAL progressive syntax
+    # (one scan with Ss=0, Se=63) — progressive itself is supported
     prog = bytes(good[:i + 1]) + b"\xc2" + bytes(good[i + 2:])
+    with pytest.raises(ValueError, match="Ss=0"):
+        mc.jpeg_decode(prog)
+    lossless = bytes(good[:i + 1]) + b"\xc3" + bytes(good[i + 2:])
     with pytest.raises(NotImplementedError):
-        mc.jpeg_decode(prog)  # SOF2 progressive
+        mc.jpeg_decode(lossless)  # SOF3 lossless stays out of scope
 
 
 def test_jpeg_decoder_uses_file_tables():
@@ -683,3 +688,83 @@ def test_video_frame_features_mp4(spark):
         assert np.allclose(np.array(g["frame_means"]),
                            luma.astype(np.float64).mean(axis=(1, 2)),
                            atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+def _noisy_gray(h, w, seed=5, sigma=12):
+    rng = np.random.default_rng(seed)
+    yy = np.linspace(0, 255, h)
+    xx = np.linspace(0, 255, w)
+    base = np.add.outer(yy, xx) / 2
+    return np.clip(base + rng.normal(0, sigma, (h, w)),
+                   0, 255).astype(np.uint8)
+
+
+def test_jpeg_progressive_equals_baseline_gray():
+    """Both scan structures reconstruct the SAME quantized coefficient
+    matrix, so decoded pixels must be bit-identical — a full check of
+    DC/AC first + refinement passes against an independent path."""
+    for h, w in [(8, 8), (16, 24), (33, 41)]:
+        g = _noisy_gray(h, w)
+        a = mc.jpeg_decode(mc.jpeg_encode(g, quality=85))
+        b = mc.jpeg_decode(mc.jpeg_encode_progressive(g, quality=85))
+        assert np.array_equal(a, b), (h, w)
+
+
+def test_jpeg_progressive_equals_baseline_color():
+    rng = np.random.default_rng(9)
+    rgb = np.clip(np.stack([_noisy_gray(32, 45, s) for s in (1, 2, 3)],
+                           axis=2) + rng.normal(0, 5, (32, 45, 3)),
+                  0, 255).astype(np.uint8)
+    for sub in ("444", "422", "420"):
+        a = mc.jpeg_decode(mc.jpeg_encode(rgb, quality=80,
+                                          subsample=sub))
+        b = mc.jpeg_decode(mc.jpeg_encode_progressive(
+            rgb, quality=80, subsample=sub))
+        assert np.array_equal(a, b), sub
+
+
+def test_jpeg_progressive_adversarial_content():
+    """Content chosen to force every bitstream path: dense noise
+    (refinement correction bits + ZRL-in-refine), dark images
+    (negative DC chains), checkerboard (pure high-frequency), and
+    near-flat blocks (EOBn runs with n >= 1)."""
+    rng = np.random.default_rng(13)
+    cases = [
+        rng.integers(0, 256, (40, 56)).astype(np.uint8),
+        rng.integers(0, 30, (24, 88)).astype(np.uint8),
+        (np.indices((48, 32)).sum(0) % 2 * 255).astype(np.uint8),
+        np.full((64, 64), 130, dtype=np.uint8),
+    ]
+    cases[3][::16, ::16] = 255               # isolated spikes
+    for q in (30, 75, 95, 100):
+        for g in cases:
+            a = mc.jpeg_decode(mc.jpeg_encode(g, quality=q))
+            b = mc.jpeg_decode(mc.jpeg_encode_progressive(g, quality=q))
+            assert np.array_equal(a, b), q
+
+
+def test_jpeg_progressive_is_smaller_with_optimal_tables():
+    g = _noisy_gray(64, 64)
+    prog = mc.jpeg_encode_progressive(g, quality=85)
+    base = mc.jpeg_encode(g, quality=85)
+    assert len(prog) < len(base)             # per-scan optimal tables
+
+
+def test_jpeg_progressive_probe_and_features(spark):
+    g = _noisy_gray(24, 24)
+    prog = mc.jpeg_encode_progressive(g, quality=90)
+    d = mc.media_probe(prog)
+    assert d["codec"] == "jpeg-progressive"
+    assert (d["width"], d["height"]) == (24, 24)
+    # Spark image_features dispatches through the same jpeg_decode
+    df = spark.createDataFrame([(1, bytearray(prog))],
+                               "media_id: long, payload: binary")
+    got = multimodal.image_features(df).collect()[0]
+    exp = mc.jpeg_decode(prog)
+    assert (got["width"], got["height"]) == (24, 24)
+    np.testing.assert_allclose(
+        got["mean"], [exp.astype(np.float64).mean()], rtol=1e-5)
