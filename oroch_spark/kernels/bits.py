@@ -79,10 +79,33 @@ def pack_bits(u: np.ndarray, nbits: int) -> bytes:
     # (n x nbits) uint64 shift matrix entirely; only the ceil(nbits/8)
     # low bytes per value are unpacked (8x less work at plane widths).
     nb = (nbits + 7) // 8
-    byte_rows = u.view(np.uint8).reshape(n, 8)[:, :nb]
     if nbits == 8 * nb:
         # byte-aligned widths: plain byte slice, no bit ops at all
+        byte_rows = u.view(np.uint8).reshape(n, 8)[:, :nb]
         return np.ascontiguousarray(byte_rows).tobytes()
+    # Grouped shift-OR: g = 8/gcd(nbits,8) values pack into exactly
+    # g*nbits/8 bytes; when one group fits a uint64 (g*nbits <= 64 —
+    # every nbits <= 8 plus 10/12/14/20/28), OR the g lanes together
+    # and slice the low bytes per group. Zero-padding the tail group is
+    # bit-identical to the dense stream: pad values contribute 0 bits
+    # and the byte count is truncated to ceil(n*nbits/8) exactly as
+    # packbits would zero-fill the final partial byte.
+    g = 8 // np.gcd(nbits, 8)
+    if g * nbits <= 64:
+        ngroups = (n + g - 1) // g
+        if ngroups * g != n:
+            up = np.zeros(ngroups * g, dtype="<u8")
+            up[:n] = u
+            u = up
+        lanes = u.reshape(ngroups, g)
+        acc = lanes[:, 0].copy()
+        for k in range(1, g):
+            acc |= lanes[:, k] << U64(k * nbits)
+        gbytes = (g * nbits) // 8
+        out = np.ascontiguousarray(
+            acc.view(np.uint8).reshape(ngroups, 8)[:, :gbytes])
+        return out.reshape(-1)[: (n * nbits + 7) // 8].tobytes()
+    byte_rows = u.view(np.uint8).reshape(n, 8)[:, :nb]
     bits = np.unpackbits(byte_rows, axis=1, bitorder="little")[:, :nbits]
     return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 

@@ -247,7 +247,7 @@ def _varint_total_from_hist(hist: np.ndarray) -> int:
     return int((hist * per).sum())
 
 
-def _select_basic(desc: IntDescriptor, vals: np.ndarray, u_zig: np.ndarray,
+def _select_basic(desc: IntDescriptor, vals, u_zig,
                   vmin: int, vmax: int, n: int, width: int,
                   hist_zig: np.ndarray, hist_for: np.ndarray) -> None:
     """`select_basic` (`integer_codec.h:422-496`): exact costs of
@@ -288,17 +288,62 @@ def _select_basic(desc: IntDescriptor, vals: np.ndarray, u_zig: np.ndarray,
     compare(VARFOR, meta_vf, vfspace, vmin, 0)
 
 
+def _small_range_hists(vals: np.ndarray, vmin: int, vmax: int,
+                       want_zig: bool
+                       ) -> tuple[np.ndarray, Optional[np.ndarray],
+                                  np.ndarray]:
+    """Derive the selector's bit-length histograms from ONE value
+    histogram when the value range is small (dictionary ids, word
+    counts, FOR residues, small deltas — the kernel's dominant inputs).
+
+    Exactness: every histogram entry below is the same integer the
+    per-value passes would produce — the bit length of a value is a
+    pure function of the value, so grouping a value histogram by
+    bit length IS the bit-length histogram. bincount-with-weights sums
+    stay exact because every count <= n < 2^53 (float64 integer range).
+
+    Returns (hist_for, hist_zig_or_None, bl_for). Replaces up to five
+    full-array passes (zigzag transform, two bit_length passes, two
+    bincounts) with one bincount + one table gather.
+    """
+    rng = vmax - vmin
+    u_for_i = vals - vmin  # exact: result in [0, rng], rng < 2^16
+    hist_vals = np.bincount(u_for_i, minlength=rng + 1)
+    blf_dom = bit_length(np.arange(rng + 1, dtype=U64))
+    hist_for = np.bincount(blf_dom, weights=hist_vals,
+                           minlength=65).astype(np.int64)
+    hist_zig = None
+    if want_zig:
+        vdom = np.arange(vmin, vmax + 1, dtype=I64)
+        blz_dom = bit_length(zigzag_encode(vdom))
+        hist_zig = np.bincount(blz_dom, weights=hist_vals,
+                               minlength=65).astype(np.int64)
+    bl_for = blf_dom[u_for_i]
+    return hist_for, hist_zig, bl_for
+
+
+def _small_range_ok(rng: int, n: int) -> bool:
+    """Gate for the value-histogram fast path: the domain tables cost
+    O(rng); they must be small next to the O(n) passes they replace."""
+    return rng < (1 << 16) and n >= 64 and (rng + 1) * 4 <= n
+
+
 def select(vals: np.ndarray, width: int = 8, try_delta: bool = False,
-           _pre: Optional[tuple] = None) -> IntDescriptor:
+           _pre: Optional[tuple] = None,
+           vrange: Optional[tuple] = None) -> IntDescriptor:
     """Full auto-selection (`integer_codec.h:234-384`), plus the optional
     ``delta`` extension candidate when ``try_delta`` is set.
 
     ``vals``: int64 array (signed domain; unsigned inputs must fit int64).
-    ``_pre``: internal — ``(u_zig, hist_zig, vmin, vmax)`` already
+    ``_pre``: internal — ``(u_zig_or_None, hist_zig, vmin, vmax)`` already
     computed by the caller (:func:`_try_delta` derives all four for its
     gate), so the inner selection doesn't redo those passes. Purely a
     work-reuse handoff: the values are exactly what this function would
     compute itself.
+    ``vrange``: optional EXACT (min, max) the caller knows by
+    construction (dictionary-id streams always span [0, ndict-1]);
+    skips the two scan passes. A wrong hint corrupts selection — only
+    pass values that are guaranteed, not estimated.
     """
     vals = np.ascontiguousarray(vals, dtype=I64)
     n = len(vals)
@@ -311,6 +356,8 @@ def select(vals: np.ndarray, width: int = 8, try_delta: bool = False,
 
     if _pre is not None:
         u_zig, hist_zig, vmin, vmax = _pre
+    elif vrange is not None:
+        vmin, vmax = int(vrange[0]), int(vrange[1])
     else:
         vmin = int(vals.min())
         vmax = int(vals.max())
@@ -327,18 +374,26 @@ def select(vals: np.ndarray, width: int = 8, try_delta: bool = False,
     # histograms; every varint/bitpfr cost below derives from these.
     # bit_length runs ONCE per transform; the bitpfr sweep reuses
     # bl_for for its outlier masks instead of re-shifting the data.
-    if _pre is None:
-        u_zig = zigzag_encode(vals)
-    u_for = vals.view(U64) - U64(vmin & 0xFFFFFFFFFFFFFFFF)
-    bl_for = bit_length(u_for)
-    if _pre is None:
-        hist_zig = np.bincount(bit_length(u_zig), minlength=65)
-    hist_for = np.bincount(bl_for, minlength=65)
+    # Small value ranges take the one-bincount fast path (bit-identical
+    # by construction — see _small_range_hists).
+    if _small_range_ok(vmax - vmin, n):
+        hist_for, hz, bl_for = _small_range_hists(vals, vmin, vmax,
+                                                  want_zig=_pre is None)
+        if _pre is None:
+            u_zig, hist_zig = None, hz
+    else:
+        if _pre is None:
+            u_zig = zigzag_encode(vals)
+        u_for = vals.view(U64) - U64(vmin & 0xFFFFFFFFFFFFFFFF)
+        bl_for = bit_length(u_for)
+        if _pre is None:
+            hist_zig = np.bincount(bit_length(u_zig), minlength=65)
+        hist_for = np.bincount(bl_for, minlength=65)
     _select_basic(desc, vals, u_zig, vmin, vmax, n, width,
                   hist_zig, hist_for)
 
     if n >= 5:  # small-input cutoff (`integer_codec.h:271-272`)
-        _select_bitpfr(desc, u_for, hist_for, vmin, vmax, n, bl_for)
+        _select_bitpfr(desc, None, hist_for, vmin, vmax, n, bl_for)
 
     if try_delta:
         _try_delta(desc, vals, width)
@@ -346,14 +401,14 @@ def select(vals: np.ndarray, width: int = 8, try_delta: bool = False,
     return desc
 
 
-def _select_bitpfr(desc: IntDescriptor, u: np.ndarray, hist: np.ndarray,
+def _select_bitpfr(desc: IntDescriptor, u, hist: np.ndarray,
                    vmin: int, vmax: int, n: int,
                    bl: np.ndarray) -> None:
     """The patched-bit-packing histogram sweep (`integer_codec.h:275-383`).
-    ``u`` is the FOR-transformed array, ``hist`` its bit-length
-    histogram and ``bl`` the per-value bit lengths (both computed once
-    in :func:`select` — the sweep's exact passes derive outlier masks
-    from ``bl`` instead of re-shifting the data)."""
+    ``hist`` is the FOR-transform's bit-length histogram and ``bl`` the
+    per-value bit lengths (both computed once in :func:`select` — the
+    sweep's exact passes derive outlier masks from ``bl`` instead of
+    re-shifting the data; the transformed array itself is not needed)."""
     basic_metaspace = 1 + varint_size_scalar(zigzag_encode_scalar(vmin))
     nbits_max = (vmax - vmin).bit_length()
 
@@ -369,6 +424,7 @@ def _select_bitpfr(desc: IntDescriptor, u: np.ndarray, hist: np.ndarray,
     valvar_all = vcost @ h
 
     noutliers = n - int(hist[0])
+    opos = oblp = None  # nested outlier-position cache (see below)
     for nbits in range(1, nbits_max):
         cnt = int(hist[nbits])
         if cnt == 0:
@@ -400,12 +456,24 @@ def _select_bitpfr(desc: IntDescriptor, u: np.ndarray, hist: np.ndarray,
 
         # Exact outlier-index costs (`integer_codec.h:337-363`): indices are
         # delta-1 gaps (offset_codec<size_t,1>, `oroch/bitpfr.h:75-83`).
-        oidx = np.flatnonzero(bl > nbits).astype(U64)
-        if len(oidx):
-            gaps = np.empty(len(oidx), dtype=U64)
-            gaps[0] = oidx[0]
-            gaps[1:] = oidx[1:] - oidx[:-1] - U64(1)
-            blg = bit_length(gaps)
+        # Candidate outlier sets are nested (bl > nbits shrinks as nbits
+        # grows), so only the FIRST surviving candidate pays a
+        # full-array scan; later ones filter the cached set — same
+        # positions, same costs, O(outliers) instead of O(n).
+        if opos is None:
+            opos = np.flatnonzero(bl > nbits)
+            oblp = bl[opos]
+        else:
+            keep = oblp > nbits
+            opos = opos[keep]
+            oblp = oblp[keep]
+        if len(opos):
+            # positions and gaps are non-negative int64 — the U64 view
+            # is free (no astype copy of the outlier arrays)
+            gaps = np.empty(len(opos), dtype=I64)
+            gaps[0] = opos[0]
+            gaps[1:] = opos[1:] - opos[:-1] - 1
+            blg = bit_length(gaps.view(U64))
             indnbits = max(1, int(blg.max()))
             indvar = int(np.maximum((blg + 6) // 7, 1).sum())
         else:
@@ -513,8 +581,17 @@ def _try_delta(desc: IntDescriptor, vals: np.ndarray, width: int) -> None:
     meta_lb = varint_size_scalar(zigzag_encode_scalar(first))
     dmin = int(deltas.min())
     dmax = int(deltas.max())
-    u_zig_d = zigzag_encode(deltas)
-    hist = np.bincount(bit_length(u_zig_d), minlength=65)
+    if _small_range_ok(dmax - dmin, n - 1) and dmin != dmax:
+        # same one-bincount derivation as select's fast path (exact)
+        dh = np.bincount(deltas - dmin, minlength=dmax - dmin + 1)
+        vdom = np.arange(dmin, dmax + 1, dtype=I64)
+        blz_dom = bit_length(zigzag_encode(vdom))
+        hist = np.bincount(blz_dom, weights=dh,
+                           minlength=65).astype(np.int64)
+        u_zig_d = None
+    else:
+        u_zig_d = zigzag_encode(deltas)
+        hist = np.bincount(bit_length(u_zig_d), minlength=65)
     if meta_lb + _delta_lower_bound(hist, n - 1, dmin, dmax) >= \
             desc.ref_meta + desc.ref_data:
         return
@@ -585,12 +662,13 @@ def encode_payload(vals: np.ndarray, desc: IntDescriptor) -> bytes:
         mask = (U64(1) << U64(desc.nbits)) - U64(1)
         low = pack_bits(u & mask, desc.nbits)
         outmask = (u >> U64(desc.nbits)) != 0
-        oidx = np.flatnonzero(outmask).astype(U64)
+        oidx = np.flatnonzero(outmask)  # int64; values non-negative
         ovals = u[outmask] >> U64(desc.nbits)
-        gaps = np.empty(len(oidx), dtype=U64)
+        gaps_i = np.empty(len(oidx), dtype=I64)
         if len(oidx):
-            gaps[0] = oidx[0]
-            gaps[1:] = oidx[1:] - oidx[:-1] - U64(1)
+            gaps_i[0] = oidx[0]
+            gaps_i[1:] = oidx[1:] - oidx[:-1] - 1
+        gaps = gaps_i.view(U64)
         # Order mirrors `integer_codec.h:562-581`: low bits, indices, values.
         return (low
                 + _encode_sub(gaps, desc.oidx_codec, desc.oidx_nbits)
@@ -707,13 +785,16 @@ def read_header(buf: bytes, pos: int, n: int, width: int
 # ---------------------------------------------------------------------------
 
 def encode_block(vals: np.ndarray, desc: Optional[IntDescriptor] = None,
-                 width: int = 8, try_delta: bool = False) -> bytes:
+                 width: int = 8, try_delta: bool = False,
+                 vrange: Optional[tuple] = None) -> bytes:
     """Select (unless given) + header + payload; the analogue of
     ``integer_group::encode`` (`oroch/integer_group.h:44-60`), without the
-    8-byte alignment padding (our decoder never reinterprets raw buffers)."""
+    8-byte alignment padding (our decoder never reinterprets raw buffers).
+    ``vrange``: exact known (min, max) — see :func:`select`."""
     vals = np.ascontiguousarray(vals, dtype=I64)
     if desc is None:
-        desc = select(vals, width=width, try_delta=try_delta)
+        desc = select(vals, width=width, try_delta=try_delta,
+                      vrange=vrange)
     payload = encode_payload(vals, desc)
     desc.data_bytes = len(payload)
     return write_header(desc) + payload

@@ -154,11 +154,12 @@ def _read_sized(buf: bytes, pos: int) -> tuple[bytes, int]:
 
 
 def _int_blob(vals: np.ndarray, width: int = 4,
-              try_delta: bool = True) -> bytes:
+              try_delta: bool = True,
+              vrange: Optional[tuple] = None) -> bytes:
     # asarray, not astype: the callers already hold int64 arrays and
     # astype would copy megabytes per block for nothing
     return ic.encode_block(np.asarray(vals, dtype=np.int64), width=width,
-                           try_delta=try_delta)
+                           try_delta=try_delta, vrange=vrange)
 
 
 # ---------------------------------------------------------------------------
@@ -189,10 +190,14 @@ def _encode_dict(codes: np.ndarray, dict_arr: pa.Array,
                  dsec: Optional[bytes] = None) -> bytes:
     # codes are first-appearance dictionary indices — an unordered
     # stream where the delta wrapper essentially never wins; skipping
-    # its 4-pass gate is most of the dict-candidate encode cost
+    # its 4-pass gate is most of the dict-candidate encode cost.
+    # Exact range is known by construction: index 0 goes to the first
+    # row and every dictionary entry is referenced, so codes span
+    # [0, ndict-1] — no scan passes needed.
     return (bytes([DICT_STR])
             + (dsec if dsec is not None else _dict_section(dict_arr))
-            + _int_blob(codes, try_delta=False))
+            + _int_blob(codes, try_delta=False,
+                        vrange=(0, len(dict_arr) - 1)))
 
 
 def _encode_rle(codes: np.ndarray, dict_arr: pa.Array,
@@ -204,11 +209,14 @@ def _encode_rle(codes: np.ndarray, dict_arr: pa.Array,
     starts = np.concatenate([[0], boundaries])
     run_len = np.diff(np.concatenate([starts, [len(codes)]]))
     run_idx = codes[starts]
+    # run_idx spans [0, ndict-1] exactly: every distinct code's first
+    # appearance starts a run (its predecessor differs by definition)
     return (bytes([RLE_STR])
             + ic.varint_encode_scalar(len(starts))
             + _sized(_int_blob(run_len))
             + (dsec if dsec is not None else _dict_section(dict_arr))
-            + _int_blob(run_idx, try_delta=False))
+            + _int_blob(run_idx, try_delta=False,
+                        vrange=(0, len(dict_arr) - 1)))
 
 
 def _encode_wsdict(arr: pa.Array) -> Optional[bytes]:
@@ -230,10 +238,13 @@ def _encode_wsdict(arr: pa.Array) -> Optional[bytes]:
     denc = pc.dictionary_encode(flat)
     ids = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     dict_arr = to_large_string(denc.dictionary)
+    # ids span [0, nwords-1] exactly (first-appearance dictionary
+    # indices, every entry referenced) — skips the min/max scans
     return (bytes([WSDICT_STR])
             + _dict_section(dict_arr)
             + _sized(_int_blob(counts))
-            + _int_blob(ids, try_delta=False))
+            + _int_blob(ids, try_delta=False,
+                        vrange=(0, len(dict_arr) - 1)))
 
 
 def _decode_wsdict(blob: bytes, n: int, pos: int) -> pa.Array:

@@ -308,3 +308,90 @@ def test_bit_length_table_and_frexp_paths_agree():
         exp = [int(x).bit_length() for x in arr.tolist()]
         assert [int(g) for g in got] == exp
     assert bits.bit_length(np.zeros(0, dtype=np.uint64)).size == 0
+
+
+def test_small_range_fast_path_is_bit_identical():
+    """select's one-bincount histogram derivation (small value ranges)
+    and the vrange hint must produce byte-identical blocks to the
+    per-value passes — the fast path is a pure work-reuse rewrite."""
+    import numpy as np
+
+    from oroch_spark.kernels import integers as ic
+
+    rng = np.random.default_rng(20260818)
+    cases = []
+    for i in range(60):
+        n = int(rng.integers(5, 20000))
+        style = i % 4
+        if style == 0:
+            v = rng.integers(-1000, 50000, size=n)
+        elif style == 1:  # outlier-heavy -> bitpfr with big outlier sets
+            v = rng.integers(0, 16, size=n)
+            k = max(1, n // 50)
+            v[rng.integers(0, n, size=k)] = rng.integers(10**6, 10**9,
+                                                         size=k)
+        elif style == 2:  # sorted -> delta wrapper territory
+            v = np.sort(rng.integers(0, 10**7, size=n))
+        else:  # wide range -> must take the slow path
+            v = rng.integers(-2**40, 2**40, size=n)
+        cases.append(v.astype(np.int64))
+    cases.append(np.full(1000, -7, dtype=np.int64))
+    cases.append(rng.integers(0, 3, size=200000).astype(np.int64))
+    cases.append(np.array([-2**63, -2**63 + 5, -2**63 + 60000] * 40,
+                          dtype=np.int64))
+
+    orig = ic._small_range_ok
+    try:
+        for v in cases:
+            for td in (False, True):
+                fast = ic.encode_block(v.copy(), width=8, try_delta=td)
+                ic._small_range_ok = lambda r, n: False
+                slow = ic.encode_block(v.copy(), width=8, try_delta=td)
+                ic._small_range_ok = orig
+                assert fast == slow
+                assert np.array_equal(
+                    ic.decode_block(fast, len(v), width=8), v)
+    finally:
+        ic._small_range_ok = orig
+
+    # vrange hint: dictionary-id-shaped streams (exact [0, u-1] span)
+    for u in (1, 2, 17, 801):
+        n = u * 7
+        ids = np.concatenate([np.arange(u), rng.integers(0, u, size=n - u)])
+        _, first_idx = np.unique(ids, return_index=True)
+        remap = np.empty(u, dtype=np.int64)
+        remap[np.argsort(first_idx)] = np.arange(u)
+        ids = remap[ids].astype(np.int64)
+        a = ic.encode_block(ids, width=4, try_delta=False)
+        b = ic.encode_block(ids, width=4, try_delta=False,
+                            vrange=(0, u - 1))
+        assert a == b
+
+
+def test_pack_bits_grouped_path_matches_bitstream():
+    """The grouped shift-OR pack (g values per uint64) must emit the
+    exact dense little-endian bitstream at every width and tail size."""
+    import numpy as np
+
+    from oroch_spark.kernels import bits
+
+    def pack_ref(u, nbits):
+        n = len(u)
+        if n == 0 or nbits == 0:
+            return b""
+        u = np.ascontiguousarray(u, dtype="<u8")
+        nb = (nbits + 7) // 8
+        rows = u.view(np.uint8).reshape(n, 8)[:, :nb]
+        if nbits == 8 * nb:
+            return np.ascontiguousarray(rows).tobytes()
+        b = np.unpackbits(rows, axis=1, bitorder="little")[:, :nbits]
+        return np.packbits(b.reshape(-1), bitorder="little").tobytes()
+
+    rng = np.random.default_rng(7)
+    for nbits in list(range(1, 17)) + [20, 24, 28, 33, 57, 63, 64]:
+        for n in (0, 1, 2, 3, 7, 8, 9, 17, 1000):
+            hi = min((1 << nbits) - 1, 2**63 - 1)
+            u = rng.integers(0, hi + 1, size=n, dtype=np.uint64)
+            got = bits.pack_bits(u, nbits)
+            assert got == pack_ref(u, nbits), (nbits, n)
+            assert np.array_equal(bits.unpack_bits(got, n, nbits), u)
