@@ -120,6 +120,27 @@ def unpack_bits(buf: bytes, n: int, nbits: int) -> np.ndarray:
         out_bytes = np.zeros((n, 8), dtype=np.uint8)
         out_bytes[:, :nb] = raw[:n * nb].reshape(n, nb)
         return out_bytes.reshape(-1).view("<u8").astype(U64, copy=False)
+    g = 8 // np.gcd(nbits, 8)
+    if g * nbits <= 64:
+        # Grouped inverse of pack_bits' shift-OR path: g values start
+        # byte-aligned every g*nbits/8 bytes, so ONE 8-byte window per
+        # GROUP covers all g lanes — g x fewer gathers than the
+        # window-per-value path below. Zero padding past the stream
+        # only feeds the sliced-off tail lanes.
+        gbytes = (g * nbits) // 8
+        ngroups = (n + g - 1) // g
+        pad = np.zeros(ngroups * gbytes + 8, dtype=np.uint8)
+        m = min(len(raw), ngroups * gbytes)  # tolerate oversized buffers:
+        pad[:m] = raw[:m]  # bytes past the stream never reach a kept lane
+        win = np.lib.stride_tricks.sliding_window_view(pad, 8)
+        offs = np.arange(ngroups, dtype=np.int64) * gbytes
+        w = np.ascontiguousarray(win[offs]).view("<u8").reshape(ngroups)
+        w = w.astype(U64, copy=False)
+        mask = (U64(1) << U64(nbits)) - U64(1)
+        out = np.empty((ngroups, g), dtype=U64)
+        for k in range(g):
+            out[:, k] = (w >> U64(k * nbits)) & mask
+        return out.reshape(-1)[:n]
     if nbits <= 57:
         # Each value's bits live inside the 8-byte little-endian window
         # that starts at its byte offset (bit shift <= 7, so

@@ -84,6 +84,23 @@ class TestBitpack:
             assert len(buf) == (n * nbits + 7) // 8
             assert np.array_equal(unpack_bits(buf, n, nbits), vals)
 
+    @pytest.mark.parametrize("nbits", [1, 2, 3, 4, 5, 6, 7, 10, 12, 14,
+                                       20, 28])
+    def test_grouped_unpack_random(self, nbits):
+        # full-width random values through the grouped (one-window-per-
+        # group) unpack path, at lengths that leave every possible
+        # partial tail group
+        rng = np.random.default_rng(nbits)
+        g = 8 // int(np.gcd(nbits, 8))
+        for n in range(1, 3 * g + 2):
+            vals = rng.integers(0, 1 << nbits, size=n, dtype=np.uint64)
+            buf = pack_bits(vals, nbits)
+            assert np.array_equal(unpack_bits(buf, n, nbits), vals)
+            # oversized buffers (trailing garbage) must not change the
+            # decoded lanes nor raise
+            assert np.array_equal(
+                unpack_bits(buf + b"\xff" * 9, n, nbits), vals)
+
 
 class TestSelection:
     def test_empty(self):
