@@ -411,62 +411,80 @@ def _select_bitpfr(desc: IntDescriptor, u, hist: np.ndarray,
     re-shifting the data; the transformed array itself is not needed)."""
     basic_metaspace = 1 + varint_size_scalar(zigzag_encode_scalar(vmin))
     nbits_max = (vmax - vmin).bit_length()
+    if nbits_max < 2:
+        return
+    sel0 = desc.ref_data + desc.ref_meta
 
-    # Exact varint outlier-value cost for EVERY candidate nbits in one
-    # vectorized pass (the reference's per-nbits inner loop,
-    # `integer_codec.h:316-321`, is O(nbits_max^2) scalar work —
-    # identical sums, batched): valvar[nbits] =
-    # sum_{nb > nbits} ceil((nb - nbits)/7) * hist[nb].
+    # Every per-candidate term of the reference's scalar loop except
+    # the exact index cost (`integer_codec.h:275-335`) derives from the
+    # histogram — batch them all. valvar[nbits] = sum_{nb > nbits}
+    # ceil((nb - nbits)/7) * hist[nb] (the O(nbits_max^2) inner loop of
+    # `integer_codec.h:316-321`, identical sums).
     h = hist[:nbits_max + 1].astype(np.int64)
     nb_i = np.arange(nbits_max + 1, dtype=np.int64)
     diff = nb_i[None, :] - nb_i[:, None]          # (nbits, nb)
     vcost = np.where(diff > 0, (diff + 6) // 7, 0)
     valvar_all = vcost @ h
 
-    noutliers = n - int(hist[0])
-    opos = oblp = None  # nested outlier-position cache (see below)
-    for nbits in range(1, nbits_max):
-        cnt = int(hist[nbits])
-        if cnt == 0:
-            continue
-        noutliers -= cnt
+    ts = nb_i[1:nbits_max]                        # candidate nbits
+    cnt = h[1:nbits_max]
+    nout = n - np.cumsum(h)[1:nbits_max]          # outliers per candidate
+    cap_b = 128 // ts
+    basic_data = 16 * ((n + cap_b - 1) // cap_b)  # ref_bitpck_space(n, t)
+    nout_u = nout.view(U64)                       # nout >= 0
+    extra_meta = 2 + np.maximum(
+        (bit_length(nout_u).astype(np.int64) + 6) // 7, 1)
+    cap_v = 128 // (nbits_max - ts)
+    valpck = np.where(nout > 0, 16 * ((nout + cap_v - 1) // cap_v), 0)
+    valvar = valvar_all[1:nbits_max]
+    val_data = np.minimum(valpck, valvar)
+    # Index lower bound (`integer_codec.h:325-335`): packed indices
+    # need >= 1 bit each, varint gaps >= 1 byte each — true lower
+    # bounds, so skipping on their min never skips a winning candidate.
+    indmin = np.minimum(np.where(nout > 0, 16 * ((nout + 127) // 128), 0),
+                        np.maximum(nout, 1))
+    est = (basic_metaspace + extra_meta + basic_data + val_data + indmin)
 
-        basic_dataspace = ref_bitpck_space(n, nbits)
-        extra_metaspace = 2 + varint_size_scalar(noutliers)
+    # Best-first evaluation in estimate order. The reference iterates
+    # nbits ascending with strict-less replacement, so its final pick
+    # is exactly: the candidate with minimal exact `required`, smallest
+    # nbits on ties, if that beats the basic selection strictly.
+    # Because estimate <= required for every candidate, visiting in
+    # (estimate, nbits) order and pruning on the best exact cost found
+    # so far reaches the same pick while exactly evaluating only
+    # candidates whose estimate beats it — on skewed data the huge
+    # low-nbits outlier sets the ascending sweep used to materialize
+    # first are now never touched.
+    live = np.flatnonzero((cnt > 0) & (est < sel0))
+    if len(live) == 0:
+        return
+    order = live[np.lexsort((ts[live], est[live]))]
 
-        # Outlier-value encoding: bitpck at (nbits_max - nbits) vs varint
-        # of the overflow bits (`integer_codec.h:307-323`).
-        valpck = ref_bitpck_space(noutliers, nbits_max - nbits)
-        valvar = int(valvar_all[nbits])
-        if valpck < valvar:
-            value_codec, value_dataspace = BITPCK, valpck
-        else:
-            value_codec, value_dataspace = VARINT, valvar
+    opos = oblp = None  # nested outlier-position cache
+    cached_t = -1
+    best = None  # (required, nbits, val_codec, idx_codec, idx_nbits, i)
+    for i in order:
+        e = int(est[i])
+        nbits = int(ts[i])
+        if best is not None:
+            if e > best[0]:
+                break        # est ascending: nothing later can win
+            if e == best[0] and nbits > best[1]:
+                continue     # tie in required would keep smaller nbits
+        noutliers = int(nout[i])
 
-        # Early skip via index lower bound (`integer_codec.h:325-335`):
-        # packed indices need >= 1 bit each, varint gaps >= 1 byte each
-        # — both true lower bounds, so skipping on their min never
-        # skips a winning candidate.
-        indmin = min(ref_bitpck_space(noutliers, 1), max(noutliers, 1))
-        selected = desc.ref_data + desc.ref_meta
-        estimate = (basic_metaspace + extra_metaspace + basic_dataspace
-                    + value_dataspace + indmin)
-        if estimate >= selected:
-            continue
-
-        # Exact outlier-index costs (`integer_codec.h:337-363`): indices are
-        # delta-1 gaps (offset_codec<size_t,1>, `oroch/bitpfr.h:75-83`).
-        # Candidate outlier sets are nested (bl > nbits shrinks as nbits
-        # grows), so only the FIRST surviving candidate pays a
-        # full-array scan; later ones filter the cached set — same
-        # positions, same costs, O(outliers) instead of O(n).
-        if opos is None:
-            opos = np.flatnonzero(bl > nbits)
-            oblp = bl[opos]
-        else:
+        # Exact outlier-index costs (`integer_codec.h:337-363`): indices
+        # are delta-1 gaps (offset_codec<size_t,1>, `oroch/bitpfr.h:75-83`).
+        # Candidate outlier sets are nested in nbits, so a candidate at
+        # larger nbits filters the cached set instead of re-scanning.
+        if opos is not None and nbits >= cached_t:
             keep = oblp > nbits
             opos = opos[keep]
             oblp = oblp[keep]
+        else:
+            opos = np.flatnonzero(bl > nbits)
+            oblp = bl[opos]
+        cached_t = nbits
         if len(opos):
             # positions and gaps are non-negative int64 — the U64 view
             # is free (no astype copy of the outlier arrays)
@@ -484,20 +502,29 @@ def _select_bitpfr(desc: IntDescriptor, u, hist: np.ndarray,
         else:
             index_codec, index_dataspace = VARINT, indvar
 
-        required = (basic_metaspace + extra_metaspace + basic_dataspace
-                    + value_dataspace + index_dataspace)
-        if required < selected:
-            desc.codec = BITPFR
-            desc.origin = vmin
-            desc.nbits = nbits
-            desc.noutliers = noutliers
-            desc.oval_codec = value_codec
-            desc.oval_nbits = nbits_max - nbits
-            desc.oidx_codec = index_codec
-            desc.oidx_nbits = indnbits
-            desc.ref_meta = basic_metaspace + extra_metaspace
-            desc.ref_data = (basic_dataspace + value_dataspace
-                             + index_dataspace)
+        required = int(est[i] - indmin[i] + index_dataspace)
+        if required >= sel0:
+            continue
+        if (best is None or required < best[0]
+                or (required == best[0] and nbits < best[1])):
+            best = (required, nbits, indnbits, index_codec,
+                    index_dataspace, i)
+
+    if best is not None:
+        required, nbits, indnbits, index_codec, index_dataspace, i = best
+        desc.codec = BITPFR
+        desc.origin = vmin
+        desc.nbits = nbits
+        desc.noutliers = int(nout[i])
+        # Outlier-value codec choice (`integer_codec.h:307-323`):
+        # bitpck at (nbits_max - nbits) vs varint of the overflow bits.
+        desc.oval_codec = BITPCK if valpck[i] < valvar[i] else VARINT
+        desc.oval_nbits = nbits_max - nbits
+        desc.oidx_codec = index_codec
+        desc.oidx_nbits = indnbits
+        desc.ref_meta = basic_metaspace + int(extra_meta[i])
+        desc.ref_data = (int(basic_data[i]) + int(val_data[i])
+                         + index_dataspace)
 
 
 def _delta_transform(vals: np.ndarray, width: int) -> np.ndarray:
