@@ -91,23 +91,39 @@ def pack_bits(u: np.ndarray, nbits: int) -> bytes:
     # and the byte count is truncated to ceil(n*nbits/8) exactly as
     # packbits would zero-fill the final partial byte.
     g = 8 // np.gcd(nbits, 8)
+    ngroups = (n + g - 1) // g
+    if ngroups * g != n:
+        up = np.zeros(ngroups * g, dtype="<u8")
+        up[:n] = u
+        u = up
+    lanes = u.reshape(ngroups, g)
+    gbytes = (g * nbits) // 8
     if g * nbits <= 64:
-        ngroups = (n + g - 1) // g
-        if ngroups * g != n:
-            up = np.zeros(ngroups * g, dtype="<u8")
-            up[:n] = u
-            u = up
-        lanes = u.reshape(ngroups, g)
         acc = lanes[:, 0].copy()
         for k in range(1, g):
             acc |= lanes[:, k] << U64(k * nbits)
-        gbytes = (g * nbits) // 8
         out = np.ascontiguousarray(
             acc.view(np.uint8).reshape(ngroups, 8)[:, :gbytes])
         return out.reshape(-1)[: (n * nbits + 7) // 8].tobytes()
-    byte_rows = u.view(np.uint8).reshape(n, 8)[:, :nb]
-    bits = np.unpackbits(byte_rows, axis=1, bitorder="little")[:, :nbits]
-    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    # Multi-lane grouped shift-OR: when one group spans more than a
+    # uint64 (g*nbits in 72..504 bits, i.e. every remaining non-aligned
+    # width), hold the group in ceil(gbytes/8) uint64 lanes. Value k
+    # lands at bit k*nbits: OR into lane bitpos>>6 at shift bitpos&63,
+    # plus the straddle spill into the next lane when it crosses the
+    # lane boundary. g <= 8 vector passes over n/g-length lanes — no
+    # per-bit unpackbits expansion (8x the payload in scratch bytes).
+    nlanes = (gbytes + 7) // 8
+    acc = np.zeros((ngroups, nlanes), dtype="<u8")
+    for k in range(g):
+        bitpos = k * nbits
+        j, s = bitpos >> 6, bitpos & 63
+        v = lanes[:, k]
+        acc[:, j] |= v << U64(s)
+        if s + nbits > 64:
+            acc[:, j + 1] |= v >> U64(64 - s)
+    out = np.ascontiguousarray(
+        acc.view(np.uint8).reshape(ngroups, 8 * nlanes)[:, :gbytes])
+    return out.reshape(-1)[: (n * nbits + 7) // 8].tobytes()
 
 
 def unpack_bits(buf: bytes, n: int, nbits: int) -> np.ndarray:
@@ -141,28 +157,50 @@ def unpack_bits(buf: bytes, n: int, nbits: int) -> np.ndarray:
         for k in range(g):
             out[:, k] = (w >> U64(k * nbits)) & mask
         return out.reshape(-1)[:n]
-    if nbits <= 57:
-        # Each value's bits live inside the 8-byte little-endian window
-        # that starts at its byte offset (bit shift <= 7, so
-        # shift + nbits <= 64): gather the n windows in one fancy
-        # index, view as <u8, shift and mask. One 8n-byte gather plus
-        # two vector ops — no bit->byte expansion of the whole stream.
-        pad = np.zeros(len(raw) + 8, dtype=np.uint8)
-        pad[:len(raw)] = raw
-        bitpos = np.arange(n, dtype=np.int64) * nbits
+    if nbits <= 41 or nbits >= 58:
+        # Multi-lane grouped inverse (pack_bits' multi-lane encoder):
+        # gather nlanes 8-byte windows per g-value GROUP instead of one
+        # window per VALUE — nlanes/g as many gathers. Value k spans
+        # lane bitpos>>6 from shift bitpos&63, straddle completed from
+        # the next lane; the final mask kills bytes past the group.
+        # Measured faster than the per-value path at nbits <= 41 and
+        # at 58..63 (where per-value's 8-byte window cannot hold a
+        # value and the only alternative was the unpackbits expansion,
+        # ~3x slower); per-value wins in between — both kept.
+        gbytes = (g * nbits) // 8
+        nlanes = (gbytes + 7) // 8
+        ngroups = (n + g - 1) // g
+        pad = np.zeros(ngroups * gbytes + 8 * nlanes, dtype=np.uint8)
+        m = min(len(raw), ngroups * gbytes)
+        pad[:m] = raw[:m]
         win = np.lib.stride_tricks.sliding_window_view(pad, 8)
-        vals = np.ascontiguousarray(win[bitpos >> 3]).view("<u8")
-        vals = vals.reshape(n).astype(U64, copy=False)
-        shift = (bitpos & 7).view(U64)
-        return (vals >> shift) & ((U64(1) << U64(nbits)) - U64(1))
-    # wide values (58..63 bits) can straddle 9 bytes: bit->byte expand,
-    # pad each value's bit row to the byte width, repack C-side
-    bits = np.unpackbits(raw, count=n * nbits, bitorder="little")
-    padded = np.zeros((n, 8 * nb), dtype=np.uint8)
-    padded[:, :nbits] = bits.reshape(n, nbits)
-    out_bytes = np.zeros((n, 8), dtype=np.uint8)
-    out_bytes[:, :nb] = np.packbits(padded, axis=1, bitorder="little")
-    return out_bytes.reshape(-1).view("<u8").astype(U64, copy=False)
+        offs = np.arange(ngroups, dtype=np.int64) * gbytes
+        lanes = [np.ascontiguousarray(win[offs + 8 * j]).view("<u8")
+                 .reshape(ngroups).astype(U64, copy=False)
+                 for j in range(nlanes)]
+        mask = ~U64(0) if nbits == 64 else (U64(1) << U64(nbits)) - U64(1)
+        out = np.empty((ngroups, g), dtype=U64)
+        for k in range(g):
+            bitpos = k * nbits
+            j, s = bitpos >> 6, bitpos & 63
+            v = lanes[j] >> U64(s)
+            if s + nbits > 64:
+                v = v | (lanes[j + 1] << U64(64 - s))
+            out[:, k] = v & mask
+        return out.reshape(-1)[:n]
+    # remaining widths (42..57): each value's bits live inside the
+    # 8-byte little-endian window that starts at its byte offset
+    # (bit shift <= 7, so shift + nbits <= 64): gather the n windows in
+    # one fancy index, view as <u8, shift and mask. One 8n-byte gather
+    # plus two vector ops — no bit->byte expansion of the whole stream.
+    pad = np.zeros(len(raw) + 8, dtype=np.uint8)
+    pad[:len(raw)] = raw
+    bitpos = np.arange(n, dtype=np.int64) * nbits
+    win = np.lib.stride_tricks.sliding_window_view(pad, 8)
+    vals = np.ascontiguousarray(win[bitpos >> 3]).view("<u8")
+    vals = vals.reshape(n).astype(U64, copy=False)
+    shift = (bitpos & 7).view(U64)
+    return (vals >> shift) & ((U64(1) << U64(nbits)) - U64(1))
 
 
 def packed_size(n: int, nbits: int) -> int:
