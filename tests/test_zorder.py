@@ -1,0 +1,121 @@
+"""Z-order clustering: Morton key correctness, round-trip equality, and
+the point of it all — secondary-column pruning that a single-key layout
+cannot give (`engine.zorder_key` / `engine.encode_df_zorder`)."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oroch_spark import engine
+
+
+def _morton_scalar(vals: list[int], bits: int) -> int:
+    """Bit-by-bit scalar Morton (independent oracle for the magic
+    numbers): bit b of column i lands at position b*len(vals)+i."""
+    z = 0
+    for i, v in enumerate(vals):
+        v &= (1 << bits) - 1
+        for b in range(bits):
+            z |= ((v >> b) & 1) << (b * len(vals) + i)
+    return z
+
+
+@pytest.mark.parametrize("k,bits", [(2, 31), (3, 21)])
+def test_morton_np_matches_scalar_oracle(k, bits):
+    rng = np.random.default_rng(11)
+    cols = [rng.integers(0, 1 << bits, 200, dtype=np.uint64)
+            for _ in range(k)]
+    got = engine.morton_np(cols, bits)
+    exp = np.array([_morton_scalar([int(c[j]) for c in cols], bits)
+                    for j in range(200)], dtype=np.uint64)
+    np.testing.assert_array_equal(got, exp)
+    assert int(got.max()) < (1 << 63)  # sign bit clear: sorts as long
+
+
+def test_zorder_key_expr_matches_numpy(spark):
+    """The JVM expression and the numpy reference produce the same key
+    (after the same min-normalization), including negative inputs."""
+    rng = np.random.default_rng(5)
+    a = rng.integers(-1000, 1000, 300).tolist()
+    b = rng.integers(0, 5000, 300).tolist()
+    df = spark.createDataFrame(list(zip(a, b)), "a long, b long")
+    z = engine.zorder_key(df, ["a", "b"])
+    got = np.array([r.z for r in
+                    df.select(z.alias("z"), "a", "b").collect()],
+                   dtype=np.uint64)
+    rows = df.select("a", "b").collect()
+
+    def norm(vals, lo, hi):
+        u = np.array(vals, dtype=np.int64) - lo
+        shift = int(hi - lo).bit_length() - 31
+        u = (u >> shift) if shift > 0 else (u << -shift)
+        return u.view(np.uint64)
+
+    ua = norm([r.a for r in rows], min(a), max(a))
+    ub = norm([r.b for r in rows], min(b), max(b))
+    exp = engine.morton_np([ua, ub], 31)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_zorder_roundtrip_and_secondary_pruning(spark):
+    """Z-ordered blocks decode to exactly the source rows, and range
+    predicates on BOTH z columns prune blocks, where the key-sorted
+    layout prunes only its lead key. sf0.001 events, (user_id, value)
+    are mutually uncorrelated — the adversarial case for one key."""
+    src = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+           .withColumn("v_int", (F.col("value") * 100).cast("long"))
+           .drop("props"))
+    kinds = engine.column_kinds(src.schema)
+    zb = engine.encode_df_zorder(src, ["user_id", "v_int"],
+                                 n_buckets=4, block_rows=16).cache()
+    kb = engine.encode_df(src, ["event_id"], n_buckets=4,
+                          block_rows=16).cache()
+    try:
+        # bit-identical round trip (multiset equality via checksum)
+        assert engine.checksum_df(engine.decode_df(zb, kinds)) \
+            == engine.checksum_df(src)
+
+        # pruning: fraction of blocks kept for a 10%-of-domain range
+        def kept(blocks, col, lo, hi):
+            st = engine._col_stats(col)
+            keep = (st["lo"].isNull() | st["hi"].isNull()
+                    | ((st["lo"] <= hi) & (st["hi"] >= lo)))
+            return blocks.filter(keep).count(), blocks.count()
+
+        # predicate = lowest ~15% of ROWS per column (quantile, not
+        # range fraction — `value` is right-skewed)
+        u_hi = int(src.approxQuantile("user_id", [0.15], 0.0)[0])
+        v_hi = int(src.approxQuantile("v_int", [0.15], 0.0)[0])
+        for col, hi in (("user_id", u_hi), ("v_int", v_hi)):
+            zk, zn = kept(zb, col, 0, hi)
+            kk, kn = kept(kb, col, 0, hi)
+            assert zk <= zn // 2, (col, zk, zn)  # z layout prunes
+            # the single-key layout can only prune by luck on 16-row
+            # blocks; z must beat it decisively on both columns
+            assert zk * 2 <= kk, (col, zk, kk)
+
+        # results still exact on both layouts
+        got = engine.scan_where(zb, kinds, "user_id", 0, u_hi)
+        exp = src.filter(F.col("user_id") <= u_hi)
+        assert sorted(r.event_id for r in got.collect()) \
+            == sorted(r.event_id for r in exp.collect())
+        cnt = engine.count_where(zb, kinds, "v_int", 0, v_hi)
+        assert cnt.collect()[0].n_rows \
+            == src.filter(F.col("v_int") <= v_hi).count()
+    finally:
+        zb.unpersist()
+        kb.unpersist()
+
+
+def test_zorder_empty_and_three_cols(spark):
+    src = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+           .limit(200).drop("props"))
+    kinds = engine.column_kinds(src.schema)
+    zb = engine.encode_df_zorder(src, ["user_id", "event_id", "value"],
+                                 n_buckets=2, block_rows=32)
+    assert engine.checksum_df(engine.decode_df(zb, kinds)) \
+        == engine.checksum_df(src)
+    empty = src.filter(F.lit(False))
+    assert engine.encode_df_zorder(empty, ["user_id", "event_id"],
+                                   n_buckets=2).count() == 0
+    with pytest.raises(ValueError):
+        engine.zorder_key(src, ["user_id"])
