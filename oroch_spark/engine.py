@@ -1063,9 +1063,45 @@ def morton_np(cols: list[np.ndarray], bits: int) -> np.ndarray:
     return z
 
 
+def _zorder_domain_expr(df: DataFrame, c: str, skip: int = 0):
+    """Long-domain expression of a z column. Integer-domain columns
+    cast; STRING columns map to the big-endian value of the 7 UTF-8
+    bytes after ``skip`` (hex slice, zero-padded on the right, base-16
+    conv) — order-preserving under Spark's binary string collation and
+    always < 2**56, so the Morton normalization treats it like any
+    long. ``skip`` strips the column's common prefix (conv-/user-/URL
+    keys share one almost by construction; without the strip the
+    window is constant and the column would contribute nothing to the
+    interleave). Only the SORT key sees the prefix window; the
+    per-block lexicographic (slo, shi) stats that do the pruning
+    remain exact full strings."""
+    if df.schema[c].dataType.typeName() == "string":
+        return F.conv(
+            F.rpad(F.hex(F.substring(F.col(c).cast("binary"),
+                                     skip + 1, 7)),
+                   14, "0"), 16, 10).cast("long")
+    return F.col(c).cast("long")
+
+
+def str_prefix_long(s: str, skip: int = 0) -> int:
+    """Python mirror of the string branch of
+    :func:`_zorder_domain_expr` (tests / driver-side bound math)."""
+    b = s.encode("utf-8")[skip:skip + 7]
+    return int.from_bytes(b.ljust(7, b"\0"), "big")
+
+
+def _lcp_len(a: bytes, b: bytes) -> int:
+    i = 0
+    while i < min(len(a), len(b)) and a[i] == b[i]:
+        i += 1
+    return i
+
+
 def zorder_key(df: DataFrame, zcols: list[str]):
-    """Build a Z-order (Morton) sort key over 2 or 3 integer-domain
-    columns as a pure JVM expression (whole-stage codegen; no UDF).
+    """Build a Z-order (Morton) sort key over 2 or 3 columns as a pure
+    JVM expression (whole-stage codegen; no UDF). Integer-domain
+    columns interleave directly; string columns via their 7-byte
+    prefix (:func:`_zorder_domain_expr`).
 
     One columnar min/max aggregation per call normalizes each column to
     a non-negative offset, then ALIGNS every column's most significant
@@ -1089,18 +1125,31 @@ def zorder_key(df: DataFrame, zcols: list[str]):
         raise ValueError("zorder_key supports 2 or 3 columns")
     bits = 31 if len(zcols) == 2 else 21
     magic = _MORTON2 if len(zcols) == 2 else _MORTON3
+    is_str = {c: df.schema[c].dataType.typeName() == "string"
+              for c in zcols}
     aggs = []
     for c in zcols:
-        aggs += [F.min(F.col(c).cast("long")).alias(f"mn_{c}"),
-                 F.max(F.col(c).cast("long")).alias(f"mx_{c}")]
+        # string columns aggregate the RAW min/max value: the common
+        # prefix and the window bounds both derive from them driver-
+        # side (min of the prefix long == prefix long of the min
+        # string — the mapping is order-preserving)
+        col = F.col(c) if is_str[c] else F.col(c).cast("long")
+        aggs += [F.min(col).alias(f"mn_{c}"), F.max(col).alias(f"mx_{c}")]
     row = df.agg(*aggs).collect()[0]  # bounded: one row of scalars
     z = F.lit(0).cast("long")
     for i, c in enumerate(zcols):
         mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
         if mn is None:  # empty input: any constant key works
             return F.lit(0).cast("long")
+        if is_str[c]:
+            lcp = _lcp_len(mn.encode("utf-8"), mx.encode("utf-8"))
+            dom_c = _zorder_domain_expr(df, c, skip=lcp)
+            mn = str_prefix_long(mn, skip=lcp)
+            mx = str_prefix_long(mx, skip=lcp)
+        else:
+            dom_c = _zorder_domain_expr(df, c)
         shift = int(mx - mn).bit_length() - bits
-        u = F.col(c).cast("long") - F.lit(int(mn))
+        u = dom_c - F.lit(int(mn))
         if shift > 0:
             u = F.shiftright(u, shift)
         elif shift < 0:
@@ -1756,6 +1805,71 @@ def count_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
                           columns=[col])
                 .filter((F.col(col) >= _key_lit(schema_kinds, col, lo))
                         & (F.col(col) <= _key_lit(schema_kinds, col, hi)))
+                .select(F.lit(1).cast("long").alias("_c")))
+    return (contained.unionByName(boundary)
+            .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long")
+                 .alias("n_rows")))
+
+
+def _multi_pred(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+                preds: list[tuple]):
+    """(block_keep, block_inside, row_filter, pred_cols) for an AND of
+    range predicates. keep/inside are JVM expressions over the desc
+    stats; row_filter is the exact post-decode predicate."""
+    keep = inside = row_f = None
+    for col, lo, hi in preds:
+        blo, bhi, lo, hi = _where_bounds(blocks, col, lo, hi)
+        k = blo.isNull() | bhi.isNull() | ((blo <= hi) & (bhi >= lo))
+        ins = F.coalesce((blo >= lo) & (bhi <= hi), F.lit(False))
+        rf = ((F.col(col) >= _key_lit(schema_kinds, col, lo))
+              & (F.col(col) <= _key_lit(schema_kinds, col, hi)))
+        keep = k if keep is None else keep & k
+        inside = ins if inside is None else inside & ins
+        row_f = rf if row_f is None else row_f & rf
+    return keep, inside, row_f, [c for c, _, _ in preds]
+
+
+def scan_where_multi(blocks: DataFrame,
+                     schema_kinds: list[tuple[str, str]],
+                     preds: list[tuple],
+                     columns: Optional[list[str]] = None) -> DataFrame:
+    """:func:`scan_where` for an AND of range predicates
+    ``[(col, lo, hi), ...]`` over any mix of integer-domain and string
+    columns. A block survives only if EVERY predicate's per-column
+    stats overlap, so on a Z-ordered layout (:func:`encode_df_zorder`)
+    the skip ratios compound — each z column's stats are selective at
+    once, which is the query shape Z-ordering exists for. On a
+    single-key layout it degrades to the best single predicate's
+    pruning, never to a wrong answer (stat-less blocks are kept). One
+    metadata filter, one decode of the surviving blocks."""
+    keep, _inside, row_f, pred_cols = _multi_pred(blocks, schema_kinds,
+                                                  preds)
+    decode_cols = columns
+    if columns is not None:
+        decode_cols = list(dict.fromkeys(pred_cols + list(columns)))
+    dec = decode_df(blocks.filter(keep), schema_kinds,
+                    columns=decode_cols).filter(row_f)
+    if columns is not None:
+        dec = dec.select(*columns)
+    return dec
+
+
+def count_where_multi(blocks: DataFrame,
+                      schema_kinds: list[tuple[str, str]],
+                      preds: list[tuple]) -> DataFrame:
+    """COUNT(*) under an AND of range predicates — the three-way
+    metadata split of :func:`count_where` generalized: blocks every
+    predicate fully contains contribute their stored row count with no
+    payload decode, blocks any predicate excludes are pruned, and only
+    straddlers decode (just the predicate columns). One row out:
+    ``n_rows``."""
+    keep, inside, row_f, pred_cols = _multi_pred(blocks, schema_kinds,
+                                                 preds)
+    ov = blocks.filter(keep)
+    contained = ov.filter(inside).select(F.col("n").alias("_c"))
+    boundary = (decode_df(ov.filter(~inside), schema_kinds,
+                          columns=pred_cols)
+                .filter(row_f)
                 .select(F.lit(1).cast("long").alias("_c")))
     return (contained.unionByName(boundary)
             .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long")

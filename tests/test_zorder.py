@@ -106,6 +106,93 @@ def test_zorder_roundtrip_and_secondary_pruning(spark):
         kb.unpersist()
 
 
+def test_str_prefix_long_order_preserving(spark):
+    """The JVM 7-byte-prefix expression equals the Python mirror and
+    preserves lexicographic order (ties only on shared prefixes)."""
+    vals = ["", "a", "ab", "conv-00001000", "conv-00001001",
+            "conv-9", "zzzzzzzzz", "Ω-unicode", "a" * 40]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    expr = engine._zorder_domain_expr(df, "s")
+    got = {r.s: r.p for r in df.select("s", expr.alias("p")).collect()}
+    for v in vals:
+        assert got[v] == engine.str_prefix_long(v), v
+        assert 0 <= got[v] < (1 << 56)
+    for a in vals:
+        for b in vals:
+            if a < b:
+                assert engine.str_prefix_long(a) \
+                    <= engine.str_prefix_long(b), (a, b)
+
+
+def test_zorder_string_column_roundtrip_and_pruning(spark):
+    """Z-order over (conv_id-style string, int): round-trip exact, and
+    BOTH the string column (lexicographic slo/shi stats) and the int
+    column prune after clustering."""
+    rng = np.random.default_rng(3)
+    n = 4096
+    rows = [(f"conv-{int(c):08d}", int(u), i) for i, (c, u) in
+            enumerate(zip(rng.integers(0, 400, n),
+                          rng.integers(0, 100000, n)))]
+    src = spark.createDataFrame(rows, "conv_id string, uid long, i long")
+    kinds = engine.column_kinds(src.schema)
+    zb = engine.encode_df_zorder(src, ["conv_id", "uid"],
+                                 n_buckets=4, block_rows=64).cache()
+    try:
+        assert engine.checksum_df(engine.decode_df(zb, kinds)) \
+            == engine.checksum_df(src)
+        total = zb.count()
+        st = engine._col_stats("conv_id")
+        keep_s = zb.filter(
+            st["slo"].isNull() | st["shi"].isNull()
+            | ((st["slo"] <= "conv-00000039")
+               & (st["shi"] >= "conv-00000000"))).count()
+        assert keep_s <= total // 2, (keep_s, total)
+        got = engine.scan_where(zb, kinds, "conv_id",
+                                "conv-00000000", "conv-00000039")
+        exp = src.filter(F.col("conv_id") <= "conv-00000039")
+        assert sorted(r.i for r in got.collect()) \
+            == sorted(r.i for r in exp.collect())
+    finally:
+        zb.unpersist()
+
+
+def test_scan_where_multi_and_count_where_multi(spark):
+    """AND-of-predicates over a z-ordered layout: exact vs plain Spark
+    filter, compound pruning strictly better than either single
+    predicate, and the metadata-contained count path agrees."""
+    src = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+           .withColumn("v_int", (F.col("value") * 100).cast("long"))
+           .drop("props"))
+    kinds = engine.column_kinds(src.schema)
+    zb = engine.encode_df_zorder(src, ["user_id", "v_int"],
+                                 n_buckets=4, block_rows=16).cache()
+    try:
+        u_hi = int(src.approxQuantile("user_id", [0.3], 0.0)[0])
+        v_hi = int(src.approxQuantile("v_int", [0.3], 0.0)[0])
+        preds = [("user_id", 0, u_hi), ("v_int", 0, v_hi)]
+        exp = src.filter((F.col("user_id") <= u_hi)
+                         & (F.col("v_int") <= v_hi))
+        got = engine.scan_where_multi(zb, kinds, preds)
+        assert sorted(r.event_id for r in got.collect()) \
+            == sorted(r.event_id for r in exp.collect())
+        # column projection path (pred cols not in output)
+        got2 = engine.scan_where_multi(zb, kinds, preds,
+                                       columns=["event_id"])
+        assert got2.columns == ["event_id"]
+        assert got2.count() == exp.count()
+        # compound keep <= each single keep
+        keep, _i, _rf, _pc = engine._multi_pred(zb, kinds, preds)
+        k_both = zb.filter(keep).count()
+        for p in preds:
+            k1, _i1, _r1, _p1 = engine._multi_pred(zb, kinds, [p])
+            assert k_both <= zb.filter(k1).count()
+        cnt = engine.count_where_multi(zb, kinds, preds)
+        assert cnt.collect()[0].n_rows == exp.count()
+        assert cnt.columns == ["n_rows"]
+    finally:
+        zb.unpersist()
+
+
 def test_zorder_empty_and_three_cols(spark):
     src = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
            .limit(200).drop("props"))

@@ -125,6 +125,20 @@ def main() -> None:
     add("scan_where (same predicates, single-key layout — the contrast)",
         "user_id lowest 10% over the event_id-keyed table", total,
         z_kept(evb, "user_id", 0, u_hi))
+    # compound AND: on the z layout the per-column skips compose
+    u30 = int(evi.approxQuantile("user_id", [0.3], 0.0)[0])
+    v30 = int(evi.approxQuantile("v_int", [0.3], 0.0)[0])
+    zkinds = engine.column_kinds(evi.schema)
+    keep2, _i, _rf, _pc = engine._multi_pred(
+        zb, zkinds, [("user_id", 0, u30), ("v_int", 0, v30)])
+    add("scan_where_multi (z-ordered, user_id AND value)",
+        "both cols in lowest 30% of rows (~9% of rows match)", z_total,
+        zb.filter(keep2).count())
+    keep1, _i, _rf, _pc = engine._multi_pred(
+        evb, zkinds, [("user_id", 0, u30), ("v_int", 0, v30)])
+    add("scan_where_multi (same AND, single-key layout — the contrast)",
+        "both cols lowest 30% over the event_id-keyed table", total,
+        evb.filter(keep1).count())
 
     # --- transcripts (5.8M turns, string conv key) ----------------------
     src_dir = os.path.join(tempfile.gettempdir(),
