@@ -32,6 +32,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import re
 import time
 from typing import Iterator, Optional
 
@@ -821,9 +822,33 @@ def _bloom_build(arr, kind: str) -> bytes:
     return bloom.tobytes()
 
 
+# token grammar shared by the token-Bloom build (pyarrow RE2) and the
+# grep_where row filter (Java regex): a token is a maximal [0-9A-Za-z_]
+# run. The two engines agree on this class exactly.
+_TOKEN_SPLIT_RE = "[^0-9A-Za-z_]+"
+
+
+def _token_bloom_build(arr) -> bytes:
+    """Bloom filter over the DISTINCT word tokens of a string column's
+    block: split every value on non-word runs (C++ RE2), flatten,
+    unique, hash like any string Bloom. Sized by the distinct-token
+    count, so text blocks (thousands of distinct words per block) get
+    the bigger power-of-two automatically."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.unique(pc.list_flatten(pc.split_pattern_regex(
+        pc.fill_null(arr, ""), _TOKEN_SPLIT_RE)))
+    toks = toks.filter(pc.not_equal(toks, ""))
+    return _bloom_build(toks, K_STR)
+
+
 def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
                   kinds, key_cols, text_cols,
-                  bloom_cols: frozenset = frozenset()) -> dict:
+                  bloom_cols: frozenset = frozenset(),
+                  token_bloom_cols: frozenset = frozenset()) -> dict:
     t0 = time.time()
     n = table.num_rows
     pieces = []
@@ -845,6 +870,12 @@ def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
         if name in bloom_cols:
             d["bm"] = base64.b64encode(_bloom_build(table.column(name),
                                                     kind)).decode("ascii")
+        if name in token_bloom_cols:
+            if kind != K_STR:
+                raise ValueError(f"token_bloom_cols: {name!r} is not a "
+                                 "string column")
+            d["tbm"] = base64.b64encode(
+                _token_bloom_build(table.column(name))).decode("ascii")
         pieces.append(blob)
         desc_cols.append(d)
         bytes_in += b_in
@@ -872,7 +903,8 @@ def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
 
 def make_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
                    block_rows: int, text_cols: frozenset[str],
-                   bloom_cols: frozenset = frozenset()):
+                   bloom_cols: frozenset = frozenset(),
+                   token_bloom_cols: frozenset = frozenset()):
     """Streaming mapInArrow encode kernel.
 
     Input partitions are hash-distributed by ``_bucket`` and sorted by
@@ -899,7 +931,7 @@ def make_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
             table = pa.Table.from_batches(buf)
             out_rows.append(_encode_chunk(table, cur_bucket, block_idx,
                                           kinds, key_cols, text_cols,
-                                          bloom_cols))
+                                          bloom_cols, token_bloom_cols))
             block_idx += 1
             buf = []
             buffered = 0
@@ -1011,9 +1043,13 @@ def encode_df(df: DataFrame, key_cols: list[str], n_buckets: int = 32,
               block_rows: int = 65536, chunk_rows: int = 8192,
               text_cols: Optional[list[str]] = None,
               bucket_filter: Optional[list[int]] = None,
-              bloom_cols: Optional[list[str]] = None) -> DataFrame:
+              bloom_cols: Optional[list[str]] = None,
+              token_bloom_cols: Optional[list[str]] = None) -> DataFrame:
     """Encode a DataFrame into the blocks table. Lazy — returns the
-    blocks DataFrame; callers write/aggregate it."""
+    blocks DataFrame; callers write/aggregate it. ``token_bloom_cols``
+    names string columns that additionally store a per-block Bloom
+    over their distinct WORD TOKENS (:func:`grep_where` prunes on it —
+    full-text block skipping for needle-in-100TB searches)."""
     kinds = column_kinds(df.schema)
     conv_col = key_cols[0]
     order_col = key_cols[1] if len(key_cols) > 1 else None
@@ -1022,7 +1058,8 @@ def encode_df(df: DataFrame, key_cols: list[str], n_buckets: int = 32,
     if bucket_filter is not None:
         df = df.filter(F.col("_bucket").isin([int(b) for b in bucket_filter]))
     fn = make_encode_fn(kinds, key_cols, block_rows, text_cols,
-                        frozenset(bloom_cols or []))
+                        frozenset(bloom_cols or []),
+                        frozenset(token_bloom_cols or []))
     # One shuffle (repartition by bucket) + in-partition sort; the encode
     # kernel then streams Arrow batches with O(block_rows) memory.
     df = (df.repartition(n_buckets, F.col("_bucket"))
@@ -1162,7 +1199,9 @@ def encode_df_zorder(df: DataFrame, zcols: list[str],
                      key_cols: Optional[list[str]] = None,
                      n_buckets: int = 32, block_rows: int = 65536,
                      text_cols: Optional[list[str]] = None,
-                     bloom_cols: Optional[list[str]] = None) -> DataFrame:
+                     bloom_cols: Optional[list[str]] = None,
+                     token_bloom_cols: Optional[list[str]] = None
+                     ) -> DataFrame:
     """:func:`encode_df` with Z-order clustering instead of key sorting.
 
     Rows are range-partitioned and sorted by the Morton interleave of
@@ -1185,7 +1224,8 @@ def encode_df_zorder(df: DataFrame, zcols: list[str],
     text_cols = frozenset(text_cols or [])
     z = zorder_key(df, zcols)
     fn = make_encode_fn(kinds, key_cols, block_rows, text_cols,
-                        frozenset(bloom_cols or []))
+                        frozenset(bloom_cols or []),
+                        frozenset(token_bloom_cols or []))
     df = (df.repartitionByRange(n_buckets, z)
             .withColumn("_bucket", F.spark_partition_id())
             .sortWithinPartitions(z, *key_cols))
@@ -1600,6 +1640,7 @@ _STATS_JSON_SCHEMA = T.StructType([T.StructField("cols", T.ArrayType(
         T.StructField("hi", T.LongType()),
         T.StructField("s", T.LongType()),
         T.StructField("bm", T.StringType()),  # base64 Bloom bytes
+        T.StructField("tbm", T.StringType()),  # base64 token Bloom
         T.StructField("slo", T.StringType()),  # lexicographic bounds
         T.StructField("shi", T.StringType()),
         T.StructField("z", T.IntegerType()),   # nullable flag
@@ -1876,7 +1917,7 @@ def count_where_multi(blocks: DataFrame,
                  .alias("n_rows")))
 
 
-def bloom_keep_cond(col: str, value, kind: str):
+def bloom_keep_cond(col: str, value, kind: str, field: str = "bm"):
     """JVM predicate: keep a block unless its stored Bloom filter for
     ``col`` PROVES ``value`` absent. The k probe hashes are computed
     once on the driver (same `_bloom_hash_vals` path as the build);
@@ -1885,10 +1926,11 @@ def bloom_keep_cond(col: str, value, kind: str):
     wrap (2^64) is 0 mod m — then a byte extract + bit test on the
     unbase64'd filter. Pure JVM expressions over the small desc
     column: no payload bytes move, no Python runs, blocks without a
-    filter (legacy / not a bloom_col) are kept."""
+    filter (legacy / not a bloom_col) are kept. ``field`` selects the
+    descriptor filter: "bm" (value Bloom) or "tbm" (token Bloom)."""
     h1 = int(_bloom_hash_vals(value, kind)[0])
     h2 = int(_mix64(np.array([h1], dtype=np.uint64))[0])
-    bm = _col_stats(col)["bm"]
+    bm = _col_stats(col)[field]
     bloom = F.unbase64(bm)
     m_bits = (F.length(bloom) * F.lit(8)).cast("long")
     hit = None
@@ -1922,6 +1964,49 @@ def bloom_might_contain(bm_b64: Optional[str], value, kind: str) -> bool:
         if not (int(bloom[pos >> 3]) >> (pos & 7)) & 1:
             return False
     return True
+
+
+def grep_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
+               col: str, words,
+               columns: Optional[list[str]] = None) -> DataFrame:
+    """Full-text token search over a string column encoded with
+    ``token_bloom_cols``: return the rows whose ``col`` CONTAINS every
+    word in ``words`` (a str or list of str — AND semantics), pruning
+    every block whose stored token Bloom proves a word absent.
+
+    This is the needle-in-100TB query shape for transcript tables —
+    "find the conversations that mention <identifier>" — where zone
+    maps are useless (text is unordered) and a scan would decode every
+    block. The token Bloom is built over each block's DISTINCT word
+    tokens at encode time (:func:`_token_bloom_build`), so an absent
+    word skips the block at metadata speed and ~2%-FP probes bound the
+    wasted decodes. A word is a maximal ``[0-9A-Za-z_]+`` run — the
+    probe must be one (raises otherwise); matching is exact-token
+    (``grep -w``), not substring. Blocks without a token Bloom (legacy
+    tables, non-token columns) are kept — never a false negative."""
+    if isinstance(words, str):
+        words = [words]
+    if not words:
+        raise ValueError("grep_where: need at least one word")
+    keep = row_f = None
+    for w in words:
+        if not re.fullmatch("[0-9A-Za-z_]+", w):
+            raise ValueError(f"grep_where: probe {w!r} is not a single "
+                             "word token ([0-9A-Za-z_]+)")
+        k = bloom_keep_cond(col, w, K_STR, field="tbm")
+        rf = F.array_contains(
+            F.split(F.coalesce(F.col(col), F.lit("")), _TOKEN_SPLIT_RE),
+            w)
+        keep = k if keep is None else keep & k
+        row_f = rf if row_f is None else row_f & rf
+    decode_cols = columns
+    if columns is not None and col not in columns:
+        decode_cols = [col] + columns
+    dec = decode_df(blocks.filter(keep), schema_kinds,
+                    columns=decode_cols).filter(row_f)
+    if columns is not None and col not in columns:
+        dec = dec.select(*columns)
+    return dec
 
 
 def lookup_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],

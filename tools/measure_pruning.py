@@ -160,6 +160,40 @@ def main() -> None:
             engine.prune_blocks_range(trb, "conv-00001000",
                                       "conv-00001099").count())
 
+        # token Blooms over the text column (grep_where)
+        tt_dir = os.path.join(tempfile.gettempdir(),
+                              "oroch_prune_tr_tok")
+        if not os.path.exists(os.path.join(tt_dir, "_SUCCESS")):
+            engine.encode_df(tr, ["conv_id", "turn_idx"], n_buckets=32,
+                             block_rows=8192, text_cols=["text"],
+                             token_bloom_cols=["text"]) \
+                .write.mode("overwrite").parquet(tt_dir)
+        ttb = spark.read.parquet(tt_dir).persist()
+        tt_total = ttb.count()
+        add("grep_where (token Bloom, ABSENT word, 5.8M turns)",
+            "text ∋ 'qqzzxnope' — needle not in the corpus: answered "
+            "at metadata speed, zero payload decodes", tt_total,
+            ttb.filter(engine.bloom_keep_cond(
+                "text", "qqzzxnope", engine.K_STR, field="tbm"))
+            .count())
+        import glob
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        f0 = sorted(glob.glob(os.path.join(src_dir, "*.parquet")))[0]
+        toks = pc.unique(pc.list_flatten(pc.split_pattern_regex(
+            pq.read_table(f0, columns=["text"]).column("text")
+            .combine_chunks(), engine._TOKEN_SPLIT_RE))).to_pylist()
+        word = min(t for t in toks if t)  # deterministic corpus token
+        add("grep_where (token Bloom, PRESENT word)",
+            f"text ∋ {word!r} — the synthetic corpus has a 513-word "
+            "vocabulary, so any real word is in every 8192-row block; "
+            "keeping them all is correct (block-sparse tokens — real "
+            "corpora's identifiers — skip like the documents case in "
+            "test_grep_where)", tt_total,
+            ttb.filter(engine.bloom_keep_cond(
+                "text", word, engine.K_STR, field="tbm")).count())
+
     out = ["# PRUNING — measured block-skip ratios\n",
            "Generated by `python3 tools/measure_pruning.py`. Exact "
            "block counts on deterministic data (events sf0.1, 512-row "
