@@ -113,14 +113,20 @@ def pack_bits(u: np.ndarray, nbits: int) -> bytes:
     # lane boundary. g <= 8 vector passes over n/g-length lanes — no
     # per-bit unpackbits expansion (8x the payload in scratch bytes).
     nlanes = (gbytes + 7) // 8
-    acc = np.zeros((ngroups, nlanes), dtype="<u8")
+    # accumulate each lane in its own CONTIGUOUS vector (strided |=
+    # into interleaved (ngroups, nlanes) columns measures ~15% slower),
+    # interleave once at the end
+    accs = [np.zeros(ngroups, dtype="<u8") for _ in range(nlanes)]
     for k in range(g):
         bitpos = k * nbits
         j, s = bitpos >> 6, bitpos & 63
         v = lanes[:, k]
-        acc[:, j] |= v << U64(s)
+        accs[j] |= v << U64(s)
         if s + nbits > 64:
-            acc[:, j + 1] |= v >> U64(64 - s)
+            accs[j + 1] |= v >> U64(64 - s)
+    acc = np.empty((ngroups, nlanes), dtype="<u8")
+    for j in range(nlanes):
+        acc[:, j] = accs[j]
     out = np.ascontiguousarray(
         acc.view(np.uint8).reshape(ngroups, 8 * nlanes)[:, :gbytes])
     return out.reshape(-1)[: (n * nbits + 7) // 8].tobytes()

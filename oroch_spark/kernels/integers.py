@@ -664,6 +664,23 @@ def _decode_sub(buf: bytes, pos: int, n: int, codec: int, nbits: int
     raise ValueError(f"bad sub-codec {codec}")
 
 
+def _u_for(vals: np.ndarray, origin: int) -> np.ndarray:
+    """FOR transform to unsigned: (v - origin) mod 2^64. A zero origin
+    (dictionary ids, counts, any naturally-0-based stream) is a pure
+    reinterpret — no subtract pass, no copy."""
+    if origin == 0:
+        return vals.view(U64)
+    return vals.view(U64) - U64(origin & 0xFFFFFFFFFFFFFFFF)
+
+
+def _un_for(u: np.ndarray, origin: int) -> np.ndarray:
+    """Inverse FOR transform: (u + origin) mod 2^64 viewed signed;
+    zero origin is a pure reinterpret."""
+    if origin == 0:
+        return u.view(I64)
+    return (u + U64(origin & 0xFFFFFFFFFFFFFFFF)).view(I64)
+
+
 def encode_payload(vals: np.ndarray, desc: IntDescriptor) -> bytes:
     """Encode values per the selected descriptor (`integer_codec.h:386-393`,
     dispatch at `integer_codec.h:498-528` / `562-581`). Dense layout."""
@@ -677,20 +694,22 @@ def encode_payload(vals: np.ndarray, desc: IntDescriptor) -> bytes:
     if c == VARINT:
         return varint_encode(zigzag_encode(vals))
     if c == VARFOR:
-        u = vals.view(U64) - U64(desc.origin & 0xFFFFFFFFFFFFFFFF)
+        u = _u_for(vals, desc.origin)
         return varint_encode(u)
     if c == BITPCK:
         return pack_bits(zigzag_encode(vals), desc.nbits)
     if c == BITFOR:
-        u = vals.view(U64) - U64(desc.origin & 0xFFFFFFFFFFFFFFFF)
+        u = _u_for(vals, desc.origin)
         return pack_bits(u, desc.nbits)
     if c == BITPFR:
-        u = vals.view(U64) - U64(desc.origin & 0xFFFFFFFFFFFFFFFF)
+        u = _u_for(vals, desc.origin)
         mask = (U64(1) << U64(desc.nbits)) - U64(1)
         low = pack_bits(u & mask, desc.nbits)
-        outmask = (u >> U64(desc.nbits)) != 0
-        oidx = np.flatnonzero(outmask)  # int64; values non-negative
-        ovals = u[outmask] >> U64(desc.nbits)
+        # one compare pass finds outliers (u > mask == high bits set) —
+        # the full-array `u >> nbits` materialization is avoided; only
+        # the (few) outliers are gathered and shifted
+        oidx = np.flatnonzero(u > mask)  # int64; values non-negative
+        ovals = u[oidx] >> U64(desc.nbits)
         gaps_i = np.empty(len(oidx), dtype=I64)
         if len(oidx):
             gaps_i[0] = oidx[0]
@@ -720,12 +739,12 @@ def decode_payload(buf: bytes, desc: IntDescriptor) -> np.ndarray:
         return zigzag_decode(u)
     if c == VARFOR:
         u, _ = varint_decode(buf, n)
-        return (u + U64(desc.origin & 0xFFFFFFFFFFFFFFFF)).view(I64)
+        return _un_for(u, desc.origin)
     if c == BITPCK:
         return zigzag_decode(unpack_bits(buf, n, desc.nbits))
     if c == BITFOR:
         u = unpack_bits(buf, n, desc.nbits)
-        return (u + U64(desc.origin & 0xFFFFFFFFFFFFFFFF)).view(I64)
+        return _un_for(u, desc.origin)
     if c == BITPFR:
         pos = packed_size(n, desc.nbits)
         u = unpack_bits(buf[:pos], n, desc.nbits)
@@ -736,7 +755,7 @@ def decode_payload(buf: bytes, desc: IntDescriptor) -> np.ndarray:
         if len(gaps):
             oidx = np.cumsum(gaps + U64(1)) - U64(1)  # undo delta-1 gaps
             u[oidx.astype(np.int64)] |= ovals << U64(desc.nbits)
-        return (u + U64(desc.origin & 0xFFFFFFFFFFFFFFFF)).view(I64)
+        return _un_for(u, desc.origin)
     if c == DELTA:
         inner_desc, pos = read_header(buf, 0, n - 1, desc.width)
         deltas = decode_payload(buf[pos:], inner_desc)
