@@ -99,3 +99,42 @@ def test_eq_indices_matches_decode(vals, text_hint, data):
         got = sc.str_block_eq_indices(blob, len(vals), probe)
         exp = [i for i, v in enumerate(vals) if v == probe]
         assert got.tolist() == exp
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(I64, max_size=400), st.integers(0, 10))
+def test_hll_merge_associative_and_order_invariant(vals, cut):
+    """HLL of a concatenation == register-max of the parts' HLLs, and
+    value order never changes the registers (set semantics)."""
+    from oroch_spark import engine
+
+    a = pa.array(vals, type=pa.int64())
+    whole = np.frombuffer(engine._hll_build(a, engine.K_I64),
+                          dtype=np.uint8)
+    k = min(cut, len(vals))
+    left = np.frombuffer(
+        engine._hll_build(pa.array(vals[:k], type=pa.int64()),
+                          engine.K_I64), dtype=np.uint8)
+    right = np.frombuffer(
+        engine._hll_build(pa.array(vals[k:], type=pa.int64()),
+                          engine.K_I64), dtype=np.uint8)
+    np.testing.assert_array_equal(whole, np.maximum(left, right))
+    shuffled = pa.array(sorted(vals), type=pa.int64())
+    np.testing.assert_array_equal(
+        whole, np.frombuffer(engine._hll_build(shuffled, engine.K_I64),
+                             dtype=np.uint8))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(I64, min_size=1, max_size=400))
+def test_qsketch_points_are_exact_order_stats(vals):
+    from oroch_spark import engine
+
+    a = pa.array(vals, type=pa.int64())
+    blob = np.frombuffer(engine._qsketch_build(a), dtype="<i8")
+    nn, pts = int(blob[0]), blob[1:]
+    assert nn == len(vals)
+    s = np.sort(np.array(vals, dtype=np.int64))
+    idx = np.round(np.linspace(0, nn - 1, len(pts))).astype(np.int64)
+    np.testing.assert_array_equal(pts, s[idx])
+    assert pts[0] == s[0] and pts[-1] == s[-1]
