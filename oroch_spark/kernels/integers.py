@@ -110,23 +110,34 @@ def varint_size(u: np.ndarray) -> np.ndarray:
 
 
 def varint_encode(u: np.ndarray) -> bytes:
-    """Vectorized LEB128 encode of a uint64 array (`varint.h:74-83`)."""
+    """Vectorized LEB128 encode of a uint64 array (`varint.h:74-83`).
+
+    Byte k of every still-active value scatters straight into its
+    final stream position; values whose encoding is complete drop out
+    of the working set each round. Work is O(total output bytes) —
+    one long value no longer inflates a whole (n x maxbytes) scratch
+    matrix the way the previous dense-matrix encoder did."""
     n = len(u)
     if n == 0:
         return b""
-    u = np.asarray(u, dtype=U64)
-    sizes = varint_size(u)
-    maxb = int(sizes.max())
-    out = np.zeros((n, maxb), dtype=np.uint8)
-    work = u.copy()
-    for k in range(maxb):
-        out[:, k] = (work & U64(0x7F)).astype(np.uint8)
-        work >>= U64(7)
-    cols = np.arange(maxb)
-    cont = cols[None, :] < (sizes - 1)[:, None]
-    out |= cont.astype(np.uint8) << 7
-    keep = cols[None, :] < sizes[:, None]
-    return out[keep].tobytes()
+    wa = np.asarray(u, dtype=U64).copy()
+    sz = varint_size(wa)
+    ends = np.cumsum(sz)
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    st = (ends - sz).astype(np.int64)
+    k = 0
+    while len(wa):
+        byte = (wa & U64(0x7F)).astype(np.uint8)
+        cont = sz > (k + 1)
+        out[st + k] = byte | (cont.astype(np.uint8) << 7)
+        if not cont.any():
+            break
+        wa = wa[cont]
+        wa >>= U64(7)
+        sz = sz[cont]
+        st = st[cont]
+        k += 1
+    return out.tobytes()
 
 
 def varint_decode(buf: bytes, n: int) -> tuple[np.ndarray, int]:
