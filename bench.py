@@ -217,6 +217,23 @@ def main() -> None:
               events.filter(F.col("event_type") == "signup")
               .select("event_id").limit(1000)).count(),
           required=False)
+    # approx NDV from per-block HLL sketches: metadata-speed answer on
+    # a sketch-encoded copy of the same table (built once per sf)
+    try:
+        sk_dir = os.path.join(tempfile.gettempdir(),
+                              f"oroch_bench_skblocks_{sf}")
+        if not os.path.exists(os.path.join(sk_dir, "_SUCCESS")):
+            engine.encode_df(events, ["event_id"], n_buckets=N_BUCKETS,
+                             block_rows=65536,
+                             sketch_cols=["user_id"]) \
+                .write.mode("overwrite").parquet(sk_dir)
+        sk_blocks = spark.read.parquet(sk_dir)
+        timed("approx_ndv",
+              lambda: engine.approx_distinct(sk_blocks,
+                                             "user_id").collect(),
+              required=False)
+    except Exception:
+        pass
 
     # --- declarative DataSource surface (round 4) ------------------------
     # format("oroch") pushdown read + latest-wins merge-on-read over an

@@ -54,8 +54,11 @@ decoded rows with
 And ``df.write.format("oroch").save(path)`` encodes: each write task
 streams its Arrow batches through the same block encoder
 (``engine.make_encode_fn`` — codec auto-selection, zone maps, optional
-per-column Bloom filters) and writes one parquet part file of block
-rows; the driver-side commit writes the ``_oroch_table.json`` sidecar
+per-column Bloom filters via ``option("bloom_cols", ...)`` /
+``option("token_bloom_cols", ...)``, and per-column HLL + quantile
+sketches via ``option("sketch_cols", ...)`` feeding
+``engine.approx_distinct`` / ``approx_quantile`` over the raw blocks
+parquet) and writes one parquet part file of block rows; the driver-side commit writes the ``_oroch_table.json`` sidecar
 (schema kinds + key columns — what a reader needs to decode) and
 ``_SUCCESS``. The write is map-only over the incoming partitioning
 (like ``engine.encode_parquet_maponly``): zone maps are true min/max
@@ -1113,12 +1116,15 @@ def _parse_write_options(options: dict, kinds: list[tuple[str, str]]):
     split = lambda o: frozenset(
         c.strip() for c in str(options.get(o, "")).split(",") if c.strip())
     return (key_cols, int(options.get("block_rows", 65536)),
-            split("text_cols"), split("bloom_cols"))
+            split("text_cols"), split("bloom_cols"),
+            split("token_bloom_cols"), split("sketch_cols"))
 
 
 def _write_task(path: str, kinds, key_cols, block_rows, text_cols,
                 bloom_cols, iterator: Iterator,
-                prefix: str = "part") -> _Committed:
+                prefix: str = "part",
+                token_bloom_cols: frozenset = frozenset(),
+                sketch_cols: frozenset = frozenset()) -> _Committed:
     """One write task: stream the task's Arrow batches through the
     block encoder, land exactly one parquet part with a unique name
     (retries/speculative attempts never collide — commit reconciles)."""
@@ -1128,7 +1134,7 @@ def _write_task(path: str, kinds, key_cols, block_rows, text_cols,
 
     pid = TaskContext.get().partitionId() if TaskContext.get() else 0
     fn = engine.make_encode_fn(kinds, key_cols, block_rows, text_cols,
-                               bloom_cols)
+                               bloom_cols, token_bloom_cols, sketch_cols)
 
     def tagged():
         # map-only: the task's partition id is the bucket
@@ -1178,7 +1184,8 @@ class OrochWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
         self.job_id = uuid.uuid4().hex
         (self.key_cols, self.block_rows, self.text_cols,
-         self.bloom_cols) = _parse_write_options(options, kinds)
+         self.bloom_cols, self.token_bloom_cols,
+         self.sketch_cols) = _parse_write_options(options, kinds)
         os.makedirs(self.path, exist_ok=True)
         self.merged_kinds = list(kinds)
         if not overwrite:
@@ -1219,7 +1226,9 @@ class OrochWriter(DataSourceArrowWriter):
         return _write_task(self.path, self.kinds, self.key_cols,
                            self.block_rows, self.text_cols,
                            self.bloom_cols, iterator,
-                           prefix=f"part-{self.job_id}")
+                           prefix=f"part-{self.job_id}",
+                           token_bloom_cols=self.token_bloom_cols,
+                           sketch_cols=self.sketch_cols)
 
     def commit(self, messages) -> None:
         keep = {m.file for m in messages if m and m.file}
@@ -1360,13 +1369,16 @@ class OrochStreamWriter(DataSourceStreamArrowWriter):
         self.path = options["path"]
         self.kinds = kinds
         (self.key_cols, self.block_rows, self.text_cols,
-         self.bloom_cols) = _parse_write_options(options, kinds)
+         self.bloom_cols, self.token_bloom_cols,
+         self.sketch_cols) = _parse_write_options(options, kinds)
         os.makedirs(os.path.join(self.path, _BATCH_DIR), exist_ok=True)
 
     def write(self, iterator: Iterator) -> _Committed:
         return _write_task(self.path, self.kinds, self.key_cols,
                            self.block_rows, self.text_cols,
-                           self.bloom_cols, iterator, prefix="stream")
+                           self.bloom_cols, iterator, prefix="stream",
+                           token_bloom_cols=self.token_bloom_cols,
+                           sketch_cols=self.sketch_cols)
 
     def commit(self, messages, batchId: int) -> None:
         files = sorted(m.file for m in messages if m and m.file)

@@ -805,3 +805,30 @@ def test_stream_sweep_spares_fresh_unreferenced_parts(dsspark,
     w.commit([m], 0)
     assert os.path.exists(fresh)       # in-flight compaction output
     assert not os.path.exists(stale)   # genuinely crashed leftover
+
+
+def test_writer_sketch_cols_power_approx_ops(dsspark, tmp_path):
+    """option('sketch_cols') lands HLL + quantile summaries in the
+    written blocks; reading the raw blocks parquet feeds
+    approx_distinct/approx_quantile with no extra encode."""
+    d = str(tmp_path / "sk")
+    df = dsspark.createDataFrame(
+        [(i, i % 211) for i in range(6000)],
+        "event_id bigint, user_id bigint")
+    (df.repartition(4, "event_id").sortWithinPartitions("event_id")
+       .write.format("oroch").mode("overwrite")
+       .option("key_cols", "event_id")
+       .option("block_rows", "512")
+       .option("sketch_cols", "user_id").save(d))
+    blocks = dsspark.read.parquet(d)
+    est = engine.approx_distinct(blocks, "user_id") \
+        .collect()[0].approx_ndv
+    assert abs(est - 211) <= 4     # linear-counting regime: near-exact
+    got = {r.q: r.value for r in
+           engine.approx_quantile(blocks, "user_id",
+                                  [0.0, 0.5, 1.0]).collect()}
+    assert got[0.0] == 0 and got[1.0] == 210
+    assert abs(got[0.5] - 105) <= 8
+    # and the decoded read is unaffected
+    back = dsspark.read.format("oroch").load(d)
+    assert back.count() == 6000
