@@ -6,6 +6,8 @@ Python UDFs anywhere, so everything stays inside whole-stage codegen.
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
@@ -38,6 +40,34 @@ def exact_dedup(df: DataFrame, content_col: str = "text",
         return agg.select(id_col, content_col, "dup_cnt",
                           "collision_free")
     return agg.select(id_col, content_col, "dup_cnt")
+
+
+def streaming_exact_dedup(stream_df: DataFrame,
+                          content_col: str = "text",
+                          ts_col: Optional[str] = None,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming face of :func:`exact_dedup`: drop rows whose content
+    fingerprint was already seen, within the watermark horizon.
+
+    The state key is the same 128-bit fingerprint pair (16 bytes/doc
+    in the state store, never the document), so state size is bounded
+    by DISTINCT docs inside the horizon — the knob a 100 TB ingest
+    pipeline actually turns (an unbounded-horizon exact dedup is a
+    batch backfill job, not a stream). With ``ts_col`` the horizon is
+    event time via ``dropDuplicatesWithinWatermark`` (late duplicates
+    beyond the watermark age out of state); without it, duplicates
+    are dropped per the unbounded ``dropDuplicates`` contract (state
+    grows with distinct docs — bounded runs only).
+    """
+    d = (stream_df
+         .withColumn("_h1", F.xxhash64(F.col(content_col)))
+         .withColumn("_h2", F.xxhash64(F.lit(1), F.col(content_col))))
+    if ts_col is not None:
+        d = d.withWatermark(ts_col, watermark)
+        d = d.dropDuplicatesWithinWatermark(["_h1", "_h2"])
+    else:
+        d = d.dropDuplicates(["_h1", "_h2"])
+    return d.drop("_h1", "_h2")
 
 
 def exact_dedup_by_content(df: DataFrame, content_col: str = "text",

@@ -128,3 +128,53 @@ def test_conversation_progress_exact_across_microbatches(spark, tmp_path):
         assert g[cid].first_us == t[cid].first_us
         assert g[cid].last_us == t[cid].last_us
     df.unpersist()
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
+    """Duplicates arriving in LATER micro-batches are dropped by the
+    fingerprint state; distinct docs all survive exactly once."""
+    from oroch_spark.operators import dedup
+
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src, exist_ok=True)
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    base = [(i, f"doc body {i % 40}",    # 40 distinct contents
+             f"2024-01-01 10:{i % 50:02d}:00") for i in range(120)]
+    df = (spark.createDataFrame(base, "doc_id bigint, text string, "
+                                "s string")
+          .withColumn("ts", F.col("s").cast("timestamp")).drop("s")
+          .persist())
+    # three sequential file slices so duplicates straddle micro-batches
+    for k in range(3):
+        df.filter(F.col("doc_id") % 3 == k).coalesce(1) \
+            .write.mode("append").parquet(src)
+        time.sleep(1.2)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = dedup.streaming_exact_dedup(stream, content_col="text",
+                                      ts_col="ts", watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("sdedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("sdedup").toPandas()
+    assert len(got) == 40
+    assert sorted(got.text.unique()) == sorted(
+        {t for _, t, _ in base})
+
+
+def test_streaming_exact_dedup_unbounded_variant(spark, tmp_path):
+    from oroch_spark.operators import dedup
+
+    src = str(tmp_path / "docs_u")
+    df = spark.createDataFrame(
+        [(i, f"t {i % 7}") for i in range(50)],
+        "doc_id bigint, text string")
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = dedup.streaming_exact_dedup(stream, content_col="text")
+    q = (out.writeStream.format("memory").queryName("sdedup_u")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.table("sdedup_u").count() == 7
