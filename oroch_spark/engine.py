@@ -905,6 +905,136 @@ def _hll_estimate(regs: "np.ndarray") -> int:
     return int(round(est))
 
 
+_MG_K = 64                  # heavy-hitter counters per block
+
+
+def _mg_build(arr, kind: str) -> str:
+    """Per-block heavy-hitter summary: the top-_MG_K exact (value,
+    count) pairs plus the residual bound ``rb`` = largest dropped
+    count (<= n/(K+1) by pigeonhole). Exact top-k counters with a
+    residual bound are a mergeable Misra-Gries-style summary (Agarwal
+    et al., Mergeable Summaries, PODS 2012): merged estimates
+    undercount each item by at most the sum of the blocks' ``rb``.
+    JSON string (values as strings — exact for string/int domains);
+    ties broken (count desc, value asc) for determinism."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.drop_null()
+    if kind == K_STR:
+        vc = pc.value_counts(arr)
+        uvals, cnt = vc.field("values"), \
+            vc.field("counts").to_numpy(zero_copy_only=False)
+    else:
+        iv = _canon_int64(arr)
+        u, cnt = np.unique(iv, return_counts=True)
+        uvals = pa.array(u)
+    n_u = len(cnt)
+    if n_u <= _MG_K:
+        cand = np.arange(n_u)
+        rb = 0
+    else:
+        cut = int(np.partition(cnt, n_u - _MG_K)[n_u - _MG_K])
+        cand = np.flatnonzero(cnt >= cut)   # >= K entries (cut ties)
+        below = cnt[cnt < cut]
+        rb_below = int(below.max()) if len(below) else 0
+        rb = cut if len(cand) > _MG_K else rb_below
+    # only the candidate set (K + ties) materializes as Python values
+    keys = [str(v) for v in uvals.take(pa.array(cand)).to_pylist()]
+    ccnt = cnt[cand]
+    order = sorted(range(len(keys)),
+                   key=lambda i: (-int(ccnt[i]), keys[i]))[:_MG_K]
+    return json.dumps({"rb": int(rb),
+                       "items": {keys[i]: int(ccnt[i]) for i in order}})
+
+
+def approx_topk(blocks: DataFrame, col: str, k: int = 10,
+                kind: str = "str") -> DataFrame:
+    """Approximate top-k most frequent values of ``col`` from per-block
+    heavy-hitter summaries alone (``sketch_cols`` at encode) — the
+    "top domains / languages / tools over 100 TB" query without
+    shuffling the column: partition partials sum O(blocks x K) counter
+    pairs, one final fold ranks. Estimates UNDERCOUNT only; rows out:
+    (value, count_lo, count_hi) with true count in [count_lo,
+    count_hi] (count_hi adds every block's residual bound). Raises at
+    execution if any block lacks the summary. ``kind`` controls the
+    output value type ("str" or "int")."""
+    if k > _MG_K:
+        raise ValueError(f"k must be <= {_MG_K}")
+    st = _col_stats(col)
+    rows = blocks.select(st["mg"].alias("mg"))
+    part_schema = T.StructType([
+        T.StructField("items", T.StringType()),
+        T.StructField("rb", T.LongType()),
+        T.StructField("missing", T.LongType())])
+
+    def merge_series(series):
+        acc: dict[str, int] = {}
+        rb = 0
+        missing = 0
+        for s in series:
+            if s is None:
+                missing += 1
+                continue
+            d = json.loads(s)
+            rb += int(d["rb"])
+            for v, c in d["items"].items():
+                acc[v] = acc.get(v, 0) + int(c)
+        return acc, rb, missing
+
+    def partial(batches):
+        acc: dict[str, int] = {}
+        rb = 0
+        missing = 0
+        for pdf in batches:
+            a, r, miss = merge_series(pdf["mg"])
+            rb += r
+            missing += miss
+            for v, c in a.items():
+                acc[v] = acc.get(v, 0) + c
+        # keep a bounded partial: top 4K counters travel, the rest
+        # fold into the residual bound (their true counts are below
+        # the cut everywhere they were dropped)
+        keep = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if len(keep) > 4 * _MG_K:
+            rb += keep[4 * _MG_K][1]
+            keep = keep[:4 * _MG_K]
+        yield pd.DataFrame({"items": [json.dumps(dict(keep))],
+                            "rb": [rb], "missing": [missing]})
+
+    vtype = T.LongType() if kind == "int" else T.StringType()
+    out_schema = T.StructType([
+        T.StructField("value", vtype),
+        T.StructField("count_lo", T.LongType()),
+        T.StructField("count_hi", T.LongType())])
+
+    def final(batches):
+        acc: dict[str, int] = {}
+        rb = 0
+        missing = 0
+        for pdf in batches:
+            missing += int(pdf["missing"].sum())
+            rb += int(pdf["rb"].sum())
+            for s in pdf["items"]:
+                for v, c in json.loads(s).items():
+                    acc[v] = acc.get(v, 0) + int(c)
+        if missing:
+            raise ValueError(
+                f"approx_topk({col!r}): {missing} blocks carry no "
+                f"heavy-hitter summary — re-encode with "
+                f"sketch_cols=[{col!r}]")
+        top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        vals = [int(v) if kind == "int" else v for v, _ in top]
+        yield pd.DataFrame({"value": pd.Series(vals, dtype=object),
+                            "count_lo": [c for _, c in top],
+                            "count_hi": [c + rb for _, c in top]})
+
+    return (rows.mapInPandas(partial, schema=part_schema)
+            .repartition(1).mapInPandas(final, schema=out_schema))
+
+
 def _canon_int64(arr):
     """Non-null values of an int-domain Arrow array in the canonical
     int64 codec domain (ts = epoch-micros, date = days, bool = 0/1)."""
@@ -982,6 +1112,9 @@ def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
             if kind in (K_I8, K_I16, K_I32, K_I64, K_TS, K_DATE, K_BOOL):
                 d["qs"] = base64.b64encode(
                     _qsketch_build(table.column(name))).decode("ascii")
+            if kind == K_STR or kind in (K_I8, K_I16, K_I32, K_I64,
+                                         K_TS, K_DATE, K_BOOL):
+                d["mg"] = _mg_build(table.column(name), kind)
         pieces.append(blob)
         desc_cols.append(d)
         bytes_in += b_in
@@ -1760,6 +1893,7 @@ _STATS_JSON_SCHEMA = T.StructType([T.StructField("cols", T.ArrayType(
         T.StructField("nc", T.LongType()),     # exact null count
         T.StructField("hll", T.StringType()),  # base64 HLL registers
         T.StructField("qs", T.StringType()),   # base64 quantile summary
+        T.StructField("mg", T.StringType()),   # heavy-hitter summary
     ])))])
 
 

@@ -137,6 +137,58 @@ class TestApproxQuantile:
         assert a.equals(b)
 
 
+class TestApproxTopk:
+    def test_small_cardinality_exact_with_zero_residual(self, blocks):
+        df, blk = blocks
+        exact = {r.tag: r["count"] for r in
+                 df.groupBy("tag").count().collect()}
+        got = engine.approx_topk(blk, "tag", k=10).collect()
+        # 777 distinct tags > 64/block, so residuals exist; bounds
+        # must bracket the truth and ranking must be plausible
+        for r in got:
+            assert r.count_lo <= exact[r.value] <= r.count_hi
+
+    def test_heavy_hitters_found_on_skew(self, blocks, spark):
+        rng = np.random.RandomState(5)
+        vals = rng.zipf(1.3, 30000) % 10000        # strong skew
+        df = spark.createDataFrame(
+            [(int(i), int(v)) for i, v in enumerate(vals)],
+            "event_id bigint, v bigint")
+        blk = engine.encode_df(df, ["event_id"], n_buckets=4,
+                               block_rows=1024, sketch_cols=["v"])
+        got = engine.approx_topk(blk, "v", k=5, kind="int").collect()
+        exact = df.groupBy("v").count() \
+            .orderBy(F.desc("count"), "v").limit(5).collect()
+        exact_counts = {r.v: r["count"] for r in
+                        df.groupBy("v").count().collect()}
+        top_true = [r.v for r in exact]
+        top_est = [r.value for r in got]
+        # the true heavy hitters are recovered (order may wobble in
+        # the tail); bounds bracket every reported item's true count
+        assert set(top_est[:3]) == set(top_true[:3])
+        for r in got:
+            assert r.count_lo <= exact_counts[r.value] <= r.count_hi
+
+    def test_exact_when_block_cardinality_fits(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"t{i % 20}") for i in range(8000)],
+            "event_id bigint, tag string")
+        blk = engine.encode_df(df, ["event_id"], n_buckets=2,
+                               block_rows=1024, sketch_cols=["tag"])
+        got = engine.approx_topk(blk, "tag", k=20).collect()
+        # 20 distinct <= 64 per block: rb == 0 everywhere -> exact
+        for r in got:
+            assert r.count_lo == r.count_hi == 400
+
+    def test_missing_raises_and_k_cap(self, blocks):
+        df, blk = blocks
+        nosketch = engine.encode_df(df, ["event_id"], n_buckets=2)
+        with pytest.raises(Exception, match="heavy-hitter"):
+            engine.approx_topk(nosketch, "tag").collect()
+        with pytest.raises(ValueError):
+            engine.approx_topk(blk, "tag", k=1000)
+
+
 def test_sketch_kernel_determinism():
     import pyarrow as pa
     arr = pa.array(list(range(1000)) * 2, type=pa.int64())
