@@ -1074,6 +1074,28 @@ def _qsketch_build(arr) -> bytes:
     return out.tobytes()
 
 
+def _qsketch_build_f(arr) -> bytes:
+    """Float-column variant of :func:`_qsketch_build`: count travels as
+    the first float64 (exact below 2^53), points as float64 order
+    stats; NaNs are excluded like nulls (they have no rank)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    vals = arr.drop_null().cast(pa.float64()) \
+        .to_numpy(zero_copy_only=False)
+    vals = vals[~np.isnan(vals)]
+    nn = len(vals)
+    if nn == 0:
+        return np.array([0.0], dtype="<f8").tobytes()
+    svals = np.sort(vals)
+    idx = np.round(np.linspace(0, nn - 1, _QS_T + 1)).astype(np.int64)
+    out = np.empty(_QS_T + 2, dtype="<f8")
+    out[0] = float(nn)
+    out[1:] = svals[idx]
+    return out.tobytes()
+
+
 def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
                   kinds, key_cols, text_cols,
                   bloom_cols: frozenset = frozenset(),
@@ -1112,6 +1134,9 @@ def _encode_chunk(table: "pa.Table", bucket: int, block_idx: int,
             if kind in (K_I8, K_I16, K_I32, K_I64, K_TS, K_DATE, K_BOOL):
                 d["qs"] = base64.b64encode(
                     _qsketch_build(table.column(name))).decode("ascii")
+            elif kind in (K_F32, K_F64):
+                d["qsf"] = base64.b64encode(
+                    _qsketch_build_f(table.column(name))).decode("ascii")
             if kind == K_STR or kind in (K_I8, K_I16, K_I32, K_I64,
                                          K_TS, K_DATE, K_BOOL):
                 d["mg"] = _mg_build(table.column(name), kind)
@@ -1893,6 +1918,7 @@ _STATS_JSON_SCHEMA = T.StructType([T.StructField("cols", T.ArrayType(
         T.StructField("nc", T.LongType()),     # exact null count
         T.StructField("hll", T.StringType()),  # base64 HLL registers
         T.StructField("qs", T.StringType()),   # base64 quantile summary
+        T.StructField("qsf", T.StringType()),  # float quantile summary
         T.StructField("mg", T.StringType()),   # heavy-hitter summary
     ])))])
 
@@ -2082,22 +2108,27 @@ def _merge_qsummaries(points: list["np.ndarray"],
 
 
 def approx_quantile(blocks: DataFrame, col: str,
-                    qs: list[float]) -> DataFrame:
-    """Approximate percentiles of an int-domain column from per-block
-    order-statistic summaries (``sketch_cols`` at encode): each block
-    stores T+1 exact order stats; the merge weighs each by its block's
-    non-null count, partition partials re-compress to T+1 points, and
-    the final fold reads values at the requested cumulative ranks.
-    Rank error is bounded by ~N/T per merge level (~3% of N total at
-    T=64) — no payload byte is read. Rows out: (q, value). Raises at
-    execution if any block lacks the sketch; all-null/empty input
-    yields NULL values.
+                    qs: list[float], kind: str = "int") -> DataFrame:
+    """Approximate percentiles of an int-domain (``kind="int"``) or
+    float (``kind="float"``) column from per-block order-statistic
+    summaries (``sketch_cols`` at encode): each block stores T+1 exact
+    order stats; the merge weighs each by its block's non-null count,
+    partition partials re-compress to T+1 points, and the final fold
+    reads values at the requested cumulative ranks. Rank error is
+    bounded by ~N/T per merge level (~3% of N total at T=64) — no
+    payload byte is read. Rows out: (q, value). Raises at execution if
+    any block lacks the sketch; all-null/empty input yields NULL
+    values.
     """
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0,1]")
+    if kind not in ("int", "float"):
+        raise ValueError(f"kind must be 'int' or 'float', not {kind!r}")
+    is_f = kind == "float"
+    dt, vt = ("<f8", np.float64) if is_f else ("<i8", np.int64)
     st = _col_stats(col)
-    rows = blocks.select(st["qs"].alias("qs"))
+    rows = blocks.select(st["qsf" if is_f else "qs"].alias("qs"))
     part_schema = T.StructType([
         T.StructField("vals", T.BinaryType()),
         T.StructField("wts", T.BinaryType()),
@@ -2111,12 +2142,12 @@ def approx_quantile(blocks: DataFrame, col: str,
             if s is None:
                 missing += 1
                 continue
-            a = np.frombuffer(base64.b64decode(s), dtype="<i8")
+            a = np.frombuffer(base64.b64decode(s), dtype=dt)
             nn = int(a[0])
             if nn == 0:
                 continue
             p = a[1:]
-            pts.append(p.astype(np.int64))
+            pts.append(p.astype(vt))
             wts.append(np.full(len(p), nn / len(p), dtype=np.float64))
         return pts, wts, missing
 
@@ -2133,12 +2164,14 @@ def approx_quantile(blocks: DataFrame, col: str,
                                 "total": [0.0], "missing": [missing]})
             return
         v, w, total = _merge_qsummaries(pts, wts)
-        yield pd.DataFrame({"vals": [v.astype("<i8").tobytes()],
+        yield pd.DataFrame({"vals": [v.astype(dt).tobytes()],
                             "wts": [w.astype("<f8").tobytes()],
                             "total": [total], "missing": [missing]})
 
-    out_schema = T.StructType([T.StructField("q", T.DoubleType()),
-                               T.StructField("value", T.LongType())])
+    out_schema = T.StructType([
+        T.StructField("q", T.DoubleType()),
+        T.StructField("value",
+                      T.DoubleType() if is_f else T.LongType())])
     qarr = [float(q) for q in qs]
 
     def final(batches):
@@ -2149,8 +2182,8 @@ def approx_quantile(blocks: DataFrame, col: str,
             for vb, wb in zip(pdf["vals"], pdf["wts"]):
                 if len(vb) == 0:
                     continue
-                pts.append(np.frombuffer(vb, dtype="<i8")
-                           .astype(np.int64))
+                pts.append(np.frombuffer(vb, dtype=dt)
+                           .astype(vt))
                 wts.append(np.frombuffer(wb, dtype="<f8")
                            .astype(np.float64))
         if missing:

@@ -122,6 +122,23 @@ class TestApproxQuantile:
         with pytest.raises(Exception, match="no quantile sketch"):
             engine.approx_quantile(nosketch, "value", [0.5]).collect()
 
+    def test_float_column_quantiles(self, spark):
+        rng = np.random.RandomState(13)
+        xs = rng.lognormal(0.0, 1.0, size=20000)
+        df = spark.createDataFrame(
+            [(int(i), float(x)) for i, x in enumerate(xs)],
+            "event_id bigint, score double")
+        blk = engine.encode_df(df, ["event_id"], n_buckets=4,
+                               block_rows=1024, sketch_cols=["score"])
+        got = {r.q: r.value for r in engine.approx_quantile(
+            blk, "score", [0.1, 0.5, 0.9], kind="float").collect()}
+        s = np.sort(xs)
+        n = len(s)
+        for q in [0.1, 0.5, 0.9]:
+            rank = np.searchsorted(s, got[q])
+            assert abs(rank - q * n) <= 0.035 * n, (q, got[q])
+        assert isinstance(got[0.5], float)
+
     def test_bad_q_rejected(self, blocks):
         _, blk = blocks
         with pytest.raises(ValueError):
