@@ -79,6 +79,8 @@ def cmd_encode(args) -> None:
     text_cols = args.text_cols.split(",") if args.text_cols else None
     raw_bloom = getattr(args, "bloom_cols", None)
     bloom_cols = raw_bloom.split(",") if raw_bloom else None
+    raw_sketch = getattr(args, "sketch_cols", None)
+    sketch_cols = raw_sketch.split(",") if raw_sketch else None
     snapshot_id = args.snapshot_id or snapshot_of_dir(args.src)
 
     if args.mode == "maponly":
@@ -99,6 +101,7 @@ def cmd_encode(args) -> None:
             blocks = engine.encode_parquet_maponly(
                 spark, args.src, keys, block_rows=args.block_rows,
                 text_cols=text_cols, bloom_cols=bloom_cols,
+                sketch_cols=sketch_cols,
                 file_filter=None if not done
                 else (lambda f: ordinals[f] not in done))
             blocks.persist()
@@ -115,7 +118,8 @@ def cmd_encode(args) -> None:
             blocks = engine.encode_df_staged(
                 df, keys, staging_dir=os.path.join(args.out, "_staging"),
                 n_buckets=args.buckets, block_rows=args.block_rows,
-                text_cols=text_cols, bloom_cols=bloom_cols)
+                text_cols=text_cols, bloom_cols=bloom_cols,
+                sketch_cols=sketch_cols)
             blocks.persist()
             try:
                 (blocks.write.partitionBy("bucket").mode("overwrite")
@@ -130,6 +134,7 @@ def cmd_encode(args) -> None:
                 spark, df, args.out, keys, snapshot_id,
                 n_buckets=args.buckets, block_rows=args.block_rows,
                 text_cols=text_cols, bloom_cols=bloom_cols,
+                sketch_cols=sketch_cols,
                 buckets_per_stage=args.buckets_per_stage)
     summary = (spark.read.parquet(os.path.join(args.out, "blocks"))
                .agg(F.sum("n").alias("rows"),
@@ -337,8 +342,23 @@ def cmd_analyze(args) -> None:
 
     spark, own = build_session(args)
     blocks, kinds = _blocks_and_kinds(args, spark)
-    for r in engine.table_stats(blocks, kinds).orderBy("col").collect():
-        print(json.dumps(r.asDict(), default=str))
+    if getattr(args, "approx_ndv", None):
+        for r in engine.approx_distinct(blocks, args.approx_ndv).collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif getattr(args, "approx_quantile", None):
+        qs = [float(x) for x in args.q.split(",")]
+        for r in engine.approx_quantile(blocks, args.approx_quantile,
+                                        qs, kind=args.quantile_kind) \
+                .collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif getattr(args, "approx_topk", None):
+        for r in engine.approx_topk(blocks, args.approx_topk, k=args.k,
+                                    kind=args.topk_kind).collect():
+            print(json.dumps(r.asDict(), default=str))
+    else:
+        for r in engine.table_stats(blocks, kinds).orderBy("col") \
+                .collect():
+            print(json.dumps(r.asDict(), default=str))
     if own:
         spark.stop()
 
@@ -378,6 +398,10 @@ def main() -> None:
     e.add_argument("--bloom-cols", default=None,
                    help="comma-separated non-key columns to carry a "
                         "per-block Bloom filter for point-lookup pruning")
+    e.add_argument("--sketch-cols", default=None,
+                   help="comma-separated columns to carry per-block "
+                        "HLL/quantile/heavy-hitter sketches (analyze "
+                        "--approx-* answers from them)")
 
     lk = sub.add_parser("lookup")
     common(lk)
@@ -438,6 +462,18 @@ def main() -> None:
     common(an)
     an.add_argument("--src", required=True,
                     help="source parquet dir (schema only)")
+    an.add_argument("--approx-ndv", default=None, metavar="COL",
+                    help="APPROX COUNT(DISTINCT col) from HLL sketches")
+    an.add_argument("--approx-quantile", default=None, metavar="COL",
+                    help="approx percentiles of col from block sketches")
+    an.add_argument("--q", default="0.5",
+                    help="comma-separated quantiles for --approx-quantile")
+    an.add_argument("--quantile-kind", default="int",
+                    choices=["int", "float"])
+    an.add_argument("--approx-topk", default=None, metavar="COL",
+                    help="approx top-k frequent values of col")
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--topk-kind", default="str", choices=["str", "int"])
 
     d = sub.add_parser("decode")
     common(d)

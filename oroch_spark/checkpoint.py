@@ -61,7 +61,8 @@ def encode_job(spark: SparkSession, df: DataFrame, out_dir: str,
                text_cols: Optional[list[str]] = None,
                buckets_per_stage: Optional[int] = None,
                fail_after_stages: Optional[int] = None,
-               bloom_cols: Optional[list[str]] = None) -> EncodeResult:
+               bloom_cols: Optional[list[str]] = None,
+               sketch_cols: Optional[list[str]] = None) -> EncodeResult:
     """Run (or resume) the checkpointed encode of ``df`` into
     ``out_dir/{blocks,manifest}``.
 
@@ -90,7 +91,7 @@ def encode_job(spark: SparkSession, df: DataFrame, out_dir: str,
             df, key_cols, n_buckets=n_buckets, block_rows=block_rows,
             chunk_rows=chunk_rows, text_cols=text_cols,
             bucket_filter=stage if len(stage) < n_buckets else None,
-            bloom_cols=bloom_cols)
+            bloom_cols=bloom_cols, sketch_cols=sketch_cols)
         blocks.persist()
         try:
             (blocks.write.partitionBy("bucket").mode("overwrite")

@@ -1506,7 +1506,8 @@ def encode_df_zorder(df: DataFrame, zcols: list[str],
 def make_file_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
                         block_rows: int, text_cols: frozenset[str],
                         arrow_batch_rows: int = 16384,
-                        bloom_cols: frozenset = frozenset()):
+                        bloom_cols: frozenset = frozenset(),
+                        sketch_cols: frozenset = frozenset()):
     """Encode kernel that PULLS its input: each task row names a staged
     parquet file (one bucket) which the worker reads directly via
     pyarrow's C++ reader. The bulk bytes never cross the JVM<->Python
@@ -1516,7 +1517,7 @@ def make_file_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
     serialization is skipped and the columnar decode happens where the
     data is consumed.)"""
     inner = make_encode_fn(kinds, key_cols, block_rows, text_cols,
-                           bloom_cols)
+                           bloom_cols, frozenset(), sketch_cols)
 
     def encode_files(batches) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
@@ -1591,7 +1592,8 @@ def encode_parquet_maponly(spark, source: str, key_cols: list[str],
                            text_cols: Optional[list[str]] = None,
                            file_filter=None,
                            tasks: Optional[int] = None,
-                           bloom_cols: Optional[list[str]] = None
+                           bloom_cols: Optional[list[str]] = None,
+                           sketch_cols: Optional[list[str]] = None
                            ) -> DataFrame:
     """Shuffle-free (map-only) encode for conv-clustered input.
 
@@ -1649,7 +1651,8 @@ def encode_parquet_maponly(spark, source: str, key_cols: list[str],
         "path string, bucket int")
     fn = make_file_encode_fn(kinds, key_cols, block_rows,
                              frozenset(text_cols or []),
-                             bloom_cols=frozenset(bloom_cols or []))
+                             bloom_cols=frozenset(bloom_cols or []),
+                             sketch_cols=frozenset(sketch_cols or []))
     return fdf.mapInArrow(fn, schema=BLOCK_SCHEMA)
 
 
@@ -1658,7 +1661,8 @@ def encode_df_staged(df: DataFrame, key_cols: list[str], staging_dir: str,
                      chunk_rows: int = 8192,
                      text_cols: Optional[list[str]] = None,
                      bucket_filter: Optional[list[int]] = None,
-                     bloom_cols: Optional[list[str]] = None) -> DataFrame:
+                     bloom_cols: Optional[list[str]] = None,
+                     sketch_cols: Optional[list[str]] = None) -> DataFrame:
     """Two-phase encode: (1) JVM-only shuffle+sort materialized to a
     staging parquet directory laid out ``_bucket=<k>/`` (exactly one
     sorted file per bucket — no hash-collision skew); (2) python
@@ -1700,7 +1704,8 @@ def encode_df_staged(df: DataFrame, key_cols: list[str], staging_dir: str,
         spark.sparkContext.parallelize(rows, max(len(rows), 1)),
         "path string, bucket int")
     fn = make_file_encode_fn(kinds, key_cols, block_rows, text_cols_f,
-                             bloom_cols=frozenset(bloom_cols or []))
+                             bloom_cols=frozenset(bloom_cols or []),
+                             sketch_cols=frozenset(sketch_cols or []))
     return fdf.mapInArrow(fn, schema=BLOCK_SCHEMA)
 
 
