@@ -1457,7 +1457,8 @@ def compact_sink(spark, path: str, n_buckets: int = 32,
                  block_rows: int = 65536,
                  latest_wins: bool = True,
                  tombstone_col: Optional[str] = None,
-                 retain_from_batch: Optional[int] = None) -> dict:
+                 retain_from_batch: Optional[int] = None,
+                 gc: bool = True) -> dict:
     """Maintenance compaction for a streaming sink: decode the folded
     batches, optionally resolve latest-wins (+ tombstone deletes) once
     and for all, re-encode at full block size, and publish the result
@@ -1472,9 +1473,9 @@ def compact_sink(spark, path: str, n_buckets: int = 32,
     either the complete old version or the complete new one, never a
     mix. Only then are the superseded manifests and block files
     removed (a reader that resolved the OLD version moments before
-    may still want its files: at 100 TB, keep a grace period / use
-    the object store's delayed delete instead of the immediate GC
-    used here).
+    may still want its files: at 100 TB, pass ``gc=False`` and run
+    :func:`~oroch_spark.sources.dml.vacuum` later with a grace
+    window instead of the immediate GC used by default).
 
     **Mid-stream readers**: a ``readStream`` whose checkpoint offset
     is inside the folded range would re-deliver already-consumed rows
@@ -1562,19 +1563,24 @@ def compact_sink(spark, path: str, n_buckets: int = 32,
         current = {os.path.basename(m) for m in _manifest_paths(path)}
         keep_mans = sorted((current - folded_names) | {man_name})
         _publish_version(path, keep_mans)
-        # GC superseded manifests + their (now-unreferenced) files
-        live = set(files)
-        for name in keep_mans:
-            if name == man_name:
-                continue
-            with open(os.path.join(bdir, name)) as f:
-                live.update(json.load(f)["files"])
-        for mf, man_doc in folded_mans:
-            os.remove(mf)
-            for fn in man_doc["files"]:
-                p = os.path.join(path, fn)
-                if fn not in live and os.path.exists(p):
-                    os.remove(p)
+        # GC superseded manifests + their (now-unreferenced) files.
+        # gc=False defers this to dml.vacuum(): the folded manifests
+        # are already outside the version pointer (invisible), their
+        # files merely occupy space until the grace window passes —
+        # the safe mode when readers may hold the old version.
+        if gc:
+            live = set(files)
+            for name in keep_mans:
+                if name == man_name:
+                    continue
+                with open(os.path.join(bdir, name)) as f:
+                    live.update(json.load(f)["files"])
+            for mf, man_doc in folded_mans:
+                os.remove(mf)
+                for fn in man_doc["files"]:
+                    p = os.path.join(path, fn)
+                    if fn not in live and os.path.exists(p):
+                        os.remove(p)
         if latest_wins and tombstone_col is not None and not keep_tomb:
             write_sidecar(path, out_kinds, key_cols)
     return man

@@ -1,0 +1,270 @@
+"""Batch DML over streaming-sink tables: ``upsert``, ``delete_where``,
+``vacuum``.
+
+The reference's container is mutable in place (``integer_array.h:216-245``
+insert + ripple re-encode); this engine's immutable answer so far is
+append = new committed batch, update = latest-wins re-send of the key,
+re-encode = :func:`~oroch_spark.sources.datasource.compact_sink`. This
+module adds the missing DML verbs as library calls over the SAME
+manifest machinery — no new storage concept, each verb is one committed
+batch (or, for vacuum, pure file GC):
+
+- :func:`upsert` — commit a DataFrame of rows as one new batch with
+  batch id = max + 1. A ``latest_wins`` read resolves its rows over any
+  older version of the same keys (Iceberg MERGE-style upsert).
+- :func:`delete_where` — evaluate a SQL predicate against the CURRENT
+  latest-wins view and commit one tombstone row per matching key.
+  ``latest_wins`` reads drop those keys from then on;
+  ``compact_sink`` reclaims the space. Evolves the table schema with
+  the tombstone column if it does not exist yet (older blocks null-fill
+  at decode — missing means "not deleted").
+- :func:`vacuum` — physically remove data files and batch manifests no
+  committed table version references, older than a grace window: the
+  delayed-delete GC that ``compact_sink(gc=False)`` defers to, and the
+  janitor for crashed writers' leftovers.
+
+Scale shape: every verb's driver-side work is O(batches) manifest JSON
+plus one Spark job; rows never collect. ``delete_where`` writes only
+(key, tombstone) rows — deleting a billion rows ships 16-ish bytes per
+key, not the rows.
+
+Single-writer contract (same as the sink's): these take the table write
+lock and allocate max-batch-id + 1, so they serialize against each
+other and against a racing ``compact_sink``; but an ACTIVE
+``writeStream`` derives batch ids from its own checkpoint and would
+collide with allocated ids — stop the stream, run DML, resume.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import functions as F
+
+from .. import engine
+from .datasource import (
+    _BATCH_DIR,
+    _VERSION_FILE,
+    _manifest_paths,
+    _publish_version,
+    _write_lock,
+    read_sidecar,
+    write_sidecar,
+)
+
+
+def _require_sink(path: str) -> None:
+    if not os.path.isdir(os.path.join(path, _BATCH_DIR)):
+        raise ValueError(
+            f"{path} is not a streaming-sink table (no {_BATCH_DIR}/): "
+            "DML needs batch manifests for latest-wins resolution — "
+            "plain batch tables are single snapshots, rewrite them "
+            "with mode('overwrite')/mode('append') instead")
+
+
+def _batch_ids(path: str) -> list[int]:
+    out = []
+    for mf in _manifest_paths(path):
+        with open(mf) as f:
+            out.append(int(json.load(f)["batch_id"]))
+    return out
+
+
+def _conform(df, kinds: list[tuple[str, str]]):
+    """Project/cast ``df`` to exactly the table schema (order + types).
+    Missing non-key columns are an error — an upsert row replaces the
+    WHOLE row for its key (latest-wins keeps one version), so partial
+    rows would silently null the untouched columns."""
+    have = set(df.columns)
+    missing = [n for n, _ in kinds if n not in have]
+    if missing:
+        raise ValueError(f"upsert frame is missing table columns "
+                         f"{missing} (latest-wins replaces whole rows)")
+    return df.select(*[F.col(n).cast(engine.spark_type_of(k)).alias(n)
+                       for n, k in kinds])
+
+
+def _commit_rows(spark, path: str, df, kinds: list[tuple[str, str]],
+                 key_cols: list[str], n_buckets: int,
+                 block_rows: int, note: str) -> dict:
+    """Encode ``df`` (already conformed to ``kinds``) and publish it as
+    ONE new batch manifest with id = max + 1, under the table lock.
+    Files land with stream-part-style unique names so every existing
+    sweep/GC rule applies to them unchanged."""
+    text_cols = [n for n, k in kinds if k == "str"]
+    tmp_dir = os.path.join(path, f".dml-{uuid.uuid4().hex}")
+    try:
+        engine.encode_df(df, key_cols, n_buckets=n_buckets,
+                         block_rows=block_rows, text_cols=text_cols) \
+            .write.mode("overwrite").parquet(tmp_dir)
+        files = []
+        n_blocks = 0
+        for f in sorted(glob.glob(os.path.join(tmp_dir, "*.parquet"))):
+            fname = f"stream-dml-{uuid.uuid4().hex}.parquet"
+            os.replace(f, os.path.join(path, fname))
+            files.append(fname)
+            n_blocks += 1
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    with _write_lock(path):
+        bid = max(_batch_ids(path), default=-1) + 1
+        man = {"batch_id": bid, "files": files, "blocks": n_blocks,
+               "bytes_in": 0, "bytes_out": 0, "dml": note}
+        bdir = os.path.join(path, _BATCH_DIR)
+        man_name = f"dml-{bid}-{uuid.uuid4().hex}.json"
+        tmp = os.path.join(bdir, f".{man_name}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, os.path.join(bdir, man_name))
+        _publish_version(path, sorted(
+            {os.path.basename(m) for m in _manifest_paths(path)}
+            | {man_name}))
+    return man
+
+
+def upsert(spark, path: str, df, n_buckets: int = 8,
+           block_rows: int = 65536,
+           tombstone_col: Optional[str] = None) -> dict:
+    """Commit ``df``'s rows as one new batch: a latest-wins read then
+    resolves them over any older version of the same keys (new keys
+    simply append). Whole-row semantics — see :func:`_conform`. Name
+    the table's ``tombstone_col`` to fill it with False when ``df``
+    lacks it: the upsert then un-deletes its keys, matching Iceberg
+    MERGE ... WHEN MATCHED THEN UPDATE over an equality-delete."""
+    _require_sink(path)
+    doc = read_sidecar(path)
+    kinds, key_cols = doc["kinds"], doc["key_cols"]
+    if tombstone_col is not None and tombstone_col not in df.columns:
+        if tombstone_col not in dict(kinds):
+            raise ValueError(f"table has no column {tombstone_col!r}")
+        df = df.withColumn(tombstone_col, F.lit(False))
+    return _commit_rows(spark, path, _conform(df, kinds), kinds,
+                        key_cols, n_buckets, block_rows, "upsert")
+
+
+def delete_where(spark, path: str, predicate: str,
+                 tombstone_col: str = "deleted",
+                 n_buckets: int = 8) -> dict:
+    """Delete every key whose CURRENT (latest-wins) row matches the SQL
+    ``predicate``, by committing one tombstone row per key. Reads must
+    pass ``option("tombstone_col", ...)`` (or go through
+    ``compact_sink(tombstone_col=...)``) to resolve the deletes.
+
+    The predicate sees the live view, so it can reference any column —
+    ``"v LIKE 'spam%'"``, ``"ts < timestamp'2025-01-01'"`` — not just
+    keys; already-deleted keys are not re-tombstoned. Non-key columns
+    of a tombstone row are NULL (the row is a marker, not data).
+
+    Returns the batch manifest plus ``n_deleted``; ``n_deleted == 0``
+    commits nothing."""
+    _require_sink(path)
+    doc = read_sidecar(path)
+    kinds, key_cols = doc["kinds"], doc["key_cols"]
+    by_name = dict(kinds)
+    if tombstone_col.startswith("_"):
+        raise ValueError(
+            f"{tombstone_col!r}: names starting with '_' are reserved "
+            "for engine-internal columns and are not encoded")
+    if tombstone_col in by_name and by_name[tombstone_col] != "bool":
+        raise ValueError(f"{tombstone_col!r} exists with kind "
+                         f"{by_name[tombstone_col]!r}, need bool")
+    reader = (spark.read.format("oroch")
+              .option("latest_wins", "true"))
+    if tombstone_col in by_name:
+        reader = reader.option("tombstone_col", tombstone_col)
+    keys = (reader.load(path).filter(predicate)
+            .select(*key_cols).distinct().cache())
+    try:
+        # materialize the match BEFORE evolving the schema: the read
+        # plan was resolved against the current sidecar, and a lazy
+        # scan after the sidecar gains the tombstone column would
+        # produce more columns than the plan expects
+        n_deleted = keys.count()
+        if n_deleted == 0:
+            return {"batch_id": None, "files": [], "n_deleted": 0}
+        if tombstone_col not in by_name:
+            # schema evolution: older blocks null-fill the new column
+            # at decode; read_latest treats missing as "not deleted"
+            kinds = kinds + [(tombstone_col, "bool")]
+            with _write_lock(path):
+                write_sidecar(path, kinds, key_cols)
+        tomb = keys
+        for n, k in kinds:
+            if n in key_cols:
+                continue
+            tomb = tomb.withColumn(
+                n, F.lit(True) if n == tombstone_col
+                else F.lit(None).cast(engine.spark_type_of(k)))
+        man = _commit_rows(spark, path, _conform(tomb, kinds), kinds,
+                           key_cols, n_buckets, 65536, "delete_where")
+    finally:
+        keys.unpersist()
+    man["n_deleted"] = n_deleted
+    return man
+
+
+def vacuum(path: str, older_than_s: float = 3600.0,
+           dry_run: bool = False) -> dict:
+    """Remove files no committed table version references, older than
+    ``older_than_s`` (mtime). Covers: data parquet unnamed by any
+    live manifest (crashed tasks, superseded replays, batches folded by
+    ``compact_sink(gc=False)``), batch-manifest JSON outside the
+    version pointer's set, and stale ``.tmp`` droppings. Runs under the
+    write lock so a concurrent commit never races the listing; the
+    grace window protects a concurrent writer's landed-but-unpublished
+    parts (default 1h — at 100 TB, set it above your slowest commit).
+
+    Works on sink tables (version pointer / manifests) and on batch
+    tables (sidecar file registry). ``dry_run`` lists without
+    removing. Returns ``{"removed": [...], "kept": n}``."""
+    is_sink = os.path.isdir(os.path.join(path, _BATCH_DIR))
+    doc = read_sidecar(path)
+    removed: list[str] = []
+    kept = 0
+    cutoff = time.time() - older_than_s
+
+    def _sweep(candidates, live_names):
+        nonlocal kept
+        for f in candidates:
+            name = os.path.basename(f)
+            if name in live_names:
+                kept += 1
+                continue
+            try:
+                if os.path.getmtime(f) >= cutoff:
+                    kept += 1
+                    continue
+                removed.append(os.path.relpath(f, path))
+                if not dry_run:
+                    os.remove(f)
+            except OSError:
+                pass  # raced a concurrent sweep
+
+    with _write_lock(path):
+        if is_sink:
+            bdir = os.path.join(path, _BATCH_DIR)
+            live_mans = {os.path.basename(m)
+                         for m in _manifest_paths(path)}
+            live_files = set()
+            for mf in _manifest_paths(path):
+                with open(mf) as f:
+                    live_files.update(json.load(f)["files"])
+            _sweep(glob.glob(os.path.join(path, "*.parquet")),
+                   live_files)
+            _sweep([f for f in glob.glob(os.path.join(bdir, "*.json"))
+                    if os.path.basename(f) != _VERSION_FILE],
+                   live_mans)
+            _sweep(glob.glob(os.path.join(bdir, ".*.tmp")), set())
+        else:
+            live = set(doc.get("files") or [])
+            if live:  # legacy tables without a registry: listing IS
+                # the table, nothing is provably dead
+                _sweep(glob.glob(os.path.join(path, "*.parquet")), live)
+        _sweep(glob.glob(os.path.join(path, ".*.tmp")), set())
+    return {"removed": sorted(removed), "kept": kept,
+            "dry_run": dry_run}

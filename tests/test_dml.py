@@ -1,0 +1,189 @@
+"""Batch DML over streaming-sink tables (sources/dml.py): upsert,
+delete_where, vacuum, and compact_sink(gc=False) deferred GC."""
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import Row
+
+from oroch_spark.sources import datasource as ds
+from oroch_spark.sources import dml
+
+
+SCHEMA = "k long, v string, score long"
+
+
+def _mk_sink(spark, td, rows_batches):
+    """Build a sink via the real writeStream path, one source file per
+    micro-batch (maxFilesPerTrigger=1 => one committed batch each)."""
+    ds.register(spark)
+    srcdir = str(td / "in")
+    os.makedirs(srcdir)
+    for i, rows in enumerate(rows_batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(srcdir, f"f{i}"))
+    path = str(td / "out")
+    q = (spark.readStream.schema(SCHEMA)
+         .option("maxFilesPerTrigger", "1").parquet(srcdir + "/*")
+         .writeStream.format("oroch")
+         .option("path", path).option("key_cols", "k")
+         .option("checkpointLocation", str(td / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return path
+
+
+@pytest.fixture()
+def sink(spark, tmp_path):
+    return _mk_sink(spark, tmp_path, [
+        [Row(k=i, v=f"v{i}", score=i * 10) for i in range(20)],
+        [Row(k=5, v="v5b", score=55)],
+    ])
+
+
+def _latest(spark, path, tomb=None):
+    r = spark.read.format("oroch").option("latest_wins", "true")
+    if tomb:
+        r = r.option("tombstone_col", tomb)
+    return {row.k: row for row in r.load(path).collect()}
+
+
+def test_upsert_wins_and_appends(spark, sink):
+    man = dml.upsert(spark, sink, spark.createDataFrame(
+        [Row(k=5, v="v5c", score=555), Row(k=100, v="new", score=1)],
+        SCHEMA))
+    assert man["dml"] == "upsert" and man["files"]
+    rows = _latest(spark, sink)
+    assert rows[5].v == "v5c" and rows[5].score == 555
+    assert rows[100].v == "new"
+    assert len(rows) == 21
+    # plain (non-latest) read keeps every version: 20 + 1 + 2 rows
+    assert spark.read.format("oroch").load(sink).count() == 23
+    # batch id is max + 1 -> a stream reader past the old top still
+    # sees the DML batch as new
+    ids = dml._batch_ids(sink)
+    assert man["batch_id"] == max(ids) and sorted(ids) == ids == [0, 1, 2]
+
+
+def test_upsert_rejects_partial_rows(spark, sink):
+    with pytest.raises(ValueError, match="missing table columns"):
+        dml.upsert(spark, sink,
+                   spark.createDataFrame([Row(k=5, v="x")], "k long, v string"))
+
+
+def test_delete_where_evolves_schema_and_deletes(spark, sink):
+    man = dml.delete_where(spark, sink, "score >= 150",
+                           tombstone_col="deleted")
+    assert man["n_deleted"] == 5        # k=15..19
+    rows = _latest(spark, sink, tomb="deleted")
+    assert set(rows) == set(range(15)) | {5} - set()
+    assert len(rows) == 15
+    # the tombstone column joined the table schema (evolution)
+    kinds = dict(ds.read_sidecar(sink)["kinds"])
+    assert kinds["deleted"] == "bool"
+    # predicate over the LIVE view: already-deleted keys do not
+    # re-match, a second identical delete is a no-op
+    man2 = dml.delete_where(spark, sink, "score >= 150",
+                            tombstone_col="deleted")
+    assert man2["n_deleted"] == 0 and man2["batch_id"] is None
+
+
+def test_delete_then_upsert_resurrects(spark, sink):
+    dml.delete_where(spark, sink, "k = 7", tombstone_col="deleted")
+    assert 7 not in _latest(spark, sink, tomb="deleted")
+    dml.upsert(spark, sink, spark.createDataFrame(
+        [Row(k=7, v="back", score=77)], SCHEMA),
+        tombstone_col="deleted")
+    rows = _latest(spark, sink, tomb="deleted")
+    assert rows[7].v == "back"
+
+
+def test_delete_where_predicate_on_text(spark, sink):
+    man = dml.delete_where(spark, sink, "v LIKE 'v1%'",
+                           tombstone_col="deleted")
+    # v1, v10..v19 -> 11 keys
+    assert man["n_deleted"] == 11
+    rows = _latest(spark, sink, tomb="deleted")
+    assert 1 not in rows and 12 not in rows and 2 in rows
+
+
+def test_compact_resolves_dml(spark, sink):
+    dml.upsert(spark, sink, spark.createDataFrame(
+        [Row(k=0, v="v0b", score=1)], SCHEMA))
+    dml.delete_where(spark, sink, "k = 3", tombstone_col="deleted")
+    ds.compact_sink(spark, sink, n_buckets=2,
+                    tombstone_col="deleted")
+    rows = _latest(spark, sink)
+    assert rows[0].v == "v0b" and 3 not in rows and len(rows) == 19
+    # compaction dropped the tombstone column from the schema
+    assert "deleted" not in dict(ds.read_sidecar(sink)["kinds"])
+
+
+def test_vacuum_removes_only_dead_and_old(spark, sink):
+    # a crashed task's leftover: unreferenced and old
+    dead = os.path.join(sink, "stream-deadbeef.parquet")
+    with open(dead, "wb") as f:
+        f.write(b"junk")
+    os.utime(dead, (time.time() - 7200, time.time() - 7200))
+    # a concurrent writer's fresh unpublished part: unreferenced, NEW
+    fresh = os.path.join(sink, "stream-fresh.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"junk")
+    # dry run lists, removes nothing
+    rep = dml.vacuum(sink, older_than_s=3600, dry_run=True)
+    assert rep["removed"] == ["stream-deadbeef.parquet"]
+    assert os.path.exists(dead)
+    rep = dml.vacuum(sink, older_than_s=3600)
+    assert rep["removed"] == ["stream-deadbeef.parquet"]
+    assert not os.path.exists(dead) and os.path.exists(fresh)
+    # table reads unaffected
+    assert spark.read.format("oroch").load(sink).count() == 21
+
+
+def test_compact_gc_false_defers_to_vacuum(spark, sink):
+    before = set(os.listdir(sink))
+    ds.compact_sink(spark, sink, n_buckets=2, gc=False)
+    after = set(os.listdir(sink))
+    # folded batch files still on disk (deferred GC)...
+    assert before - {"_batches"} <= after
+    # ...but invisible: the version pointer holds ONE compacted manifest
+    mans = ds._manifest_paths(sink)
+    assert len(mans) == 1 and "compact" in os.path.basename(mans[0])
+    assert len(_latest(spark, sink)) == 20
+    # vacuum with zero grace reclaims the folded files + manifests
+    rep = dml.vacuum(sink, older_than_s=0)
+    assert any(r.startswith("stream-") for r in rep["removed"])
+    assert any(r.startswith("_batches/") for r in rep["removed"])
+    assert len(_latest(spark, sink)) == 20
+    # every remaining parquet is referenced by the live manifest
+    with open(mans[0]) as f:
+        live = set(json.load(f)["files"])
+    on_disk = {f for f in os.listdir(sink) if f.endswith(".parquet")}
+    assert on_disk == live
+
+
+def test_vacuum_batch_table_registry(spark, tmp_path):
+    ds.register(spark)
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [Row(k=i, v=f"v{i}", score=i) for i in range(10)], SCHEMA) \
+        .write.format("oroch").mode("overwrite").option("key_cols", "k").save(path)
+    dead = os.path.join(path, "part-dead.parquet")
+    with open(dead, "wb") as f:
+        f.write(b"junk")
+    os.utime(dead, (time.time() - 7200,) * 2)
+    rep = dml.vacuum(path, older_than_s=3600)
+    assert rep["removed"] == ["part-dead.parquet"]
+    assert spark.read.format("oroch").load(path).count() == 10
+
+
+def test_dml_requires_sink(spark, tmp_path):
+    ds.register(spark)
+    path = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [Row(k=1, v="a", score=1)], SCHEMA) \
+        .write.format("oroch").mode("overwrite").option("key_cols", "k").save(path)
+    with pytest.raises(ValueError, match="not a streaming-sink"):
+        dml.upsert(spark, path, spark.createDataFrame(
+            [Row(k=1, v="b", score=2)], SCHEMA))
