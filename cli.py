@@ -363,6 +363,54 @@ def cmd_analyze(args) -> None:
         spark.stop()
 
 
+def cmd_dml(args) -> None:
+    """DML / maintenance verbs over a streaming-sink table:
+    ``upsert --src`` (parquet of whole rows), ``delete-where --where``
+    (tombstone batch per matching key), ``changes --from/--to``
+    (CDC feed), ``vacuum --older-than`` (GC), ``compact``."""
+    from oroch_spark.sources import datasource as ds
+    from oroch_spark.sources import dml
+
+    spark, own = build_session(args)
+    ds.register(spark)
+    try:
+        if args.cmd == "upsert":
+            man = dml.upsert(spark, args.out,
+                             spark.read.parquet(args.src),
+                             tombstone_col=args.tombstone)
+            print(json.dumps(man))
+        elif args.cmd == "delete-where":
+            man = dml.delete_where(spark, args.out, args.where,
+                                   tombstone_col=args.tombstone
+                                   or "deleted")
+            print(json.dumps(man))
+        elif args.cmd == "changes":
+            df = dml.table_changes(spark, args.out, args.from_batch,
+                                   to_batch=args.to_batch,
+                                   tombstone_col=args.tombstone)
+            if args.dest:
+                df.write.mode("overwrite").parquet(args.dest)
+                print(json.dumps({"rows": spark.read.parquet(
+                    args.dest).count(), "dest": args.dest}))
+            else:
+                for r in df.limit(args.limit).collect():
+                    print(json.dumps(r.asDict(), default=str))
+        elif args.cmd == "vacuum":
+            print(json.dumps(dml.vacuum(
+                args.out, older_than_s=args.older_than,
+                dry_run=args.dry_run)))
+        elif args.cmd == "compact":
+            man = ds.compact_sink(
+                spark, args.out, n_buckets=args.buckets,
+                tombstone_col=args.tombstone,
+                retain_from_batch=args.retain_from,
+                gc=not args.no_gc)
+            print(json.dumps(man))
+    finally:
+        if own:
+            spark.stop()
+
+
 def cmd_metrics(args) -> None:
     spark, own = build_session(args)
     m = spark.read.parquet(os.path.join(args.out, "manifest"))
@@ -487,6 +535,41 @@ def main() -> None:
     m = sub.add_parser("metrics")
     common(m)
 
+    up = sub.add_parser("upsert", help="commit whole rows as one batch")
+    common(up)
+    up.add_argument("--src", required=True,
+                    help="parquet of rows matching the table schema")
+    up.add_argument("--tombstone", default=None)
+
+    dw = sub.add_parser("delete-where",
+                        help="tombstone every key matching a predicate")
+    common(dw)
+    dw.add_argument("--where", required=True,
+                    help="SQL predicate over the live latest-wins view")
+    dw.add_argument("--tombstone", default=None)
+
+    ch = sub.add_parser("changes", help="CDC feed between two versions")
+    common(ch)
+    ch.add_argument("--from", dest="from_batch", type=int, required=True)
+    ch.add_argument("--to", dest="to_batch", type=int, default=None)
+    ch.add_argument("--tombstone", default=None)
+    ch.add_argument("--dest", default=None,
+                    help="write the feed as parquet instead of printing")
+    ch.add_argument("--limit", type=int, default=100)
+
+    vc = sub.add_parser("vacuum", help="GC unreferenced files")
+    common(vc)
+    vc.add_argument("--older-than", type=float, default=3600.0)
+    vc.add_argument("--dry-run", action="store_true")
+
+    cp = sub.add_parser("compact", help="fold sink batches")
+    common(cp)
+    cp.add_argument("--buckets", type=int, default=32)
+    cp.add_argument("--tombstone", default=None)
+    cp.add_argument("--retain-from", type=int, default=None)
+    cp.add_argument("--no-gc", action="store_true",
+                    help="defer file GC to a later vacuum")
+
     args = ap.parse_args()
     if args.cmd == "zip":
         print(make_zip(os.path.dirname(os.path.abspath(__file__))))
@@ -510,6 +593,9 @@ def main() -> None:
         cmd_topk(args)
     elif args.cmd == "analyze":
         cmd_analyze(args)
+    elif args.cmd in ("upsert", "delete-where", "changes", "vacuum",
+                      "compact"):
+        cmd_dml(args)
 
 
 if __name__ == "__main__":

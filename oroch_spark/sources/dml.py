@@ -22,6 +22,9 @@ batch (or, for vacuum, pure file GC):
   committed table version references, older than a grace window: the
   delayed-delete GC that ``compact_sink(gc=False)`` defers to, and the
   janitor for crashed writers' leftovers.
+- :func:`table_changes` — the change-data feed between two committed
+  versions (insert / update_postimage / delete per changed key), the
+  batch pull complementing the push-style ``readStream`` source.
 
 Scale shape: every verb's driver-side work is O(batches) manifest JSON
 plus one Spark job; rows never collect. ``delete_where`` writes only
@@ -54,6 +57,7 @@ from .datasource import (
     _publish_version,
     _write_lock,
     read_sidecar,
+    stream_sink_blocks,
     write_sidecar,
 )
 
@@ -206,6 +210,87 @@ def delete_where(spark, path: str, predicate: str,
         keys.unpersist()
     man["n_deleted"] = n_deleted
     return man
+
+
+def table_changes(spark, path: str, from_batch: int,
+                  to_batch: Optional[int] = None,
+                  tombstone_col: Optional[str] = None):
+    """Change-data feed between two committed versions (the Delta
+    ``table_changes`` / Iceberg changelog-scan shape): one row per key
+    whose latest-wins state changed in batches ``(from_batch,
+    to_batch]``, carrying the POST-image columns plus
+
+    - ``_change_type``: ``insert`` (key absent as of ``from_batch``),
+      ``update_postimage`` (key existed, new version), or ``delete``
+      (tombstone; post-image non-key columns are the tombstone row's
+      NULLs — pre-images would need a second read of the old version,
+      by design not paid here);
+    - ``_commit_batch``: the batch id that produced the change.
+
+    ``from_batch=-1`` means "since the beginning" (every live key an
+    insert). A tombstone for a key that never existed as of
+    ``from_batch`` is dropped — it changes nothing. Downstream
+    consumers that only need at-least-once delivery should prefer
+    ``readStream.format("oroch")`` (push, exactly-once); this is the
+    batch pull for reconciliation jobs and audits.
+
+    Scale shape: one key shuffle over the CHANGED batches only (the
+    range filter prunes on the block ``batch_id`` column before any
+    payload decode) + a key-projected read of the ``from_batch``
+    version for existence — base payload columns are never decoded."""
+    from pyspark.sql import Window
+
+    from ..streaming import incremental as inc
+
+    _require_sink(path)
+    doc = read_sidecar(path)
+    kinds, key_cols = doc["kinds"], doc["key_cols"]
+    blocks = stream_sink_blocks(spark, path)
+    if to_batch is None:
+        ids = _batch_ids(path)
+        if not ids:
+            raise FileNotFoundError(f"no committed batches in {path}")
+        to_batch = max(ids)
+    if to_batch <= from_batch:
+        raise ValueError(f"empty change range ({from_batch}, {to_batch}]")
+    rng = blocks.filter((F.col("batch_id") > from_batch)
+                        & (F.col("batch_id") <= to_batch))
+    changed = engine.decode_df(rng, kinds, passthrough=["batch_id"])
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.col("batch_id").desc()))
+    changed = (changed.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn"))
+    # key existence as of from_batch: latest-wins over the base range,
+    # decoding ONLY key (+ tombstone) columns
+    if from_batch >= 0:
+        base_kinds = [kv for kv in kinds
+                      if kv[0] in key_cols or kv[0] == tombstone_col]
+        base = inc.read_latest(
+            spark, None, base_kinds, key_cols,
+            inc_blocks=blocks.filter(F.col("batch_id") <= from_batch),
+            tombstone_col=tombstone_col).select(*key_cols)
+    else:
+        base = spark.createDataFrame(
+            [], ", ".join(f"{c} {engine.spark_type_of(dict(kinds)[c]).simpleString()}"
+                          for c in key_cols))
+    existed = base.withColumn("_existed", F.lit(True))
+    out = changed.join(existed, key_cols, "left")
+    if tombstone_col and tombstone_col in dict(kinds):
+        is_del = F.coalesce(F.col(tombstone_col), F.lit(False))
+    else:  # table never evolved a tombstone column: nothing deletes
+        is_del = F.lit(False)
+    out = (out.withColumn(
+        "_change_type",
+        F.when(is_del, F.lit("delete"))
+         .when(F.col("_existed").isNotNull(), F.lit("update_postimage"))
+         .otherwise(F.lit("insert")))
+        # a delete of a key that never existed changes nothing
+        .filter(~((F.col("_change_type") == "delete")
+                  & F.col("_existed").isNull()))
+        .drop("_existed"))
+    if tombstone_col and tombstone_col in dict(kinds):
+        out = out.drop(tombstone_col)
+    return out.withColumnRenamed("batch_id", "_commit_batch")
 
 
 def vacuum(path: str, older_than_s: float = 3600.0,

@@ -163,6 +163,46 @@ def test_compact_gc_false_defers_to_vacuum(spark, sink):
     assert on_disk == live
 
 
+def test_table_changes_insert_update_delete(spark, sink):
+    # sink: batch 0 = k0..k19, batch 1 = upsert k5
+    dml.upsert(spark, sink, spark.createDataFrame(
+        [Row(k=200, v="fresh", score=1), Row(k=7, v="v7b", score=71)],
+        SCHEMA))                                      # batch 2
+    dml.delete_where(spark, sink, "k = 9",
+                     tombstone_col="deleted")         # batch 3
+    ch = {r.k: r for r in dml.table_changes(
+        spark, sink, from_batch=1, tombstone_col="deleted").collect()}
+    assert set(ch) == {200, 7, 9}
+    assert ch[200]._change_type == "insert" and ch[200]._commit_batch == 2
+    assert ch[7]._change_type == "update_postimage" and ch[7].v == "v7b"
+    assert ch[9]._change_type == "delete" and ch[9].v is None
+    assert "_existed" not in ch[7].asDict() \
+        and "deleted" not in ch[7].asDict()
+    # from the beginning (empty base): every surviving key is an
+    # insert; k9's tombstone is a delete of a key the empty base never
+    # held, so it drops out of the feed entirely
+    ch0 = {r.k: r._change_type for r in dml.table_changes(
+        spark, sink, from_batch=-1, tombstone_col="deleted").collect()}
+    assert ch0[5] == "insert" and ch0[200] == "insert"
+    assert 9 not in ch0
+    # k0..k19 minus deleted k9, plus k200 -> 20 inserts
+    assert set(ch0.values()) == {"insert"} and len(ch0) == 20
+
+
+def test_table_changes_latest_within_range_wins(spark, sink):
+    dml.upsert(spark, sink, spark.createDataFrame(
+        [Row(k=5, v="v5c", score=1)], SCHEMA))        # batch 2
+    dml.upsert(spark, sink, spark.createDataFrame(
+        [Row(k=5, v="v5d", score=2)], SCHEMA))        # batch 3
+    ch = {r.k: r for r in dml.table_changes(
+        spark, sink, from_batch=0).collect()}
+    # batches (0, 3]: k5 changed three times; feed shows the newest
+    assert ch[5].v == "v5d" and ch[5]._commit_batch == 3
+    assert ch[5]._change_type == "update_postimage"
+    with pytest.raises(ValueError, match="empty change range"):
+        dml.table_changes(spark, sink, from_batch=3)
+
+
 def test_vacuum_batch_table_registry(spark, tmp_path):
     ds.register(spark)
     path = str(tmp_path / "tbl")
@@ -176,6 +216,51 @@ def test_vacuum_batch_table_registry(spark, tmp_path):
     rep = dml.vacuum(path, older_than_s=3600)
     assert rep["removed"] == ["part-dead.parquet"]
     assert spark.read.format("oroch").load(path).count() == 10
+
+
+def test_cli_dml_verbs(spark, sink, tmp_path, capsys):
+    import argparse
+
+    import cli
+
+    def ns(**kw):
+        return argparse.Namespace(master=None, spark=spark, cmd=None,
+                                  **kw)
+
+    src = str(tmp_path / "ups")
+    spark.createDataFrame([Row(k=0, v="v0b", score=5)], SCHEMA) \
+        .write.parquet(src)
+    a = ns(src=src, out=sink, tombstone=None)
+    a.cmd = "upsert"
+    cli.cmd_dml(a)
+    assert json.loads(capsys.readouterr().out)["dml"] == "upsert"
+
+    a = ns(out=sink, where="k = 2", tombstone=None)
+    a.cmd = "delete-where"
+    cli.cmd_dml(a)
+    assert json.loads(capsys.readouterr().out)["n_deleted"] == 1
+
+    a = ns(out=sink, from_batch=1, to_batch=None, tombstone="deleted",
+           dest=None, limit=100)
+    a.cmd = "changes"
+    cli.cmd_dml(a)
+    feed = [json.loads(x)
+            for x in capsys.readouterr().out.strip().splitlines()]
+    types = {r["k"]: r["_change_type"] for r in feed}
+    assert types == {0: "update_postimage", 2: "delete"}
+
+    a = ns(out=sink, older_than=3600.0, dry_run=True)
+    a.cmd = "vacuum"
+    cli.cmd_dml(a)
+    assert json.loads(capsys.readouterr().out)["dry_run"] is True
+
+    a = ns(out=sink, buckets=2, tombstone="deleted", retain_from=None,
+           no_gc=False)
+    a.cmd = "compact"
+    cli.cmd_dml(a)
+    assert json.loads(capsys.readouterr().out)["compacted"] is True
+    rows = _latest(spark, sink)
+    assert rows[0].v == "v0b" and 2 not in rows and len(rows) == 19
 
 
 def test_dml_requires_sink(spark, tmp_path):
