@@ -89,6 +89,13 @@ def _conform(df, kinds: list[tuple[str, str]]):
     if missing:
         raise ValueError(f"upsert frame is missing table columns "
                          f"{missing} (latest-wins replaces whole rows)")
+    extra = sorted(have - {n for n, _ in kinds})
+    if extra:
+        raise ValueError(
+            f"upsert frame carries columns {extra} the table does not "
+            "have — dropping them silently would lose data; evolve the "
+            "schema via mode('append') on a batch table, or project "
+            "them away explicitly")
     return df.select(*[F.col(n).cast(engine.spark_type_of(k)).alias(n)
                        for n, k in kinds])
 
@@ -351,5 +358,15 @@ def vacuum(path: str, older_than_s: float = 3600.0,
                 # the table, nothing is provably dead
                 _sweep(glob.glob(os.path.join(path, "*.parquet")), live)
         _sweep(glob.glob(os.path.join(path, ".*.tmp")), set())
+        # crashed compactions / DML jobs leave whole staging DIRS
+        for d in (glob.glob(os.path.join(path, ".compact-*"))
+                  + glob.glob(os.path.join(path, ".dml-*"))):
+            try:
+                if os.path.isdir(d) and os.path.getmtime(d) < cutoff:
+                    removed.append(os.path.relpath(d, path) + "/")
+                    if not dry_run:
+                        shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
     return {"removed": sorted(removed), "kept": kept,
             "dry_run": dry_run}

@@ -70,6 +70,11 @@ def test_upsert_rejects_partial_rows(spark, sink):
     with pytest.raises(ValueError, match="missing table columns"):
         dml.upsert(spark, sink,
                    spark.createDataFrame([Row(k=5, v="x")], "k long, v string"))
+    # unknown columns would be lost silently -> loud error instead
+    with pytest.raises(ValueError, match="columns \\['bonus'\\]"):
+        dml.upsert(spark, sink, spark.createDataFrame(
+            [Row(k=5, v="x", score=1, bonus=2)],
+            SCHEMA + ", bonus long"))
 
 
 def test_delete_where_evolves_schema_and_deletes(spark, sink):
@@ -134,9 +139,17 @@ def test_vacuum_removes_only_dead_and_old(spark, sink):
     rep = dml.vacuum(sink, older_than_s=3600, dry_run=True)
     assert rep["removed"] == ["stream-deadbeef.parquet"]
     assert os.path.exists(dead)
+    # a crashed compaction's staging directory: old -> reclaimed
+    stale_dir = os.path.join(sink, ".compact-deadbeef")
+    os.makedirs(stale_dir)
+    with open(os.path.join(stale_dir, "x.parquet"), "wb") as f:
+        f.write(b"junk")
+    os.utime(stale_dir, (time.time() - 7200,) * 2)
     rep = dml.vacuum(sink, older_than_s=3600)
-    assert rep["removed"] == ["stream-deadbeef.parquet"]
+    assert rep["removed"] == [".compact-deadbeef/",
+                              "stream-deadbeef.parquet"]
     assert not os.path.exists(dead) and os.path.exists(fresh)
+    assert not os.path.exists(stale_dir)
     # table reads unaffected
     assert spark.read.format("oroch").load(sink).count() == 21
 
