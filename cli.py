@@ -371,6 +371,12 @@ def cmd_dml(args) -> None:
     from oroch_spark.sources import datasource as ds
     from oroch_spark.sources import dml
 
+    if args.cmd == "vacuum":   # pure filesystem: no SparkSession cost
+        print(json.dumps(dml.vacuum(
+            args.out, older_than_s=args.older_than,
+            dry_run=args.dry_run)))
+        return
+
     spark, own = build_session(args)
     ds.register(spark)
     try:
@@ -395,10 +401,6 @@ def cmd_dml(args) -> None:
             else:
                 for r in df.limit(args.limit).collect():
                     print(json.dumps(r.asDict(), default=str))
-        elif args.cmd == "vacuum":
-            print(json.dumps(dml.vacuum(
-                args.out, older_than_s=args.older_than,
-                dry_run=args.dry_run)))
         elif args.cmd == "compact":
             man = ds.compact_sink(
                 spark, args.out, n_buckets=args.buckets,

@@ -59,8 +59,15 @@ def contamination_flags(train_df: DataFrame, eval_df: DataFrame,
                         min_hits: int = 1,
                         broadcast: bool = True) -> DataFrame:
     """One row per training document: ``n_hits`` (distinct eval n-grams
-    it contains) and ``contaminated`` (n_hits >= min_hits). Documents
-    shorter than ``n`` words share no n-gram and report 0 hits."""
+    it contains) and ``contaminated`` (n_hits >= min_hits).
+
+    Documents shorter than ``n`` words contribute their WHOLE
+    normalized text as one (short) gram — the shingle convention of
+    :func:`~oroch_spark.operators.dedup.ngram_shingles` — so a short
+    train doc is flagged exactly when an eval doc is its verbatim
+    normalized equal (or contains nothing longer): short exact copies
+    of eval prompts still count as contamination, but a short doc can
+    never match a mere substring of a long eval doc."""
     ref = eval_ngram_hashes(eval_df, n=n, content_col=eval_content_col)
     if broadcast:
         ref = F.broadcast(ref)

@@ -560,7 +560,8 @@ def _manifest_paths(path: str) -> list[str]:
             doc = json.load(f)
         return [os.path.join(bdir, m) for m in doc["manifests"]]
     return sorted(f for f in glob.glob(os.path.join(bdir, "*.json"))
-                  if os.path.basename(f) != _VERSION_FILE)
+                  if os.path.basename(f) not in (_VERSION_FILE,
+                                                 _TXN_FILE))
 
 
 def _publish_version(path: str, manifest_names: list[str]) -> None:
@@ -572,6 +573,37 @@ def _publish_version(path: str, manifest_names: list[str]) -> None:
     with open(tmp, "w") as f:
         json.dump({"manifests": sorted(set(manifest_names))}, f)
     os.replace(tmp, os.path.join(bdir, _VERSION_FILE))
+
+
+_TXN_FILE = "_TXN.json"
+
+
+def _read_txn(path: str) -> dict:
+    """Stream-epoch -> table-batch-id ledger (see
+    ``OrochStreamWriter.commit``). Missing file = empty ledger (tables
+    written before the ledger existed behaved as id == epoch)."""
+    p = os.path.join(path, _BATCH_DIR, _TXN_FILE)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_txn(path: str, txn: dict) -> None:
+    bdir = os.path.join(path, _BATCH_DIR)
+    tmp = os.path.join(bdir, f".txn.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(txn, f)
+    os.replace(tmp, os.path.join(bdir, _TXN_FILE))
+
+
+def _sink_batch_ids(path: str) -> list[int]:
+    """Batch ids of every committed (version-visible) manifest."""
+    out = []
+    for mf in _manifest_paths(path):
+        with open(mf) as f:
+            out.append(int(json.load(f)["batch_id"]))
+    return out
 
 
 def _sink_manifest_files(path: str, as_of_batch: Optional[int] = None):
@@ -1357,9 +1389,14 @@ class OrochStreamWriter(DataSourceStreamArrowWriter):
     committed manifest are part of the table (``stream_sink_blocks``
     reads through the manifests), and a batch replayed after a driver
     failure simply rewrites its manifest — the superseded attempt's
-    files become orphans and are swept at the next commit. Append-only
-    (the streaming contract): re-sent keys appear once per batch until
-    compaction; read with latest-wins via
+    files become orphans and are swept at the next commit. The
+    TABLE batch id is allocated (max committed + 1) under the write
+    lock and recorded against the checkpoint epoch in the
+    ``_batches/_TXN.json`` ledger, so ids stay unique even when
+    ``sources.dml`` commits batches between (or during) stream runs;
+    a replayed epoch reuses its ledger id. Append-only (the streaming
+    contract): re-sent keys appear once per batch until compaction;
+    read with latest-wins via
     ``incremental.read_latest(..., inc_blocks=stream_sink_blocks(...))``.
 
     Single-writer per sink directory, like any file-based streaming
@@ -1382,24 +1419,58 @@ class OrochStreamWriter(DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId: int) -> None:
         files = sorted(m.file for m in messages if m and m.file)
-        doc = {"batch_id": int(batchId), "files": files,
-               "blocks": sum(m.blocks for m in messages if m),
-               "bytes_in": sum(m.bytes_in for m in messages if m),
-               "bytes_out": sum(m.bytes_out for m in messages if m)}
-        bdir = os.path.join(self.path, _BATCH_DIR)
-        tmp = os.path.join(bdir, f".{batchId}.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
         # the lock serializes this publish against a concurrent
         # compact_sink: the version-pointer read-modify-write must see
         # a stable manifest set (the stream itself is single-writer)
         with _write_lock(self.path):
-            os.replace(tmp, os.path.join(bdir, f"{batchId}.json"))
+            # the checkpoint epoch `batchId` is NOT the table batch id:
+            # a dml.upsert/delete_where between stream runs allocates
+            # max+1, and a resumed stream's next epoch would collide
+            # with it (two manifests with one batch_id = latest-wins
+            # ties resolve arbitrarily). The _TXN ledger maps epoch ->
+            # allocated table id (Delta txn-style): a REPLAYED epoch
+            # rewrites its original table batch (exactly-once), a new
+            # epoch allocates past every committed batch including
+            # DML's. With no interleaved DML, id == epoch as before.
+            txn = _read_txn(self.path)
+            bid = txn.get(str(int(batchId)))
+            if bid is None and os.path.exists(os.path.join(
+                    self.path, _BATCH_DIR, f"{int(batchId)}.json")):
+                # pre-ledger sink replaying an already-committed epoch
+                # ({n}.json is only ever a stream manifest): rewrite it
+                # in place, the legacy exactly-once behavior
+                bid = int(batchId)
+            if bid is None:
+                bid = max(_sink_batch_ids(self.path) + [-1]) + 1
+            if txn.get(str(int(batchId))) != bid:
+                _write_txn(self.path, {**txn, str(int(batchId)): bid})
+            doc = {"batch_id": int(bid), "files": files,
+                   "blocks": sum(m.blocks for m in messages if m),
+                   "bytes_in": sum(m.bytes_in for m in messages if m),
+                   "bytes_out": sum(m.bytes_out for m in messages if m),
+                   "epoch": int(batchId)}
+            bdir = os.path.join(self.path, _BATCH_DIR)
+            tmp = os.path.join(bdir, f".{bid}.{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(doc, f)
+            os.replace(tmp, os.path.join(bdir, f"{bid}.json"))
             _publish_version(self.path, sorted(set(
                 [os.path.basename(m)
                  for m in _manifest_paths(self.path)]
-                + [f"{batchId}.json"])))
-            write_sidecar(self.path, self.kinds, self.key_cols)
+                + [f"{bid}.json"])))
+            # merge, don't stomp: a dml.delete_where may have evolved
+            # the table schema (tombstone column) between micro-batches
+            # — rewriting the sidecar with only the stream's columns
+            # would orphan every evolved column
+            out_kinds = list(self.kinds)
+            try:
+                have = {n for n, _ in out_kinds}
+                out_kinds += [tuple(kv) for kv
+                              in read_sidecar(self.path)["kinds"]
+                              if kv[0] not in have]
+            except FileNotFoundError:
+                pass
+            write_sidecar(self.path, out_kinds, self.key_cols)
             # sweep orphans (failed attempts, superseded replays): a
             # file is live iff some committed manifest names it. The
             # grace period protects a concurrent compaction's freshly

@@ -31,11 +31,14 @@ plus one Spark job; rows never collect. ``delete_where`` writes only
 (key, tombstone) rows — deleting a billion rows ships 16-ish bytes per
 key, not the rows.
 
-Single-writer contract (same as the sink's): these take the table write
-lock and allocate max-batch-id + 1, so they serialize against each
-other and against a racing ``compact_sink``; but an ACTIVE
-``writeStream`` derives batch ids from its own checkpoint and would
-collide with allocated ids — stop the stream, run DML, resume.
+Concurrency: every commit (DML, stream batch, compaction) serializes on
+the table write lock and allocates table batch id = max + 1; the stream
+writer maps its checkpoint epochs to table ids through the
+``_batches/_TXN.json`` ledger, so DML interleaves safely with a
+(running or later-resumed) ``writeStream`` — ids never collide. The
+sink keeps its ONE-stream-writer-per-table contract: two different
+checkpoints share the epoch-keyed ledger and would rewrite each other's
+batches.
 """
 from __future__ import annotations
 
@@ -52,6 +55,7 @@ from pyspark.sql import functions as F
 from .. import engine
 from .datasource import (
     _BATCH_DIR,
+    _TXN_FILE,
     _VERSION_FILE,
     _manifest_paths,
     _publish_version,
@@ -72,18 +76,28 @@ def _require_sink(path: str) -> None:
 
 
 def _batch_ids(path: str) -> list[int]:
-    out = []
-    for mf in _manifest_paths(path):
-        with open(mf) as f:
-            out.append(int(json.load(f)["batch_id"]))
-    return out
+    from .datasource import _sink_batch_ids
+    return _sink_batch_ids(path)
+
+
+# value-preserving widenings the conformance cast may apply silently;
+# anything else (string->long, double->long, ...) can null or truncate
+# values row by row and must be an explicit, caller-visible cast
+_SAFE_WIDEN = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
+    ("float", "double"),
+}
 
 
 def _conform(df, kinds: list[tuple[str, str]]):
-    """Project/cast ``df`` to exactly the table schema (order + types).
+    """Project ``df`` to exactly the table schema (order + types).
     Missing non-key columns are an error — an upsert row replaces the
     WHOLE row for its key (latest-wins keeps one version), so partial
-    rows would silently null the untouched columns."""
+    rows would silently null the untouched columns. Types must match
+    up to value-preserving widenings: Spark's non-ANSI cast turns
+    unconvertible values into NULLs silently, the same corruption the
+    missing-column check exists to prevent."""
     have = set(df.columns)
     missing = [n for n, _ in kinds if n not in have]
     if missing:
@@ -96,6 +110,20 @@ def _conform(df, kinds: list[tuple[str, str]]):
             "have — dropping them silently would lose data; evolve the "
             "schema via mode('append') on a batch table, or project "
             "them away explicitly")
+    src_types = {f.name: f.dataType.simpleString() for f in df.schema}
+    bad = []
+    for n, k in kinds:
+        want = engine.spark_type_of(k).simpleString()
+        got = src_types[n]
+        if got != want and (got, want) not in _SAFE_WIDEN \
+                and not (got.startswith("timestamp")
+                         and want.startswith("timestamp")):
+            bad.append(f"{n}: {got} -> {want}")
+    if bad:
+        raise ValueError(
+            "upsert frame types do not match the table and the cast "
+            f"could silently null values: {bad}; cast explicitly "
+            "(try_cast + your own null policy) before upserting")
     return df.select(*[F.col(n).cast(engine.spark_type_of(k)).alias(n)
                        for n, k in kinds])
 
@@ -154,7 +182,19 @@ def upsert(spark, path: str, df, n_buckets: int = 8,
         if tombstone_col not in dict(kinds):
             raise ValueError(f"table has no column {tombstone_col!r}")
         df = df.withColumn(tombstone_col, F.lit(False))
-    return _commit_rows(spark, path, _conform(df, kinds), kinds,
+    df = _conform(df, kinds)
+    # latest-wins totality rests on per-batch key uniqueness
+    # (incremental.read_latest ranks by batch id alone): two versions
+    # of a key in ONE batch would resolve nondeterministically
+    dup = (df.groupBy(*key_cols).count()
+           .filter(F.col("count") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"upsert frame holds {dup[0]['count']} rows for key "
+            f"{tuple(dup[0][c] for c in key_cols)} — a batch is one "
+            "consistent snapshot of its keys; dropDuplicates or "
+            "pre-aggregate to one row per key first")
+    return _commit_rows(spark, path, df, kinds,
                         key_cols, n_buckets, block_rows, "upsert")
 
 
@@ -270,12 +310,16 @@ def table_changes(spark, path: str, from_batch: int,
     # key existence as of from_batch: latest-wins over the base range,
     # decoding ONLY key (+ tombstone) columns
     if from_batch >= 0:
+        # a tombstone column the schema has not evolved yet cannot be
+        # decoded (and nothing can be deleted) — resolve without it
+        tomb_known = tombstone_col if tombstone_col in dict(kinds) \
+            else None
         base_kinds = [kv for kv in kinds
-                      if kv[0] in key_cols or kv[0] == tombstone_col]
+                      if kv[0] in key_cols or kv[0] == tomb_known]
         base = inc.read_latest(
             spark, None, base_kinds, key_cols,
             inc_blocks=blocks.filter(F.col("batch_id") <= from_batch),
-            tombstone_col=tombstone_col).select(*key_cols)
+            tombstone_col=tomb_known).select(*key_cols)
     else:
         base = spark.createDataFrame(
             [], ", ".join(f"{c} {engine.spark_type_of(dict(kinds)[c]).simpleString()}"
@@ -349,7 +393,8 @@ def vacuum(path: str, older_than_s: float = 3600.0,
             _sweep(glob.glob(os.path.join(path, "*.parquet")),
                    live_files)
             _sweep([f for f in glob.glob(os.path.join(bdir, "*.json"))
-                    if os.path.basename(f) != _VERSION_FILE],
+                    if os.path.basename(f) not in (_VERSION_FILE,
+                                                   _TXN_FILE)],
                    live_mans)
             _sweep(glob.glob(os.path.join(bdir, ".*.tmp")), set())
         else:

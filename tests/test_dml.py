@@ -276,6 +276,51 @@ def test_cli_dml_verbs(spark, sink, tmp_path, capsys):
     assert rows[0].v == "v0b" and 2 not in rows and len(rows) == 19
 
 
+def test_resumed_stream_never_collides_with_dml_batch(spark, tmp_path):
+    """The r4 ledger fix: a writeStream resumed AFTER a dml.upsert must
+    not reuse the upsert's table batch id (its checkpoint epoch counter
+    knows nothing about DML) — latest-wins would tie arbitrarily."""
+    ds.register(spark)
+    srcdir = str(tmp_path / "in")
+    os.makedirs(srcdir)
+    spark.createDataFrame(
+        [Row(k=i, v=f"v{i}", score=i) for i in range(10)], SCHEMA) \
+        .coalesce(1).write.parquet(os.path.join(srcdir, "f0"))
+    path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (spark.readStream.schema(SCHEMA)
+             .option("maxFilesPerTrigger", "1").parquet(srcdir + "/*")
+             .writeStream.format("oroch")
+             .option("path", path).option("key_cols", "k")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_stream()                      # epoch 0 -> table batch 0
+    dml.upsert(spark, path, spark.createDataFrame(
+        [Row(k=3, v="dml", score=333)], SCHEMA))   # table batch 1
+    dml.delete_where(spark, path, "k = 8")         # table batch 2
+    # resume the SAME checkpoint with a new source file: epoch 1 must
+    # become table batch 3, not collide with the DML batches
+    spark.createDataFrame([Row(k=3, v="stream2", score=3)], SCHEMA) \
+        .coalesce(1).write.parquet(os.path.join(srcdir, "f1"))
+    run_stream()
+    ids = dml._batch_ids(path)
+    assert sorted(ids) == [0, 1, 2, 3] and len(set(ids)) == 4
+    # deterministic: the resumed stream batch (3) beats the DML row (1)
+    rows = _latest(spark, path, tomb="deleted")
+    assert rows[3].v == "stream2"
+    assert 8 not in rows            # delete survives the resume
+    # the resumed stream MERGED the sidecar: the evolved tombstone
+    # column is still in the schema, not stomped by the stream's kinds
+    assert dict(ds.read_sidecar(path)["kinds"])["deleted"] == "bool"
+    # the ledger maps epochs, a replay keeps ids stable
+    txn = ds._read_txn(path)
+    assert txn == {"0": 0, "1": 3}
+
+
 def test_dml_requires_sink(spark, tmp_path):
     ds.register(spark)
     path = str(tmp_path / "plain")

@@ -46,7 +46,8 @@ def sink(spark, tmp_path_factory):
 def test_per_batch_manifests(sink):
     mans = sorted(m for m in
                   glob.glob(os.path.join(sink, "_batches", "*.json"))
-                  if os.path.basename(m) != ds._VERSION_FILE)
+                  if os.path.basename(m) not in (ds._VERSION_FILE,
+                                                 ds._TXN_FILE))
     assert [os.path.basename(m) for m in mans] == ["0.json", "1.json"]
     # the version pointer names exactly the committed manifests
     assert [os.path.basename(m)
@@ -169,7 +170,8 @@ def test_compact_sink(spark, tmp_path):
     # superseded manifests are gone from disk too
     on_disk = [m for m in g.glob(os.path.join(sink2, "_batches",
                                               "*.json"))
-               if os.path.basename(m) != ds._VERSION_FILE]
+               if os.path.basename(m) not in (ds._VERSION_FILE,
+                                              ds._TXN_FILE)]
     assert sorted(on_disk) == sorted(mans)
     after = inc.read_latest(
         spark, None, KINDS, ["conv_id", "turn_idx"],
