@@ -261,7 +261,8 @@ def delete_where(spark, path: str, predicate: str,
 
 def table_changes(spark, path: str, from_batch: int,
                   to_batch: Optional[int] = None,
-                  tombstone_col: Optional[str] = None):
+                  tombstone_col: Optional[str] = None,
+                  include_preimage: bool = False):
     """Change-data feed between two committed versions (the Delta
     ``table_changes`` / Iceberg changelog-scan shape): one row per key
     whose latest-wins state changed in batches ``(from_batch,
@@ -270,9 +271,16 @@ def table_changes(spark, path: str, from_batch: int,
     - ``_change_type``: ``insert`` (key absent as of ``from_batch``),
       ``update_postimage`` (key existed, new version), or ``delete``
       (tombstone; post-image non-key columns are the tombstone row's
-      NULLs — pre-images would need a second read of the old version,
-      by design not paid here);
+      NULLs);
     - ``_commit_batch``: the batch id that produced the change.
+
+    ``include_preimage=True`` additionally emits, per updated or
+    deleted key, its as-of-``from_batch`` row tagged
+    ``update_preimage`` / ``delete_preimage`` (Delta CDF shape) with
+    the same ``_commit_batch`` as its post row. Pre-images pay a
+    second, full-column latest-wins read of the base version —
+    off by default because the existence check alone only decodes
+    keys.
 
     ``from_batch=-1`` means "since the beginning" (every live key an
     insert). A tombstone for a key that never existed as of
@@ -316,9 +324,10 @@ def table_changes(spark, path: str, from_batch: int,
             else None
         base_kinds = [kv for kv in kinds
                       if kv[0] in key_cols or kv[0] == tomb_known]
+        base_blocks = blocks.filter(F.col("batch_id") <= from_batch)
         base = inc.read_latest(
             spark, None, base_kinds, key_cols,
-            inc_blocks=blocks.filter(F.col("batch_id") <= from_batch),
+            inc_blocks=base_blocks,
             tombstone_col=tomb_known).select(*key_cols)
     else:
         base = spark.createDataFrame(
@@ -341,7 +350,24 @@ def table_changes(spark, path: str, from_batch: int,
         .drop("_existed"))
     if tombstone_col and tombstone_col in dict(kinds):
         out = out.drop(tombstone_col)
-    return out.withColumnRenamed("batch_id", "_commit_batch")
+    out = out.withColumnRenamed("batch_id", "_commit_batch")
+    if include_preimage and from_batch >= 0:
+        tomb_known = tombstone_col if tombstone_col in dict(kinds) \
+            else None
+        pre_src = inc.read_latest(
+            spark, None, kinds, key_cols, inc_blocks=base_blocks,
+            tombstone_col=tomb_known)
+        if tomb_known:
+            pre_src = pre_src.drop(tomb_known)
+        touched = (out.filter(F.col("_change_type") != "insert")
+                   .select(*key_cols, "_commit_batch", "_change_type"))
+        pre = (pre_src.join(touched, key_cols)
+               .withColumn("_change_type", F.when(
+                   F.col("_change_type") == "delete",
+                   F.lit("delete_preimage"))
+                   .otherwise(F.lit("update_preimage"))))
+        out = out.unionByName(pre.select(*out.columns))
+    return out
 
 
 def vacuum(path: str, older_than_s: float = 3600.0,

@@ -276,6 +276,74 @@ def test_cli_dml_verbs(spark, sink, tmp_path, capsys):
     assert rows[0].v == "v0b" and 2 not in rows and len(rows) == 19
 
 
+def test_table_changes_preimages(spark, sink):
+    dml.upsert(spark, sink, spark.createDataFrame(
+        [Row(k=7, v="v7b", score=71)], SCHEMA))       # batch 2
+    dml.delete_where(spark, sink, "k = 9",
+                     tombstone_col="deleted")         # batch 3
+    ch = dml.table_changes(spark, sink, from_batch=1,
+                           tombstone_col="deleted",
+                           include_preimage=True).collect()
+    by = {(r.k, r._change_type): r for r in ch}
+    assert set(by) == {(7, "update_postimage"), (7, "update_preimage"),
+                       (9, "delete"), (9, "delete_preimage")}
+    # pre-images carry the as-of-from values, post the new ones,
+    # both stamped with the committing batch
+    assert by[(7, "update_preimage")].v == "v7"
+    assert by[(7, "update_postimage")].v == "v7b"
+    assert by[(7, "update_preimage")]._commit_batch == 2
+    assert by[(9, "delete_preimage")].v == "v9"
+    assert by[(9, "delete_preimage")]._commit_batch == 3
+    # inserts have no pre-image; default stays post-only
+    post_only = dml.table_changes(spark, sink, from_batch=1,
+                                  tombstone_col="deleted").collect()
+    assert {r._change_type for r in post_only} == \
+        {"update_postimage", "delete"}
+
+
+def test_dml_composite_string_keys(spark, tmp_path):
+    """Transcript-shaped sink: composite (string, int) key through
+    upsert / delete_where / table_changes / compaction."""
+    ds.register(spark)
+    schema = "conv_id string, turn_idx int, text string"
+    srcdir = str(tmp_path / "in")
+    os.makedirs(srcdir)
+    rows = [Row(conv_id=f"c{i:03d}", turn_idx=t, text=f"t{i}.{t}")
+            for i in range(6) for t in range(4)]
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.parquet(os.path.join(srcdir, "f0"))
+    path = str(tmp_path / "out")
+    q = (spark.readStream.schema(schema)
+         .parquet(srcdir + "/*")
+         .writeStream.format("oroch")
+         .option("path", path).option("key_cols", "conv_id,turn_idx")
+         .option("text_cols", "text")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    dml.upsert(spark, path, spark.createDataFrame(
+        [Row(conv_id="c002", turn_idx=1, text="EDITED")], schema))
+    man = dml.delete_where(spark, path, "conv_id = 'c004'")
+    assert man["n_deleted"] == 4
+    lat = (spark.read.format("oroch").option("latest_wins", "true")
+           .option("tombstone_col", "deleted").load(path))
+    got = {(r.conv_id, r.turn_idx): r.text for r in lat.collect()}
+    assert got[("c002", 1)] == "EDITED"
+    assert len(got) == 20 and not any(c == "c004" for c, _ in got)
+    ch = {(r.conv_id, r.turn_idx, r._change_type)
+          for r in dml.table_changes(
+              spark, path, from_batch=0,
+              tombstone_col="deleted").collect()}
+    assert ("c002", 1, "update_postimage") in ch
+    assert sum(1 for c, t, ty in ch if ty == "delete") == 4
+    ds.compact_sink(spark, path, n_buckets=2, tombstone_col="deleted")
+    lat2 = (spark.read.format("oroch").option("latest_wins", "true")
+            .load(path))
+    assert {(r.conv_id, r.turn_idx): r.text
+            for r in lat2.collect()} == got
+
+
 def test_resumed_stream_never_collides_with_dml_batch(spark, tmp_path):
     """The r4 ledger fix: a writeStream resumed AFTER a dml.upsert must
     not reuse the upsert's table batch id (its checkpoint epoch counter
