@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 import oroch_spark.engine as engine
 import oroch_spark.transcripts as transcripts
-from oroch_spark.operators import dedup, multimodal, similarity, textstats
+from oroch_spark.operators import (decontam, dedup, multimodal, packing,
+                                   sampling, similarity, temporal,
+                                   textstats)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -775,32 +777,305 @@ def _q_near_dup_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             dim=dim)
 
 
+# ---------------------------------------------------------------------------
+# round-5 slot rotation: driver-oracle rows for the r4 library operators
+# (VERDICT r4 "Next round" #2 and #4)
+# ---------------------------------------------------------------------------
+
+def _dml_fixture(spark: SparkSession, sf_dir: str):
+    """Build (once per sf) a DataSource table of the events rows that
+    then receives real DML: an ``upsert`` of every 7th key with
+    value+1000, then a ``delete_where`` of every signup row (schema
+    evolution: the delete adds the ``deleted`` tombstone column).
+    Returns (sink_path, info) where info records the allocated batch
+    ids, so queries can reference RELATIVE batch numbers (absolute ids
+    depend on how the initial write committed)."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from oroch_spark.sources import datasource as ds
+    from oroch_spark.sources import dml
+
+    ds.register(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), f"oroch_dmlq_v1_{tag}")
+    sink = os.path.join(root, "sink")
+    done = os.path.join(root, "_FIXTURE_READY")
+    if not os.path.exists(done):
+        # a crash mid-build must not cache a half-mutated table: DML is
+        # not idempotent, so rebuild from nothing
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        src = _read(spark, sf_dir, "events")
+        # DML runs over streaming-sink tables (batch manifests are what
+        # latest-wins ranks), so the base load is ONE micro-batch
+        srcdir = os.path.join(root, "src")
+        src.coalesce(2).write.mode("overwrite").parquet(srcdir)
+        q = (spark.readStream.schema(src.schema).parquet(srcdir)
+             .writeStream.format("oroch").option("path", sink)
+             .option("key_cols", "event_id")
+             .option("checkpointLocation", os.path.join(root, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        base = max(ds._sink_batch_ids(sink))
+        # the table's kind system folds ntz into K_TS (ltz), so the
+        # upsert frame casts explicitly — exactly what the strict
+        # _conform contract demands of callers
+        up = (src.filter(F.col("event_id") % 7 == 0)
+                 .withColumn("value", F.col("value") + 1000.0)
+                 .withColumn("ts", F.col("ts").cast("timestamp")))
+        man_up = dml.upsert(spark, sink, up, n_buckets=4)
+        man_del = dml.delete_where(spark, sink,
+                                   "event_type = 'signup'",
+                                   tombstone_col="deleted",
+                                   n_buckets=4)
+        info = {"base": base, "up": man_up["batch_id"],
+                "del": man_del["batch_id"]}
+        tmp = done + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(info, f)
+        os.replace(tmp, done)
+    with open(done) as f:
+        return sink, _json.load(f)
+
+
+def _q_dml_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch DML end-to-end, driver-proven (`sources/dml.py:181-271`):
+    upsert every 7th key (value+1000), tombstone-delete every signup
+    row, read back latest-wins with tombstone resolution. The oracle
+    recomputes the expected live view with a CASE + WHERE over the raw
+    parquet — whole-row latest-wins and delete semantics hash-checked
+    in one row set."""
+    sink, _ = _dml_fixture(spark, sf_dir)
+    out = (spark.read.format("oroch")
+           .option("latest_wins", "true")
+           .option("tombstone_col", "deleted").load(sink))
+    if "deleted" in out.columns:
+        out = out.drop("deleted")
+    return out
+
+
+def _q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data feed (`sources/dml.py:274-383`), driver-proven: the
+    changes since the initial load must be exactly one
+    ``update_postimage`` per non-deleted upserted key and one
+    ``delete`` (NULL post-image payload) per signup key, with the
+    correct per-change commit batch. Batch ids are reported RELATIVE
+    to the upsert's id so the oracle is a constant expression over the
+    raw parquet."""
+    from oroch_spark.sources import dml
+
+    sink, info = _dml_fixture(spark, sf_dir)
+    feed = dml.table_changes(spark, sink, from_batch=info["base"],
+                             tombstone_col="deleted")
+    return (feed.withColumn(
+        "rel_batch",
+        (F.col("_commit_batch") - F.lit(int(info["up"]))).cast("long"))
+        .drop("_commit_batch"))
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (`operators/temporal.py:48-152`): for every click,
+    the latest signup by the same user at or before its ts (backward;
+    greatest-event_id tiebreak at equal ts). The union+carry-forward
+    plan — one shuffle, no theta join — must hash-match DuckDB's
+    window-ranked LEFT JOIN."""
+    ev = _read(spark, sf_dir, "events")
+    left = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "ts", "user_id"))
+    right = (ev.filter(F.col("event_type") == "signup")
+               .select("user_id", F.col("ts").alias("rts"),
+                       F.col("value").alias("r_value"),
+                       F.col("event_id").alias("rid")))
+    return temporal.asof_join(left, right, on="user_id",
+                              left_ts="ts", right_ts="rts",
+                              right_cols=["r_value"], tiebreak="rid",
+                              matched_ts_col="asof_ts")
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (`operators/temporal.py:155-199`):
+    events probe a deterministic overlapping interval grid on
+    ``value`` via the bucketized equi-join (no BroadcastNestedLoop).
+    Oracle = the plain BETWEEN theta-join in SQL."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    iv = (spark.range(40)
+          .select(F.col("id").alias("iv_id"),
+                  (F.col("id") * 15.0).alias("lo"),
+                  (F.col("id") * 15.0 + 22.0).alias("hi")))
+    return temporal.range_join(ev, iv, x_col="value",
+                               lo_col="lo", hi_col="hi",
+                               bucket_width=15.0)
+
+
+def _q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-and-chunk plan
+    (`operators/packing.py:47-88`): documents in doc_id order fill
+    512-token packs; straddlers split across pack boundaries. With one
+    bucket the plan is a pure window cumsum, so DuckDB reproduces every
+    (pack_id, doc_from, doc_to, pack_offset) exactly (multi-bucket
+    hashing is pytest-covered — xxhash64 isn't portable to SQL)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    return packing.pack_concat(docs, ["doc_id"], "n_tok",
+                               budget=512, n_buckets=1, seed=0)
+
+
+def _q_split_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe hash split (`operators/sampling.py:51-75`),
+    property-proven in one deterministic row: the 0.8/0.1/0.1 split of
+    documents must be exhaustive (every row in some split), disjoint
+    (no doc in two), and near the requested fractions. xxhash64 isn't
+    SQL-portable, so the oracle is the constant row — any property
+    regression flips a boolean and fails the hash compare (the ANN
+    recall-row pattern)."""
+    docs = _read(spark, sf_dir, "documents")
+    splits = sampling.split_by_key(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7)
+    parts = [df.select("doc_id").withColumn("split", F.lit(name))
+             for name, df in splits.items()]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    tot = docs.agg(F.count("*").alias("n_docs"))
+    agg = u.agg(
+        F.count("*").alias("n_all"),
+        F.count_distinct("doc_id").alias("nd_all"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+         .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+         .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+         .alias("n_test"))
+    nd = F.col("n_docs").cast("double")
+    return agg.crossJoin(tot).select(
+        (F.col("n_all") == F.col("n_docs")).alias("exhaustive_ok"),
+        (F.col("nd_all") == F.col("n_docs")).alias("disjoint_ok"),
+        ((F.abs(F.col("n_train") / nd - 0.8) <= 0.05)
+         & (F.abs(F.col("n_val") / nd - 0.1) <= 0.05)
+         & (F.abs(F.col("n_test") / nd - 0.1) <= 0.05))
+        .alias("frac_ok"))
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (`operators/decontam.py:56-95`): every
+    17th document plays the eval set; each training document reports
+    how many distinct normalized 8-grams it shares with ANY eval doc.
+    The oracle recomputes the exact n-gram intersection in SQL
+    (distinct matching GRAMS == distinct matching xxhash64 values,
+    collision-free on this data), so normalization, shingling, and the
+    broadcast semi-join are all hash-checked."""
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    return decontam.contamination_flags(docs, ev, n=8)
+
+
+def _events_sketch_path(spark: SparkSession, sf_dir: str) -> str:
+    """Encode+persist the events blocks table WITH per-block sketches
+    (HLL on user_id, quantile summaries on user_id/value) once per
+    sf — the approx-query fixture."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"oroch_blocks_sketch_v1_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src = _read(spark, sf_dir, "events")
+        engine.encode_df(src, ["event_id"], n_buckets=8,
+                         block_rows=4096,
+                         sketch_cols=["user_id", "value"]) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def _q_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL NDV from per-block sketches alone
+    (`engine.approx_distinct`): the estimate must land within 5% of
+    the exact count-distinct, which the oracle recomputes in SQL — so
+    the row carries one SQL-checkable exact value plus the
+    recall-style boolean."""
+    blocks = spark.read.parquet(_events_sketch_path(spark, sf_dir))
+    est = engine.approx_distinct(blocks, "user_id")
+    exact = _read(spark, sf_dir, "events").agg(
+        F.count_distinct("user_id").alias("exact_ndv"))
+    return est.crossJoin(exact).select(
+        F.col("exact_ndv").cast("long").alias("exact_ndv"),
+        (F.abs(F.col("approx_ndv") - F.col("exact_ndv"))
+         / F.col("exact_ndv") <= 0.05).alias("ndv_ok"))
+
+
+def _q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles from per-block order-stat summaries
+    (`engine.approx_quantile`): each returned value's EXACT cumulative
+    rank (recomputed against the raw rows in Spark) must sit within
+    ±0.05 of the requested q — rank error is the sketch's contract, so
+    that is what the row asserts."""
+    blocks = spark.read.parquet(_events_sketch_path(spark, sf_dir))
+    qs = [0.1, 0.5, 0.9]
+    aq = engine.approx_quantile(blocks, "value", qs, kind="float")
+    vals = (_read(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select(F.col("value").alias("_v")))
+    return (aq.crossJoin(vals)
+            .groupBy("q", "value")
+            .agg((F.sum(F.when(F.col("_v") <= F.col("value"), 1)
+                        .otherwise(0)) / F.count("*")).alias("frac"))
+            .select("q", (F.abs(F.col("frac") - F.col("q")) <= 0.05)
+                    .alias("rank_ok")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """EXACTLY 50 entries — the driver runs at most ~50 queries per
     round (r3 recorded 50 rows for 56 entries, the last 6 unproven),
     so the surface is sized to get every entry a fresh CORRECTNESS
-    row. Folded since r3, with the engine functions + pytest coverage
-    unchanged: rt_supplier/rt_nation/rt_region -> rt_dims_join;
-    codec_histogram + compression_summary -> codec_report;
-    near_dup_pairs_embeddings + near_dup_pairs_lsh -> near_dup_pairs
-    (the LSH path, against the same exhaustive SQL oracle);
-    rt_part (column kinds covered by rt_customer/rt_alltypes),
-    lang_dist (langid is the stricter per-doc form), range_count
-    (range_agg returns the same count plus sum/min/max), count_where
-    (agg_where ditto) and distinct_values (group_count's dictionary
-    path) dropped as strictly-subsumed oracles. New in r4:
-    rt_append_events, latest_wins_events, rt_dims_join,
-    ds_filter_events. Entries whose r3 row was missing — and the new
-    ones — lead the dict in case the driver cap is
-    ordering-sensitive.
+    row.
 
-    Library-level ops added late in r4 stay OUT of this capped
-    surface and are evidenced by pytest + PARITY.md instead:
-    dedup.connected_components / dedup_clusters / near_dup_dedup
-    (exact union-find oracle in tests/test_cc_clusters.py) and the
-    Motion-JPEG MP4 demux/decode (tests/test_mediacodec.py)."""
+    Round-5 slot rotation (VERDICT r4 #2/#4): nine strictly-weaker
+    rows swapped for the r4 library operators that had zero driver
+    rows. Out (each subsumed by a surviving row, pytest coverage
+    unchanged): rt_orders + rt_customer (column kinds covered by
+    rt_lineitem/rt_alltypes/rt_events), topk_by_ts_events (top-k shape
+    == topk_events), ann_ivf_topk + ann_pq_topk (both structures are
+    components of the surviving ann_ivfpq_topk; recall rows stay for
+    LSH + IVFPQ + the exact baseline), range_scan_events (lead-key
+    range prune == range_agg_events' prune + ds_filter's pushdown,
+    row-content face kept by scan_where_events_type),
+    scan_where_events (secondary-stats prune face kept by
+    agg_where_events), null_count_events (exact per-column null counts
+    are table_stats_events rows), pruned_lookup_events (a point lookup
+    is multi_lookup's IN-list with one element; bench still times
+    lookup_point). In: dml_upsert_delete, cdc_changes, asof_join,
+    range_join, pack_concat, split_by_key, contamination_flags,
+    approx_ndv, approx_quantile.
+
+    Earlier folds (r3/r4) documented in git history:
+    rt_supplier/rt_nation/rt_region -> rt_dims_join; codec_histogram +
+    compression_summary -> codec_report; near_dup_pairs_embeddings +
+    near_dup_pairs_lsh -> near_dup_pairs; rt_part / lang_dist /
+    range_count / count_where / distinct_values dropped as
+    strictly-subsumed oracles.
+
+    Library-level ops still outside the capped surface, evidenced by
+    pytest + PARITY.md: dedup.connected_components / near_dup_dedup
+    (exact union-find oracle in tests/test_cc_clusters.py), streaming
+    dedup, grep_where, BFD packing, stratified/epoch/mixing sampling,
+    media codecs (tests/test_mediacodec.py)."""
     return {
-        # --- round-3 gaps + round-4 additions first -----------------
+        # --- round-5 rotation: previously pytest-only operators ------
+        "dml_upsert_delete_events": _q_dml_upsert_delete,
+        "cdc_changes_events": _q_cdc_changes,
+        "asof_join_events": _q_asof_join,
+        "range_join_events": _q_range_join,
+        "pack_concat_documents": _q_pack_concat,
+        "split_by_key_documents": _q_split_by_key,
+        "contamination_documents": _q_contamination,
+        "approx_ndv_events": _q_approx_ndv,
+        "approx_quantile_events": _q_approx_quantile,
+        # --- round-4 additions ---------------------------------------
         "winnow_fingerprints": _q_winnow,
         "langid_documents": _q_langid,
         "near_dup_pairs": _q_near_dup_emb_lsh,
@@ -814,20 +1089,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine round-trips (codec suite end-to-end; SURVEY.md §2.1-2.4)
         "rt_events": _rt("events", ["event_id"]),
         "rt_lineitem": _rt("lineitem", ["l_orderkey", "l_linenumber"]),
-        "rt_orders": _rt("orders", ["o_orderkey"]),
         "rt_documents": _rt("documents", ["doc_id"]),
-        "rt_customer": _rt("customer", ["c_custkey"]),
         "rt_embeddings": _q_rt_embeddings,
         "rt_alltypes": _q_rt_alltypes,
         "rt_transcripts": _q_rt_transcripts,   # hash-checked (r2+)
         # container/access ops (SURVEY.md §2.5)
-        "pruned_lookup_events": _q_pruned_lookup,
         "multi_lookup_events": _q_multi_lookup,
         "bloom_lookup_events": _q_bloom_lookup,
         "rt_projection_events": _q_rt_projection,
-        "range_scan_events": _q_range_scan,
         "range_agg_events": _q_range_agg,
-        "scan_where_events": _q_scan_where,
         "scan_where_events_type": _q_scan_where_str,
         "tumbling_counts_events": _q_tumbling_counts,
         "group_count_events": _q_group_count,
@@ -835,10 +1105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_join_events": _q_lookup_join,
         "topk_events": _q_topk_key,
         "sessionize_events": _q_sessionize,
-        "null_count_events": _q_null_count,
         "group_agg_events": _q_group_agg,
         "table_stats_events": _q_table_stats,
-        "topk_by_ts_events": _q_topk_by_ts,
         "rt_datasource_events": _q_rt_datasource,
         "lookup_conv_transcripts": _q_lookup_conv,
         "conv_stats_transcripts": _q_conv_stats,
@@ -848,8 +1116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_documents": _q_quality,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_pq_topk": _q_ann_pq,
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "minhash_dup_pairs": _q_minhash_pairs,
         "simhash_documents": _q_simhash,
@@ -861,12 +1127,126 @@ def oracle_sql() -> dict[str, str]:
     stop = ",".join(f"'{s}'" for s in textstats.STOPWORDS)
     tpath = _ensure_transcripts_parquet()
     return {
+        # --- round-5 rotation ------------------------------------------
+        "dml_upsert_delete_events": """
+            SELECT event_id, ts, user_id, event_type,
+                   CASE WHEN event_id % 7 = 0 THEN value + 1000
+                        ELSE value END AS value,
+                   props
+            FROM events WHERE event_type <> 'signup'
+        """,
+        "cdc_changes_events": """
+            SELECT event_id, ts, user_id, event_type,
+                   value + 1000 AS value, props,
+                   'update_postimage' AS _change_type,
+                   CAST(0 AS BIGINT) AS rel_batch
+            FROM events
+            WHERE event_id % 7 = 0 AND event_type <> 'signup'
+            UNION ALL
+            SELECT event_id, CAST(NULL AS TIMESTAMP),
+                   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+                   'delete', CAST(1 AS BIGINT)
+            FROM events WHERE event_type = 'signup'
+        """,
+        "asof_join_events": """
+            WITH l AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'click'),
+                 r AS (SELECT user_id, ts AS rts, value AS r_value,
+                              event_id AS rid
+                       FROM events WHERE event_type = 'signup'),
+                 j AS (SELECT l.event_id, l.ts, l.user_id, r.r_value,
+                              r.rts,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY l.event_id
+                                  ORDER BY r.rts DESC, r.rid DESC) AS rn
+                       FROM l LEFT JOIN r
+                         ON l.user_id = r.user_id AND r.rts <= l.ts)
+            SELECT event_id, ts, user_id, r_value, rts AS asof_ts
+            FROM j WHERE rn = 1
+        """,
+        "range_join_events": """
+            SELECT e.event_id, e.value, i.iv_id, i.lo, i.hi
+            FROM events e
+            JOIN (SELECT r AS iv_id, r * 15.0 AS lo,
+                         r * 15.0 + 22.0 AS hi
+                  FROM range(40) t(r)) i
+              ON e.value >= i.lo AND e.value <= i.hi
+        """,
+        "pack_concat_documents": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, n,
+                     CAST(SUM(n) OVER (ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n
+                          AS BIGINT) AS s
+              FROM d),
+            p AS (
+              SELECT doc_id, n, s,
+                     CAST(FLOOR(s / 512) AS BIGINT) AS p0,
+                     CAST(CASE WHEN n > 0
+                               THEN FLOOR((s + n - 1) / 512)
+                               ELSE FLOOR(s / 512) END AS BIGINT) AS p1
+              FROM c),
+            e AS (
+              SELECT doc_id, n, s,
+                     UNNEST(range(p0, p1 + 1)) AS pack_id
+              FROM p)
+            SELECT doc_id, CAST(0 AS INTEGER) AS bucket, pack_id,
+                   CAST(GREATEST(pack_id * 512 - s, 0) AS BIGINT)
+                       AS doc_from,
+                   CAST(LEAST(n, (pack_id + 1) * 512 - s) AS BIGINT)
+                       AS doc_to,
+                   CAST(GREATEST(s - pack_id * 512, 0) AS BIGINT)
+                       AS pack_offset
+            FROM e
+        """,
+        "split_by_key_documents":
+            "SELECT TRUE AS exhaustive_ok, TRUE AS disjoint_ok, "
+            "TRUE AS frac_ok",
+        "contamination_documents": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text),
+                          '[^\p{L}\p{N}]+', ' ', 'g')) AS t
+              FROM documents),
+            tok AS (SELECT doc_id, string_split(t, ' ') AS toks
+                    FROM norm),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) <= 8
+                     THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(1, len(toks) - 6),
+                          i -> array_to_string(toks[i:i+7], ' '))
+                END AS grams
+              FROM tok),
+            ev AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g
+                   WHERE doc_id % 17 = 0),
+            ex AS (SELECT doc_id, UNNEST(list_distinct(grams)) AS gram
+                   FROM g),
+            hits AS (
+              SELECT e.doc_id, count(DISTINCT e.gram) AS n_hits
+              FROM ex e JOIN ev USING (gram)
+              WHERE length(e.gram) > 0
+              GROUP BY e.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) >= 1 AS contaminated
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        "approx_ndv_events":
+            "SELECT CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS exact_ndv, TRUE AS ndv_ok FROM events",
+        "approx_quantile_events":
+            "SELECT UNNEST([0.1, 0.5, 0.9]) AS q, TRUE AS rank_ok",
         "rt_transcripts": f"SELECT * FROM read_parquet('{tpath}')",
         "rt_events": "SELECT * FROM events",
         "rt_lineitem": "SELECT * FROM lineitem",
-        "rt_orders": "SELECT * FROM orders",
         "rt_documents": "SELECT * FROM documents",
-        "rt_customer": "SELECT * FROM customer",
         "rt_dims_join": """
             SELECT * FROM supplier s
             JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -909,16 +1289,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "recompact_nation": "SELECT * FROM nation",
-        "pruned_lookup_events":
-            "SELECT * FROM events WHERE event_id = 4242",
         "multi_lookup_events":
             "SELECT * FROM events "
             "WHERE event_id IN (3, 777, 4242, 9999)",
         "bloom_lookup_events":
             "SELECT * FROM events WHERE props = '{\"k\": 42}'",
         "rt_projection_events": "SELECT event_id, value FROM events",
-        "range_scan_events":
-            "SELECT * FROM events WHERE event_id BETWEEN 1000 AND 1100",
         "range_agg_events": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(user_id) AS BIGINT) AS sum_v,
@@ -937,10 +1313,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(turn_idx) AS BIGINT) AS min_v,
                    CAST(max(turn_idx) AS BIGINT) AS max_v
             FROM read_parquet('{tpath}') GROUP BY conv_id
-        """,
-        "scan_where_events": """
-            SELECT event_id, user_id, value FROM events
-            WHERE user_id BETWEEN 3 AND 5
         """,
         "scan_where_events_type": """
             SELECT * FROM events
@@ -971,9 +1343,6 @@ def oracle_sql() -> dict[str, str]:
         "topk_events": """
             SELECT * FROM events ORDER BY event_id DESC LIMIT 10
         """,
-        "topk_by_ts_events": """
-            SELECT * FROM events ORDER BY ts DESC LIMIT 10
-        """,
         "rt_datasource_events": "SELECT * FROM events",
         "table_stats_events": """
             SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n_rows,
@@ -1002,11 +1371,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(user_id) AS BIGINT) AS min_v,
                    CAST(max(user_id) AS BIGINT) AS max_v
             FROM events GROUP BY event_type
-        """,
-        "null_count_events": """
-            SELECT CAST(sum(CASE WHEN nullif(event_type, 'click')
-                                 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                AS n_nulls FROM events
         """,
         "sessionize_events": """
             WITH marked AS (
@@ -1182,8 +1546,6 @@ def oracle_sql() -> dict[str, str]:
             f"ascii(substr(text, {1 + 8 * j}, 1)) ELSE 0 END"
             for j in range(8))),
         "ann_lsh_topk": "SELECT 10 AS k, TRUE AS recall_ok",
-        "ann_ivf_topk": "SELECT 10 AS k, TRUE AS recall_ok",
-        "ann_pq_topk": "SELECT 10 AS k, TRUE AS recall_ok",
         "ann_ivfpq_topk": "SELECT 10 AS k, TRUE AS recall_ok",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings

@@ -69,23 +69,36 @@ def main() -> None:
     from oroch_spark.operators import dedup, similarity
 
     queries: dict[str, float] = {}
+    queries_min: dict[str, float] = {}
+    unreliable: list[str] = []
     extra: dict = {}
 
     def timed(name, fn, required=True):
-        best = None
+        """One DISCARDED warm-up rep (JIT, page cache, plan cache —
+        the r4 record showed all three timed reps can land in a cold/
+        contended window), then `reps` timed reps. Pins the MEDIAN
+        (noise-robust both ways), keeps the min alongside, and flags
+        the query as unreliable when max/min > 2x — a spread that wide
+        means the host was contended and the number shouldn't be
+        trusted as a regression signal (VERDICT r4 #1)."""
+        times = []
         out = None
         try:
+            fn()  # warm-up, discarded
             for _ in range(max(1, args.reps)):
                 t0 = time.time()
                 out = fn()
-                w = time.time() - t0
-                best = w if best is None else min(best, w)
+                times.append(time.time() - t0)
         except Exception:
             if required:
                 raise
             queries[name] = None  # non-headline op failed; keep the line
             return None
-        queries[name] = round(best, 3)
+        ts = sorted(times)
+        queries[name] = round(ts[len(ts) // 2], 3)
+        queries_min[name] = round(ts[0], 3)
+        if ts[-1] > 2.0 * max(ts[0], 1e-9):
+            unreliable.append(name)
         return out
 
     # --- headline: transcript encode throughput -------------------------
@@ -327,10 +340,15 @@ def main() -> None:
         "cores": args.cores,
         # noise control on this overcommitted host (32 vCPU ~ 8-11 real
         # cores, minute-scale load swings — BENCH/BASELINE.md probe):
-        # every per-query time is the BEST of `reps` warm runs, so a
-        # transient load spike cannot masquerade as a regression
-        "method": f"best-of-{max(1, args.reps)}-warm",
+        # every per-query time is the MEDIAN of `reps` runs AFTER one
+        # discarded warm-up rep; `queries_min` keeps the per-query best
+        # and `unreliable` names queries whose max/min spread exceeded
+        # 2x (host contention — treat those as suspect, not as
+        # regressions)
+        "method": f"median-of-{max(1, args.reps)}-after-warmup",
         "reps": max(1, args.reps),
+        "queries_min": queries_min,
+        "unreliable": unreliable,
         "encode_mode": MODE,
         **extra,
     }

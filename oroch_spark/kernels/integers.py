@@ -882,9 +882,11 @@ def _fetch_bits(payload: bytes, i: int, nbits: int) -> int:
 def fetch(blob: bytes, i: int, n: int, width: int = 8) -> int:
     """Random access: value at index ``i`` without decoding the block —
     the analogue of ``bitpck_codec::fetch`` (`/root/reference/oroch/
-    bitpck.h:203-225, 258-266`). O(1) for naught/normal/bitpck/bitfor;
-    stream codecs (varint/bitpfr/delta) fall back to a full decode, as
-    the reference's varint path also must."""
+    bitpck.h:203-225, 258-266`). O(1) for naught/normal/bitpck/bitfor,
+    O(noutliers) for bitpfr (low-bit gather + outlier binary search —
+    the patched codec matches the reference's fetch asymptotics too);
+    the byte-stream codecs (varint/delta) fall back to a full decode,
+    as the reference's varint path also must."""
     if not 0 <= i < n:
         raise IndexError(i)
     desc, pos = read_header(blob, 0, n, width)
@@ -902,7 +904,35 @@ def fetch(blob: bytes, i: int, n: int, width: int = 8) -> int:
         u = (desc.origin + _fetch_bits(payload, i, desc.nbits)) \
             & 0xFFFFFFFFFFFFFFFF
         return u - (1 << 64) if u >= (1 << 63) else u
+    if c == BITPFR:
+        return int(_fetch_many_bitpfr(
+            payload, np.array([i], dtype=np.int64), n, desc)[0])
     return int(decode_block(blob, n, width)[i])
+
+
+def _fetch_many_bitpfr(payload: bytes, idxs: np.ndarray, n: int,
+                       desc: IntDescriptor) -> np.ndarray:
+    """Point access into a patched-FOR block without decoding it:
+    gather the ``nbits`` low-bit lanes at ``idxs`` from the dense
+    bitstream, reconstruct ONLY the outlier position/value sub-arrays
+    (O(noutliers) — bounded by the codec selection's own cost model,
+    never n), and binary-search each requested index for an outlier
+    patch. Mirrors `bitpck.h:203-225` asymptotics for the patched
+    codec (`bitpfr.h:59-124` stores positions as delta-1 gaps, so the
+    gap cumsum is the sorted index list searchsorted probes)."""
+    low_sz = packed_size(n, desc.nbits)
+    u = _fetch_bits_many(payload[:low_sz], idxs, desc.nbits)
+    if desc.noutliers:
+        gaps, pos = _decode_sub(payload, low_sz, desc.noutliers,
+                                desc.oidx_codec, desc.oidx_nbits)
+        ovals, _ = _decode_sub(payload, pos, desc.noutliers,
+                               desc.oval_codec, desc.oval_nbits)
+        oidx = (np.cumsum(gaps.view(I64) + 1) - 1)
+        j = np.minimum(np.searchsorted(oidx, idxs), len(oidx) - 1)
+        hit = oidx[j] == idxs
+        if hit.any():
+            u[hit] |= ovals[j[hit]] << U64(desc.nbits)
+    return _un_for(u, desc.origin)
 
 
 def _fetch_bits_many(payload: bytes, idxs: np.ndarray, nbits: int
@@ -931,9 +961,10 @@ def fetch_many(blob: bytes, idxs: np.ndarray, n: int, width: int = 8
                ) -> np.ndarray:
     """Batched :func:`fetch`: values at ``idxs`` (int64 out). O(k) for
     the O(1)-fetchable codecs (naught/normal/bitpck/bitfor) via one
-    vectorized bit-gather; stream codecs (varint/bitpfr/delta) pay ONE
-    full block decode + take — never k decodes (a k-match range lookup
-    is O(n + k), not O(k*n))."""
+    vectorized bit-gather, O(k + noutliers) for bitpfr (low-bit gather
+    + outlier searchsorted); the byte-stream codecs (varint/delta) pay
+    ONE full block decode + take — never k decodes (a k-match range
+    lookup is O(n + k), not O(k*n))."""
     idxs = np.asarray(idxs, dtype=np.int64)
     if len(idxs) == 0:
         return np.zeros(0, dtype=I64)
@@ -954,4 +985,6 @@ def fetch_many(blob: bytes, idxs: np.ndarray, n: int, width: int = 8
         u = (np.uint64(desc.origin & 0xFFFFFFFFFFFFFFFF)
              + _fetch_bits_many(payload, idxs, desc.nbits))
         return u.view(I64)
+    if c == BITPFR:
+        return _fetch_many_bitpfr(payload, idxs, n, desc)
     return decode_payload(payload, desc)[idxs]

@@ -29,9 +29,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from .dedup import ngram_shingles
 
-# one normalization for BOTH sides: lowercase; every non-alphanumeric
-# run becomes one space (Java regex == RE2 semantics for this class)
-_NORM_PATTERN = "[^a-z0-9]+"
+# one normalization for BOTH sides: Unicode-aware lowercase; every run
+# of characters that are neither letters nor digits (in ANY script)
+# becomes one space. \p{L}/\p{N} are Unicode general categories,
+# supported identically by Java regex (Spark) and RE2 (DuckDB), so
+# CJK/Cyrillic/accented text keeps its words instead of normalizing to
+# empty — non-Latin-script overlap is flagged like any other.
+_NORM_PATTERN = r"[^\p{L}\p{N}]+"
 
 
 def _normalized(col):

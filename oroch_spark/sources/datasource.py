@@ -576,6 +576,11 @@ def _publish_version(path: str, manifest_names: list[str]) -> None:
 
 
 _TXN_FILE = "_TXN.json"
+# ledger entries older than (current epoch - this) are pruned at
+# commit: Spark only replays the most recent uncommitted epoch, so
+# anything further back can never be asked for again (slack of a few
+# epochs guards manual checkpoint surgery)
+_TXN_KEEP_EPOCHS = 8
 
 
 def _read_txn(path: str) -> dict:
@@ -1433,16 +1438,34 @@ class OrochStreamWriter(DataSourceStreamArrowWriter):
             # epoch allocates past every committed batch including
             # DML's. With no interleaved DML, id == epoch as before.
             txn = _read_txn(self.path)
+            committed = {os.path.basename(m)
+                         for m in _manifest_paths(self.path)}
             bid = txn.get(str(int(batchId)))
-            if bid is None and os.path.exists(os.path.join(
-                    self.path, _BATCH_DIR, f"{int(batchId)}.json")):
+            if bid is None and f"{int(batchId)}.json" in committed:
                 # pre-ledger sink replaying an already-committed epoch
                 # ({n}.json is only ever a stream manifest): rewrite it
-                # in place, the legacy exactly-once behavior
+                # in place, the legacy exactly-once behavior. Checked
+                # against the VERSION-VISIBLE set, not raw on-disk
+                # existence: with compact_sink(gc=False) a folded
+                # manifest deliberately lingers outside the version
+                # pointer, and treating it as committed would rewrite
+                # + re-add rows the compacted manifest already holds.
                 bid = int(batchId)
             if bid is None:
-                bid = max(_sink_batch_ids(self.path) + [-1]) + 1
+                # past every committed id AND every ledger-reserved one
+                # (a prior epoch may have reserved an id, crashed
+                # before publish, and not been replayed yet)
+                bid = max(_sink_batch_ids(self.path)
+                          + [int(v) for v in txn.values()] + [-1]) + 1
             if txn.get(str(int(batchId))) != bid:
+                # prune entries for epochs Spark can no longer replay
+                # (only the most recent uncommitted epoch is ever
+                # replayed; keep a few for slack) — otherwise the
+                # ledger accretes one entry per epoch forever and this
+                # commit-path rewrite becomes O(total epochs)
+                keep_from = int(batchId) - _TXN_KEEP_EPOCHS
+                txn = {e: b for e, b in txn.items()
+                       if int(e) >= keep_from}
                 _write_txn(self.path, {**txn, str(int(batchId)): bid})
             doc = {"batch_id": int(bid), "files": files,
                    "blocks": sum(m.blocks for m in messages if m),

@@ -115,15 +115,19 @@ def _conform(df, kinds: list[tuple[str, str]]):
     for n, k in kinds:
         want = engine.spark_type_of(k).simpleString()
         got = src_types[n]
-        if got != want and (got, want) not in _SAFE_WIDEN \
-                and not (got.startswith("timestamp")
-                         and want.startswith("timestamp")):
+        if got != want and (got, want) not in _SAFE_WIDEN:
+            # timestamp flavors must match EXACTLY: casting ntz <->
+            # ltz reinterprets wall-clock values through the session
+            # timezone — a silent semantic shift, not a widening
             bad.append(f"{n}: {got} -> {want}")
     if bad:
         raise ValueError(
             "upsert frame types do not match the table and the cast "
-            f"could silently null values: {bad}; cast explicitly "
-            "(try_cast + your own null policy) before upserting")
+            f"could silently null or reinterpret values: {bad}; cast "
+            "explicitly (try_cast / to_timestamp with your own "
+            "null+timezone policy) before upserting — this includes "
+            "timestamp_ntz <-> timestamp, whose implicit cast shifts "
+            "values by the session timezone")
     return df.select(*[F.col(n).cast(engine.spark_type_of(k)).alias(n)
                        for n, k in kinds])
 
@@ -151,7 +155,15 @@ def _commit_rows(spark, path: str, df, kinds: list[tuple[str, str]],
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
     with _write_lock(path):
-        bid = max(_batch_ids(path), default=-1) + 1
+        # allocate past committed ids AND ledger-reserved ones: a
+        # stream-writer crash after _write_txn but before its manifest
+        # publish leaves the epoch's id reserved in _TXN.json only —
+        # reusing it here would let the replayed epoch commit a second
+        # manifest with this batch_id (latest-wins ties resolve
+        # arbitrarily), exactly the collision the ledger prevents
+        from .datasource import _read_txn
+        reserved = [int(v) for v in _read_txn(path).values()]
+        bid = max(_batch_ids(path) + reserved, default=-1) + 1
         man = {"batch_id": bid, "files": files, "blocks": n_blocks,
                "bytes_in": 0, "bytes_out": 0, "dml": note}
         bdir = os.path.join(path, _BATCH_DIR)

