@@ -1188,25 +1188,36 @@ def make_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
         buffered = 0
         cur_bucket: Optional[int] = None
         block_idx = 0
+        # Amortize the python->JVM crossing: completed blocks accumulate
+        # and ship several per output RecordBatch (one from_pylist + one
+        # Arrow IPC frame each), instead of one frame per block. Bounded
+        # by count AND payload bytes so memory stays O(few blocks).
+        pending: list[dict] = []
+        pending_bytes = 0
 
-        def flush(out_rows):
-            nonlocal buf, buffered, block_idx
+        def flush():
+            nonlocal buf, buffered, block_idx, pending_bytes
             if not buffered:
                 return
             table = pa.Table.from_batches(buf)
-            out_rows.append(_encode_chunk(table, cur_bucket, block_idx,
-                                          kinds, key_cols, text_cols,
-                                          bloom_cols, token_bloom_cols,
-                                          sketch_cols))
+            row = _encode_chunk(table, cur_bucket, block_idx,
+                                kinds, key_cols, text_cols,
+                                bloom_cols, token_bloom_cols,
+                                sketch_cols)
             block_idx += 1
             buf = []
             buffered = 0
+            pending.append(row)
+            pending_bytes += row["bytes_out"]
 
-        def emit(out_rows):
-            return pa.RecordBatch.from_pylist(out_rows, schema=out_schema)
+        def drain():
+            nonlocal pending_bytes
+            out = pa.RecordBatch.from_pylist(pending, schema=out_schema)
+            pending.clear()
+            pending_bytes = 0
+            return out
 
         for batch in batches:
-            out_rows: list[dict] = []
             while batch.num_rows:
                 bvals = batch.column("_bucket").to_numpy()
                 if cur_bucket is None:
@@ -1214,7 +1225,7 @@ def make_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
                 mask = bvals == cur_bucket
                 run = batch.num_rows if mask.all() else int(np.argmin(mask))
                 if run == 0:
-                    flush(out_rows)
+                    flush()
                     cur_bucket = int(bvals[0])
                     block_idx = 0
                     continue
@@ -1223,13 +1234,12 @@ def make_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
                 buffered += take
                 batch = batch.slice(take)
                 if buffered >= block_rows:
-                    flush(out_rows)
-            if out_rows:
-                yield emit(out_rows)
-        out_rows = []
-        flush(out_rows)
-        if out_rows:
-            yield emit(out_rows)
+                    flush()
+            if len(pending) >= 8 or pending_bytes >= 32 << 20:
+                yield drain()
+        flush()
+        if pending:
+            yield drain()
 
     return encode_stream
 
@@ -1634,21 +1644,34 @@ def encode_parquet_maponly(spark, source: str, key_cols: list[str],
             if file_filter is None or file_filter(f)]
     if not rows:
         raise ValueError("file_filter excluded every input file")
-    # Deterministic contiguous file->task grouping via parallelize
+    # Deterministic contiguous file->task grouping via spark.range
     # slices (DataFrame repartition(n) is round-robin with a random
     # per-partition offset — it leaves ~1/e of the partitions empty and
     # doubles others, creating stragglers). Task count targets ~4 waves
-    # per core slot: the PySpark python-runner costs ~100-200 ms per
-    # task regardless of size, so one-file-per-task wastes
+    # per core slot: a python-runner task costs a fixed setup
+    # regardless of size, so one-file-per-task wastes
     # nfiles x latency at small parallelism while too-few tasks lose
     # balance. Output blocks are identical for any grouping (bucket =
     # file ordinal, block_idx scoped per bucket).
     if tasks is None:
         tasks = max(1, min(len(rows),
                            spark.sparkContext.defaultParallelism * 4))
-    fdf = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, tasks),
-        "path string, bucket int")
+    # The file list stays JVM-side: spark.range partitions are
+    # contiguous ordinal slices and element_at over a literal array
+    # resolves in Catalyst — the earlier sc.parallelize version put a
+    # pickled python RDD under the scan, which made EVERY task run a
+    # second python worker (rows deserialization) before the encode
+    # runner, roughly doubling the fixed per-task cost that dominates
+    # the pinned scaling ratio (BENCH/BASELINE.md).
+    path_arr = F.array(*[F.lit(p) for p, _ in rows])
+    bucket_arr = F.array(*[F.lit(int(b)) for _, b in rows])
+    fdf = (spark.range(0, len(rows), 1, numPartitions=tasks)
+           .select(F.element_at(path_arr,
+                                (F.col("id") + 1).cast("int"))
+                    .alias("path"),
+                   F.element_at(bucket_arr,
+                                (F.col("id") + 1).cast("int"))
+                    .cast("int").alias("bucket")))
     fn = make_file_encode_fn(kinds, key_cols, block_rows,
                              frozenset(text_cols or []),
                              bloom_cols=frozenset(bloom_cols or []),

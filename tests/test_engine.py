@@ -201,7 +201,11 @@ class TestRoundtrip:
         # the only exchange in the plan is over file-name rows (the
         # task list), never over data rows
         plan = blocks._jdf.queryExecution().executedPlan().toString()
-        assert "parquet" not in plan.lower()  # data read happens in-UDF
+        # data read happens in-UDF: no Spark parquet scan node (the
+        # raw file PATHS legitimately appear as literals in the
+        # JVM-side task-list projection)
+        assert "filescan" not in plan.lower()
+        assert "batchscan" not in plan.lower()
 
     def test_staged_matches_direct_blocks(self, spark, tiny, tmp_path):
         direct = engine.encode_df(tiny, ["conv_id", "turn_idx"],
