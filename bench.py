@@ -156,7 +156,14 @@ def main() -> None:
     kinds = engine.column_kinds(src.schema)
     timed("decode_transcripts",
           lambda: engine.decode_df(blocks, kinds).count())
-    blocks.unpersist()
+    # Blocking unpersist + forced full GC before the small-table section:
+    # the lazily-freed multi-GB block cache otherwise thrashes the JVM
+    # heap through every query that follows — measured rt_events 3.3-5.8s
+    # with the lazy unpersist vs 0.8-1.3s after a blocking free + GC
+    # (the r4 record's "rt_events 6.9s" was this, not a kernel change).
+    blocks.unpersist(True)
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1)
 
     # --- engine round-trips on the sf tables ----------------------------
     for tbl, keys in [("events", ["event_id"]),
