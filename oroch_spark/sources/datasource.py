@@ -786,7 +786,12 @@ class OrochReader(DataSourceReader):
                         break
                 if keep:
                     parts.append(_RGPartition(fpath, rg, preds))
-        return parts
+        # Never return an empty plan: when the pushed predicates prune
+        # EVERY row group (e.g. a range filter beyond the table's key
+        # domain), Spark still launches one task and hands read() a
+        # None partition — read() treats a file-less partition as an
+        # empty scan.
+        return parts or [_RGPartition(None, -1, {})]
 
     def _merge_partitions(self, preds: dict) -> list[InputPartition]:
         """Latest-wins planning: split the lead-key domain into ranges
@@ -827,7 +832,10 @@ class OrochReader(DataSourceReader):
                     continue
                 intervals.append((lo, hi, fpath, rg, bid))
         if not intervals:
-            return []
+            # all row groups pruned (or empty table): same empty-scan
+            # sentinel as the plain planner — Spark would otherwise
+            # call read(None) on an empty plan
+            return [_RGPartition(None, -1, {})]
         if degenerate or len(intervals) == 1 or self.merge_parts <= 1:
             return [_MergePartition(None, None,
                                     [(f, rg, b)
@@ -857,9 +865,13 @@ class OrochReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if partition is None:
+            return  # Spark's stand-in task for an empty plan
         if isinstance(partition, _MergePartition):
             yield from self._read_merge(partition)
             return
+        if partition.file is None:
+            return  # empty-scan sentinel (every row group pruned)
         out_schema = pa.ipc.read_schema(pa.py_buffer(self.schema_bytes))
         pf = pq.ParquetFile(partition.file)
         # metadata first: if every block in the group is pruned, the
@@ -1727,13 +1739,18 @@ class OrochStreamReader(DataSourceStreamReader):
         mans = self._manifests()
         files = [f for b in range(int(start["batch"]), int(end["batch"]))
                  for f in mans.get(b, ())]
-        return [_BatchFilePartition(os.path.join(self.path, f))
-                for f in files]
+        # never an empty plan: a zero-file offset range (e.g. an epoch
+        # that committed no rows) gets one empty-scan sentinel so Spark
+        # doesn't hand read() a None partition
+        return ([_BatchFilePartition(os.path.join(self.path, f))
+                 for f in files] or [_BatchFilePartition(None)])
 
     def read(self, partition: _BatchFilePartition) -> Iterator:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if partition is None or partition.file is None:
+            return  # empty-scan sentinel
         out_schema = pa.ipc.read_schema(pa.py_buffer(self.schema_bytes))
         tbl = pq.read_table(partition.file,
                             columns=["n", "payload", "desc"])

@@ -580,7 +580,7 @@ def test_negation_family_pushdown(dsspark, neg_table, cond):
 def test_neq_constant_prune(dsspark, tmp_path):
     """NOT(key = v) prunes containers whose stats are constant v: a
     single-valued key column makes every row group [7, 7], so the
-    planner plans ZERO partitions."""
+    planner plans an empty-scan sentinel (zero data partitions)."""
     path = str(tmp_path / "neqconst")
     dsspark.range(1000).select(F.lit(7).alias("w"),
                                F.col("id").alias("p")) \
@@ -591,11 +591,18 @@ def test_neq_constant_prune(dsspark, tmp_path):
     assert len(rdr.partitions()) == 1
     unhandled = list(rdr.pushFilters([ds.Not(ds.EqualTo(("w",), 7))]))
     assert unhandled == []
-    assert rdr.partitions() == []
+
+    def is_empty_scan(parts):
+        # a fully-pruned plan is ONE file-less sentinel (an empty
+        # partition list makes Spark call read(None))
+        return (len(parts) == 1 and parts[0].file is None
+                and list(rdr.read(parts[0])) == [])
+
+    assert is_empty_scan(rdr.partitions())
     # NOT IN covering the constant also prunes; a non-covering set
     # does not
     list(rdr.pushFilters([ds.Not(ds.In(("w",), (6, 7)))]))
-    assert rdr.partitions() == []
+    assert is_empty_scan(rdr.partitions())
     list(rdr.pushFilters([ds.Not(ds.EqualTo(("w",), 6))]))
     assert len(rdr.partitions()) == 1
 
@@ -832,3 +839,20 @@ def test_writer_sketch_cols_power_approx_ops(dsspark, tmp_path):
     # and the decoded read is unaffected
     back = dsspark.read.format("oroch").load(d)
     assert back.count() == 6000
+
+
+def test_all_pruned_scan_returns_empty(dsspark, events_table):
+    """A pushed predicate beyond the table's key domain prunes EVERY
+    row group. partitions() must still hand Spark a non-empty plan
+    (Spark calls read(None) on an empty one — observed at sf0.001
+    where event_id tops out below the bench filter's lower bound) and
+    the scan must return zero rows, not crash."""
+    path, src = events_table
+    back = dsspark.read.format("oroch").load(path)
+    hi = src.agg(F.max("event_id")).collect()[0][0]
+    assert back.filter(F.col("event_id") > hi + 10**9).count() == 0
+    # conjunction with a non-key predicate, same shape as bench.py
+    assert back.filter((F.col("event_id") >= hi + 10**9)
+                       & (F.col("event_type") == "click")).count() == 0
+    # and the reader is not poisoned for the next, unfiltered query
+    assert dsspark.read.format("oroch").load(path).count() == src.count()

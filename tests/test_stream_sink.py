@@ -406,3 +406,13 @@ def test_latest_wins_key_filter_pushdown(spark, sink):
     assert len(parts) < max(n_all, 2)
     total = sum(b.num_rows for p in parts for b in sel.read(p))
     assert total == 0
+
+
+def test_latest_wins_all_pruned_key_predicate(spark, sink):
+    """A key predicate beyond every row group's bounds prunes all
+    merge intervals; the planner must return an empty-scan sentinel
+    (not an empty plan, which makes Spark call read(None))."""
+    back = (spark.read.format("oroch")
+            .option("latest_wins", "true")
+            .option("key_cols", "conv_id,turn_idx").load(sink))
+    assert back.filter("conv_id = '￿ nosuch'").count() == 0
