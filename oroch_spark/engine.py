@@ -1517,7 +1517,8 @@ def make_file_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
                         block_rows: int, text_cols: frozenset[str],
                         arrow_batch_rows: int = 16384,
                         bloom_cols: frozenset = frozenset(),
-                        sketch_cols: frozenset = frozenset()):
+                        sketch_cols: frozenset = frozenset(),
+                        file_map: Optional[list[tuple[str, int]]] = None):
     """Encode kernel that PULLS its input: each task row names a staged
     parquet file (one bucket) which the worker reads directly via
     pyarrow's C++ reader. The bulk bytes never cross the JVM<->Python
@@ -1525,7 +1526,15 @@ def make_file_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
     (On this sandbox the pipe layer collapses under concurrency; on a
     real cluster this is still the cheaper path: arrow IPC
     serialization is skipped and the columnar decode happens where the
-    data is consumed.)"""
+    data is consumed.)
+
+    With ``file_map`` the input batches carry only ``id`` ordinals (a
+    bare ``spark.range`` plan) and the (path, bucket) list rides the
+    pickled UDF closure — serialized once per stage into the broadcast
+    task binary, NOT once per task. This keeps the driver plan free of
+    O(#files) literal arrays, whose analyze/codegen time is a pure
+    Amdahl serial term that caps scaling efficiency (measured ~0.3 s
+    plan + ~0.4 s per-job literal evaluation for 256 files)."""
     inner = make_encode_fn(kinds, key_cols, block_rows, text_cols,
                            bloom_cols, frozenset(), sketch_cols)
 
@@ -1535,9 +1544,13 @@ def make_file_encode_fn(kinds: list[tuple[str, str]], key_cols: list[str],
 
         def row_batches():
             for task in batches:
-                paths = task.column("path").to_pylist()
-                buckets = task.column("bucket").to_pylist()
-                for path, bucket in zip(paths, buckets):
+                if file_map is not None:
+                    pairs = [file_map[i]
+                             for i in task.column("id").to_pylist()]
+                else:
+                    pairs = list(zip(task.column("path").to_pylist(),
+                                     task.column("bucket").to_pylist()))
+                for path, bucket in pairs:
                     pf = pq.ParquetFile(path)
                     for rb in pf.iter_batches(batch_size=arrow_batch_rows):
                         bcol = pa.array(
@@ -1656,26 +1669,25 @@ def encode_parquet_maponly(spark, source: str, key_cols: list[str],
     if tasks is None:
         tasks = max(1, min(len(rows),
                            spark.sparkContext.defaultParallelism * 4))
-    # The file list stays JVM-side: spark.range partitions are
-    # contiguous ordinal slices and element_at over a literal array
-    # resolves in Catalyst — the earlier sc.parallelize version put a
-    # pickled python RDD under the scan, which made EVERY task run a
-    # second python worker (rows deserialization) before the encode
-    # runner, roughly doubling the fixed per-task cost that dominates
-    # the pinned scaling ratio (BENCH/BASELINE.md).
-    path_arr = F.array(*[F.lit(p) for p, _ in rows])
-    bucket_arr = F.array(*[F.lit(int(b)) for _, b in rows])
-    fdf = (spark.range(0, len(rows), 1, numPartitions=tasks)
-           .select(F.element_at(path_arr,
-                                (F.col("id") + 1).cast("int"))
-                    .alias("path"),
-                   F.element_at(bucket_arr,
-                                (F.col("id") + 1).cast("int"))
-                    .cast("int").alias("bucket")))
+    # The plan is a bare spark.range of file ORDINALS (contiguous
+    # slices per task); the (path, bucket) list rides the UDF closure
+    # (see make_file_encode_fn). Two rejected alternatives, both
+    # measured against a same-structure no-op job at 8 pinned cores:
+    # sc.parallelize(rows) puts a pickled python RDD under the scan,
+    # so every task runs a SECOND python worker before the encode
+    # runner (~2x the fixed per-task cost); a Catalyst literal-array
+    # plan (element_at over F.array of 256 F.lit paths) costs ~0.3 s
+    # of driver-serial analyze/codegen plus ~0.4 s per-job literal
+    # evaluation — pure Amdahl serial terms that cap the pinned
+    # 2-vs-8-core scaling ratio (BENCH/BASELINE.md). The closure is
+    # O(#files) bytes inside the once-per-stage broadcast task binary
+    # (~60 B/file: 10^5 files ~ 6 MB — fine at cluster scale).
+    fdf = spark.range(0, len(rows), 1, numPartitions=tasks)
     fn = make_file_encode_fn(kinds, key_cols, block_rows,
                              frozenset(text_cols or []),
                              bloom_cols=frozenset(bloom_cols or []),
-                             sketch_cols=frozenset(sketch_cols or []))
+                             sketch_cols=frozenset(sketch_cols or []),
+                             file_map=rows)
     return fdf.mapInArrow(fn, schema=BLOCK_SCHEMA)
 
 
