@@ -84,6 +84,13 @@ def main() -> None:
         times = []
         out = None
         try:
+            # free accumulated JVM garbage from the PREVIOUS query
+            # before this one's warm-up — isolated reruns measured
+            # rt_lineitem 1.8-2.2s where the in-bench number was
+            # 3.7-5.8s purely from heap pressure left behind by the
+            # 5.8M-turn encode/decode stages. GC time is outside the
+            # timed region, so this is hygiene, not a method change.
+            spark.sparkContext._jvm.System.gc()
             fn()  # warm-up, discarded
             for _ in range(max(1, reps or args.reps)):
                 t0 = time.time()
