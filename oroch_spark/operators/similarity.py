@@ -179,6 +179,10 @@ def ann_topk_ivf(df: DataFrame, query_vec: list[float], k: int = 10,
     assignment is a one-pass narrow map and the search touches
     n_probe/n_centroids of the data."""
     sample = ivf_train_sample(df, train_sample, id_col, vec_col)
+    if len(sample) == 0:
+        # empty corpus: nothing to train on — exact search is free
+        # and returns the same (empty) shape
+        return cosine_topk(df, query_vec, k, id_col, vec_col)
     cent = _kmeans_fit(sample, n_centroids, iters, seed)
     q = np.asarray(query_vec, dtype=np.float64)
     probes = np.argsort(((cent - q) ** 2).sum(axis=1))[:n_probe]
@@ -218,6 +222,11 @@ def ann_topk_ivfpq(df: DataFrame, query_vec: list[float], k: int = 10,
     scans ~3% of raw bytes on ~n_probe/n_centroids of rows, stage 3
     joins ``shortlist`` rows."""
     sample = ivf_train_sample(df, train_sample, id_col, vec_col)
+    if len(sample) == 0:
+        # empty corpus: nothing to train on — exact search is free
+        # and returns the same (empty) shape
+        return cosine_topk(df, query_vec, k, id_col, vec_col,
+                           round_to=6)
     cent = _kmeans_fit(sample, n_centroids, iters, seed)
     q = np.asarray(query_vec, dtype=np.float64)
     probes = np.argsort(((cent - q) ** 2).sum(axis=1))[:n_probe]
@@ -450,14 +459,21 @@ def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def pq_train(df: DataFrame, m: int = 8, ksub: int = 32,
              train_sample: int = 512, iters: int = 10, seed: int = 42,
-             id_col: str = "vec_id", vec_col: str = "embedding"
-             ) -> np.ndarray:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample: np.ndarray | None = None) -> np.ndarray:
     """Train per-subspace codebooks -> (m, ksub, dim//m) float64.
     Training runs on a deterministic bounded sample (TakeOrdered by
-    xxhash64 — no unbounded collect); each subspace is an independent
+    xxhash64 — no unbounded collect; pass ``sample`` to reuse one
+    already gathered); each subspace is an independent
     :func:`_kmeans_fit` (chunked matmul distances, driver-memory-safe
     at real codebook sizes)."""
-    sample = ivf_train_sample(df, train_sample, id_col, vec_col)
+    if sample is None:
+        sample = ivf_train_sample(df, train_sample, id_col, vec_col)
+    if len(sample) == 0:
+        raise ValueError(
+            "pq_train: empty training sample (empty corpus?) — "
+            "codebook dimensionality is undefined; use exact "
+            "cosine_topk for empty/tiny corpora")
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -566,8 +582,14 @@ def ann_topk_pq(df: DataFrame, query_vec: list[float], k: int = 10,
     ``shortlist`` original rows — the classic two-stage retrieval
     plan."""
     if codebooks is None:
+        sample = ivf_train_sample(df, train_sample, id_col, vec_col)
+        if len(sample) == 0:
+            # empty corpus: nothing to train on — exact search is
+            # free and returns the same (empty) shape
+            return cosine_topk(df, query_vec, k, id_col, vec_col,
+                               round_to=6)
         codebooks = pq_train(df, m, ksub, train_sample, iters, seed,
-                             id_col, vec_col)
+                             id_col, vec_col, sample=sample)
     shortlist = shortlist or 4 * k
     codes = pq_encode(df, codebooks, id_col, vec_col)
     scored = pq_adc_scores(codes, codebooks, query_vec, id_col)

@@ -692,6 +692,15 @@ class OrochReader(DataSourceReader):
             # latest-wins merge needs the key + batch id, and reads
             # the tombstone marker even though it is not output
             by_name = dict(kinds)
+            if self.tombstone and self.tombstone not in by_name:
+                # the tombstone column is born when the first
+                # delete_where evolves the schema; before any delete
+                # committed, nothing is tombstoned — read as plain
+                # latest-wins instead of failing on a column the
+                # delete path itself would create (a uniformly
+                # configured reader must work on a not-yet-deleted
+                # table)
+                self.tombstone = None
             need = {n for n, _ in self.kinds} | set(self.key_cols) \
                 | ({self.tombstone} if self.tombstone else set())
             unknown = need - set(by_name)
