@@ -51,6 +51,63 @@ def test_query_runs_on_empty_tables(spark, empty_sf, name):
     assert len(df.columns) > 0
 
 
+@pytest.fixture(scope="module")
+def one_row_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_one")
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(SRC, f))
+            pq.write_table(t.slice(0, 1), str(d / f))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_query_runs_on_single_row_tables(spark, one_row_sf, name):
+    # n=1 exercises the n<5 trivial-codec cutoff, single-block zone
+    # maps, and single-element training samples
+    df = entry_mod.queries()[name](spark, one_row_sf)
+    assert df.count() >= 0
+
+
+@pytest.fixture(scope="module")
+def null_heavy_sf(tmp_path_factory):
+    """events with an ALL-null float column and ~50% nulls everywhere
+    but the key — the validity-bitmap stress shape."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import shutil
+
+    d = tmp_path_factory.mktemp("sf_nulls")
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SRC, f), str(d / f))
+    src = pq.read_table(os.path.join(SRC, "events.parquet"))
+    n = src.num_rows
+    rng = np.random.default_rng(7)
+    cols = {}
+    for name in src.schema.names:
+        arr = src.column(name).combine_chunks()
+        if name == "event_id":
+            cols[name] = arr
+        elif name == "value":
+            cols[name] = pa.nulls(n, arr.type)
+        else:
+            mask = pa.array(rng.random(n) < 0.5)
+            cols[name] = pc.if_else(mask, pa.nulls(n, arr.type), arr)
+    pq.write_table(pa.table(cols), str(d / "events.parquet"))
+    return str(d)
+
+
+def test_null_heavy_roundtrip_bit_identical(spark, null_heavy_sf):
+    rt = entry_mod.queries()["rt_events"](spark, null_heavy_sf)
+    src = spark.read.parquet(
+        os.path.join(null_heavy_sf, "events.parquet")).select(*rt.columns)
+    assert rt.exceptAll(src).count() == 0
+    assert src.exceptAll(rt).count() == 0
+    assert rt.count() == src.count()
+
+
 def test_pq_train_empty_corpus_raises_cleanly(spark):
     from oroch_spark.operators import similarity
 
