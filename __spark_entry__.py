@@ -141,15 +141,6 @@ def _events_blocks_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _q_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point lookup against the PERSISTED blocks table: prune on block
-    metadata and fetch matched rows — no re-encode of the source."""
-    src = _read(spark, sf_dir, "events")
-    kinds = engine.column_kinds(src.schema)
-    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
-    return engine.lookup(blocks, kinds, "event_id", 4242)
-
-
 def _q_multi_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched IN-list lookup (`engine.lookup_in`): many keys fetched in
     one pass — blocks prune on the OR of per-value zone containment and
@@ -186,16 +177,6 @@ def _q_rt_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                             columns=["event_id", "value"])
 
 
-def _q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Key-range scan on the persisted blocks table: zone-map pruning
-    to overlapping blocks, then decode + exact filter."""
-    src = _read(spark, sf_dir, "events")
-    kinds = engine.column_kinds(src.schema)
-    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
-    return engine.range_scan(blocks, kinds, "event_id", 1000, 1100)
-
-
-
 def _q_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate pushdown beyond COUNT: SUM/MIN/MAX of user_id over a
     key range — interior blocks answer from the per-column (lo, hi, s)
@@ -206,18 +187,6 @@ def _q_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
     return engine.range_agg(blocks, kinds, "event_id", 500, 7500,
                             "user_id")
-
-
-def _q_scan_where(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Secondary zone map: range predicate on user_id — NOT the lead
-    key — answered by pruning on the per-column (lo, hi) stats stored
-    in every block descriptor, then decoding only candidate blocks
-    (projection: event_id, user_id, value)."""
-    src = _read(spark, sf_dir, "events")
-    kinds = engine.column_kinds(src.schema)
-    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
-    return engine.scan_where(blocks, kinds, "user_id", 3, 5,
-                             columns=["event_id", "user_id", "value"])
 
 
 def _q_scan_where_str(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,7 +382,11 @@ def _q_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("key_cols", "event_id")
              .option("checkpointLocation", os.path.join(root, "ckpt"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        if not q.awaitTermination(600):
+            # never build on (or cache) a sink a live writer still
+            # owns — single-writer contract
+            q.stop()
+            raise RuntimeError("rt_append fixture stream timed out")
         if len({b for _, b in ds._sink_manifest_files(sink)}) >= 2:
             with open(done, "w") as f:
                 f.write("ok")
@@ -438,17 +411,6 @@ def _q_rt_dims_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      sup["s_nationkey"] == nat["n_nationkey"])
                .join(F.broadcast(reg),
                      F.col("n_regionkey") == F.col("r_regionkey")))
-
-
-def _q_topk_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORDER BY a SECONDARY column LIMIT k (`engine.topk_by`): the
-    overlap-safe prefix rule driven by per-column (lo, hi) stats —
-    "latest 10 by ts" over the event_id-keyed table decodes only the
-    tail blocks (ts correlates with the key order)."""
-    src = _read(spark, sf_dir, "events")
-    kinds = engine.column_kinds(src.schema)
-    blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
-    return engine.topk_by(blocks, kinds, "ts", 10)
 
 
 def _q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,19 +441,6 @@ def _q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     kinds = engine.column_kinds(src.schema)
     blocks = spark.read.parquet(_events_blocks_path(spark, sf_dir))
     return engine.group_agg(blocks, kinds, "event_type", "user_id")
-
-
-def _q_null_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IS NULL aggregate from metadata (`engine.null_count`): a
-    derived nullable column encodes with its exact per-block null
-    count in the descriptor (the validity bitmap pays the popcount at
-    encode); the count is then answered without touching a payload
-    byte."""
-    src = _read(spark, sf_dir, "events").withColumn(
-        "maybe", F.expr("nullif(event_type, 'click')"))
-    kinds = engine.column_kinds(src.schema)
-    blocks = engine.encode_df(src, ["event_id"], n_buckets=8)
-    return engine.null_count(blocks, kinds, "maybe")
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,32 +591,6 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(sf_dir)
     approx = similarity.ann_topk_lsh_multi(emb, qv, k=10, n_planes=3,
                                            n_tables=10)
-    exact = similarity.cosine_topk(emb, qv, k=10, round_to=6)
-    return _recall_row(approx, exact, 10, 9)
-
-
-def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k (pandas-UDF centroid assignment), recall-asserted
-    against the exact scan. Gaussian test embeddings have weak cluster
-    structure, so 12/16 lists must be probed for >=9/10 recall;
-    clustered real-embedding corpora probe far fewer."""
-    emb = _read(spark, sf_dir, "embeddings")
-    qv = _query_vec(sf_dir)
-    approx = similarity.ann_topk_ivf(emb, qv, k=10, n_probe=12)
-    exact = similarity.cosine_topk(emb, qv, k=10, round_to=6)
-    return _recall_row(approx, exact, 10, 9)
-
-
-def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ (product quantization) top-k: corpus compressed to 8-byte
-    codes (32x vs float32), ADC lookup-table scoring over the codes,
-    exact rescoring of the 150-row shortlist. Recall-asserted against
-    the exact scan (gaussian test embeddings are PQ's distortion worst
-    case — clustered real corpora use far smaller shortlists)."""
-    emb = _read(spark, sf_dir, "embeddings")
-    qv = _query_vec(sf_dir)
-    approx = similarity.ann_topk_pq(emb, qv, k=10, ksub=64,
-                                    shortlist=150)
     exact = similarity.cosine_topk(emb, qv, k=10, round_to=6)
     return _recall_row(approx, exact, 10, 9)
 
@@ -824,7 +747,12 @@ def _dml_fixture(spark: SparkSession, sf_dir: str):
              .option("key_cols", "event_id")
              .option("checkpointLocation", os.path.join(root, "ckpt"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        if not q.awaitTermination(600):
+            # DML against a sink a live writer still owns would race
+            # the single-writer contract — and the half-built table
+            # would be cached behind _FIXTURE_READY forever
+            q.stop()
+            raise RuntimeError("DML fixture base load timed out")
         base = max(ds._sink_batch_ids(sink))
         # the table's kind system folds ntz into K_TS (ltz), so the
         # upsert frame casts explicitly — exactly what the strict

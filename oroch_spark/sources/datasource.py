@@ -1459,19 +1459,31 @@ class OrochStreamWriter(DataSourceStreamArrowWriter):
             # epoch allocates past every committed batch including
             # DML's. With no interleaved DML, id == epoch as before.
             txn = _read_txn(self.path)
-            committed = {os.path.basename(m)
-                         for m in _manifest_paths(self.path)}
             bid = txn.get(str(int(batchId)))
-            if bid is None and f"{int(batchId)}.json" in committed:
-                # pre-ledger sink replaying an already-committed epoch
-                # ({n}.json is only ever a stream manifest): rewrite it
-                # in place, the legacy exactly-once behavior. Checked
-                # against the VERSION-VISIBLE set, not raw on-disk
-                # existence: with compact_sink(gc=False) a folded
-                # manifest deliberately lingers outside the version
-                # pointer, and treating it as committed would rewrite
-                # + re-add rows the compacted manifest already holds.
-                bid = int(batchId)
+            if bid is None:
+                # pre-ledger sink replaying an already-committed epoch:
+                # rewrite it in place, the legacy exactly-once
+                # behavior. Two guards keep this fallback from firing
+                # on anything else. (1) VERSION-VISIBLE set, not raw
+                # on-disk existence: with compact_sink(gc=False) a
+                # folded manifest deliberately lingers outside the
+                # version pointer, and treating it as committed would
+                # rewrite + re-add rows the compacted manifest already
+                # holds. (2) the matched manifest must LACK an "epoch"
+                # field: ledger-era manifests record their epoch (and
+                # their epoch is always resolvable via the ledger
+                # above), while epoch numbers and batch ids drift once
+                # DML interleaves — so a bare filename match can be a
+                # DIFFERENT epoch's drifted batch id, and rewriting it
+                # would silently drop that batch's rows.
+                cand = f"{int(batchId)}.json"
+                match = next((m for m in _manifest_paths(self.path)
+                              if os.path.basename(m) == cand), None)
+                if match is not None:
+                    with open(match) as f:
+                        mdoc = json.load(f)
+                    if "epoch" not in mdoc:
+                        bid = int(batchId)
             if bid is None:
                 # past every committed id AND every ledger-reserved one
                 # (a prior epoch may have reserved an id, crashed

@@ -416,3 +416,57 @@ def test_latest_wins_all_pruned_key_predicate(spark, sink):
             .option("latest_wins", "true")
             .option("key_cols", "conv_id,turn_idx").load(sink))
     assert back.filter("conv_id = '￿ nosuch'").count() == 0
+
+
+def test_new_epoch_never_clobbers_drifted_batch_manifest(spark, tmp_path):
+    """Epoch/bid drift regression: once DML interleaves, epoch numbers
+    and batch ids diverge, so a NEW epoch whose number equals an
+    earlier epoch's drifted batch id must NOT be mistaken for a
+    pre-ledger replay of that manifest (which would rewrite it in
+    place and silently drop the earlier batch's rows)."""
+    from oroch_spark.sources import dml
+
+    ds.register(spark)
+    srcdir = str(tmp_path / "in")
+    os.makedirs(srcdir)
+    path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(fname, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(srcdir, fname))
+
+    def run_stream():
+        q = (spark.readStream.schema(SCHEMA).parquet(srcdir + "/*")
+             .writeStream.format("oroch").option("path", path)
+             .option("key_cols", "conv_id,turn_idx")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+
+    # epoch 0 -> bid 0
+    land("f0", [Row(conv_id="a", turn_idx=0, text="e0")])
+    run_stream()
+    # DML takes bid 1
+    dml.upsert(spark, path, spark.createDataFrame(
+        [Row(conv_id="a", turn_idx=0, text="dml")], SCHEMA))
+    # epoch 1 -> drifts to bid 2 (writes 2.json)
+    land("f1", [Row(conv_id="b", turn_idx=0, text="e1")])
+    run_stream()
+    # epoch 2: its number matches epoch 1's bid — must allocate bid 3,
+    # not rewrite 2.json
+    land("f2", [Row(conv_id="c", turn_idx=0, text="e2")])
+    run_stream()
+
+    manifests = {}
+    for mf in ds._manifest_paths(path):
+        with open(mf) as f:
+            manifests[os.path.basename(mf)] = json.load(f)
+    assert set(manifests) >= {"0.json", "2.json", "3.json"}
+    # epoch 1's batch survived intact and epoch 2 got its own manifest
+    assert manifests["2.json"]["epoch"] == 1
+    assert manifests["3.json"]["epoch"] == 2
+    got = {r["conv_id"]: r["text"]
+           for r in (spark.read.format("oroch")
+                     .option("latest_wins", "true").load(path).collect())}
+    assert got == {"a": "dml", "b": "e1", "c": "e2"}
