@@ -699,7 +699,20 @@ class OrochReader(DataSourceReader):
                 # latest-wins instead of failing on a column the
                 # delete path itself would create (a uniformly
                 # configured reader must work on a not-yet-deleted
-                # table)
+                # table). Guard the race with a concurrent
+                # delete_where: our kinds came from a sidecar read
+                # that PRECEDED the manifest listing above, so a
+                # delete committing in between could be in our pinned
+                # snapshot while our schema predates it (its sidecar
+                # update happens-before its manifest publish). A fresh
+                # sidecar read taken now, after the listing, decides
+                # loudly instead of surfacing deleted keys as rows.
+                fresh = dict(read_sidecar(self.path).get("kinds", []))
+                if self.tombstone in fresh:
+                    raise ValueError(
+                        f"tombstone column {self.tombstone!r} was "
+                        "created by a concurrent delete_where while "
+                        "this read was being planned; retry the read")
                 self.tombstone = None
             need = {n for n, _ in self.kinds} | set(self.key_cols) \
                 | ({self.tombstone} if self.tombstone else set())
@@ -1482,8 +1495,33 @@ class OrochStreamWriter(DataSourceStreamArrowWriter):
                 if match is not None:
                     with open(match) as f:
                         mdoc = json.load(f)
-                    if "epoch" not in mdoc:
-                        bid = int(batchId)
+                    if "epoch" not in mdoc \
+                            or int(mdoc["epoch"]) == int(batchId):
+                        # pre-ledger manifest (filename == epoch ==
+                        # bid by construction), or a ledger-era
+                        # manifest recorded by THIS epoch whose ledger
+                        # entry was pruned (checkpoint restored from a
+                        # backup older than the pruning slack):
+                        # rewrite exactly-once under its original id
+                        bid = int(mdoc.get("batch_id", batchId))
+                if bid is None and any(int(e) > int(batchId)
+                                       for e in txn):
+                    # the ledger already holds NEWER epochs, so this is
+                    # a replay from a restored checkpoint, not a new
+                    # epoch — but its id may have drifted away from its
+                    # epoch number, making the filename match above
+                    # useless. Find its manifest by recorded epoch (an
+                    # O(stream manifests) scan, taken only on this
+                    # rare restore path, never on normal commits).
+                    for m in _manifest_paths(self.path):
+                        stem = os.path.splitext(os.path.basename(m))[0]
+                        if not stem.isdigit():
+                            continue  # dml-*/compact-* never match
+                        with open(m) as f:
+                            mdoc = json.load(f)
+                        if int(mdoc.get("epoch", -1)) == int(batchId):
+                            bid = int(mdoc["batch_id"])
+                            break
             if bid is None:
                 # past every committed id AND every ledger-reserved one
                 # (a prior epoch may have reserved an id, crashed
@@ -1624,10 +1662,19 @@ def compact_sink(spark, path: str, n_buckets: int = 32,
 
     from ..streaming import incremental as inc
 
-    doc = read_sidecar(path)
-    kinds, key_cols = doc["kinds"], doc["key_cols"]
     bdir = os.path.join(path, _BATCH_DIR)
     old_manifests = _manifest_paths(path)
+    # sidecar read AFTER the manifest listing: delete_where updates
+    # the sidecar before publishing its manifest, so any delete batch
+    # in old_manifests is guaranteed visible in this sidecar read
+    doc = read_sidecar(path)
+    kinds, key_cols = doc["kinds"], doc["key_cols"]
+    if tombstone_col is not None and tombstone_col not in dict(kinds):
+        # the tombstone column is born with the first delete_where; a
+        # uniformly configured maintenance job must work on a table
+        # nothing was ever deleted from (same contract as the
+        # latest-wins reader and dml.table_changes)
+        tombstone_col = None
     retained, folded_mans = [], []
     for mf in old_manifests:
         with open(mf) as f:

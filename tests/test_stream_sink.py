@@ -470,3 +470,99 @@ def test_new_epoch_never_clobbers_drifted_batch_manifest(spark, tmp_path):
            for r in (spark.read.format("oroch")
                      .option("latest_wins", "true").load(path).collect())}
     assert got == {"a": "dml", "b": "e1", "c": "e2"}
+
+
+def test_restored_checkpoint_replay_rewrites_drifted_manifest(spark, tmp_path):
+    """A replayed epoch whose _TXN ledger entry was pruned (checkpoint
+    restored from a backup older than the pruning slack) must find its
+    manifest by RECORDED epoch and rewrite it exactly-once — not
+    double-commit its rows under a fresh batch id."""
+    from oroch_spark.sources import dml
+
+    ds.register(spark)
+    srcdir = str(tmp_path / "in")
+    os.makedirs(srcdir)
+    path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(fname, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(srcdir, fname))
+
+    def run_stream():
+        q = (spark.readStream.schema(SCHEMA).parquet(srcdir + "/*")
+             .writeStream.format("oroch").option("path", path)
+             .option("key_cols", "conv_id,turn_idx")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+
+    land("f0", [Row(conv_id="a", turn_idx=0, text="e0")])
+    run_stream()                                   # epoch 0 -> bid 0
+    dml.upsert(spark, path, spark.createDataFrame(
+        [Row(conv_id="a", turn_idx=0, text="dml")], SCHEMA))  # bid 1
+    land("f1", [Row(conv_id="b", turn_idx=0, text="e1")])
+    run_stream()                                   # epoch 1 -> bid 2
+    land("f2", [Row(conv_id="c", turn_idx=0, text="e2")])
+    run_stream()                                   # epoch 2 -> bid 3
+
+    # simulate the restore: epoch 1's ledger entry pruned, newer
+    # epochs still in the ledger, then epoch 1 replays directly
+    # through the writer's commit (single-writer: no live stream now)
+    txn = ds._read_txn(path)
+    assert txn.get("1") == 2 and any(int(e) > 1 for e in txn)
+    del txn["1"]
+    ds._write_txn(path, txn)
+    doc = ds.read_sidecar(path)
+    writer = ds.OrochStreamWriter({"path": path,
+                                   "key_cols": "conv_id,turn_idx"},
+                                  doc["kinds"])
+    import pyarrow as pa
+    batch = pa.RecordBatch.from_pydict(
+        {"conv_id": ["b"], "turn_idx": pa.array([0], type=pa.int32()),
+         "text": ["e1-replayed"]})
+    msg = writer.write(iter([batch]))
+    writer.commit([msg], batchId=1)
+
+    manifests = {}
+    for mf in ds._manifest_paths(path):
+        with open(mf) as f:
+            manifests[os.path.basename(mf)] = json.load(f)
+    # exactly-once: the replay rewrote 2.json (epoch 1's original id);
+    # no 4.json double-commit appeared
+    assert "4.json" not in manifests
+    assert manifests["2.json"]["epoch"] == 1
+    assert manifests["2.json"]["files"] == [msg.file]
+    rows = (spark.read.format("oroch")
+            .option("latest_wins", "true").load(path).collect())
+    got = {r["conv_id"]: r["text"] for r in rows}
+    assert got == {"a": "dml", "b": "e1-replayed", "c": "e2"}
+
+
+def test_compact_sink_tombstone_col_on_never_deleted_table(spark, sink):
+    """compact_sink configured uniformly with a tombstone_col must work
+    on a sink nothing was ever deleted from (the column does not exist
+    until the first delete_where)."""
+    import shutil
+
+    path = sink + "-compactcopy"
+    shutil.copytree(sink, path)
+    res = ds.compact_sink(spark, path, latest_wins=True,
+                          tombstone_col="deleted", n_buckets=2)
+    assert res["files"]
+    back = spark.read.format("oroch").load(path)
+    assert back.count() > 0
+    assert "deleted" not in back.columns
+
+
+def test_latest_wins_concurrent_tombstone_birth_is_loud(spark, tomb_sink):
+    """If the reader's pinned schema predates a concurrent
+    delete_where (stale kinds without the tombstone column) while the
+    on-disk sidecar already has it, the reader must raise a retry
+    error — never surface deleted keys as rows of NULLs."""
+    doc = ds.read_sidecar(tomb_sink)
+    stale_kinds = [kv for kv in doc["kinds"] if kv[0] != "deleted"]
+    with pytest.raises(ValueError, match="retry the read"):
+        ds.OrochReader({"path": tomb_sink, "latest_wins": "true",
+                        "tombstone_col": "deleted"},
+                       stale_kinds, doc["key_cols"])
