@@ -1716,12 +1716,17 @@ def compact_sink(spark, path: str, n_buckets: int = 32,
     # land the parts at the sink root (the readers' file layout), with
     # stream-part-style unique names
     files = []
+    n_blocks = 0
     for f in sorted(glob.glob(os.path.join(tmp_dir, "*.parquet"))):
+        import pyarrow.parquet as _pq
+        # "blocks" is the encoded BLOCK count (one block per parquet
+        # row), the unit stream-batch manifests record
+        n_blocks += _pq.ParquetFile(f).metadata.num_rows
         fname = f"stream-compact-{top}-{uuid.uuid4().hex}.parquet"
         os.replace(f, os.path.join(path, fname))
         files.append(fname)
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    man = {"batch_id": int(top), "files": files, "blocks": len(files),
+    man = {"batch_id": int(top), "files": files, "blocks": n_blocks,
            "bytes_in": 0, "bytes_out": 0, "compacted": True}
     man_name = f"compact-{top}-{uuid.uuid4().hex}.json"
     tmp = os.path.join(bdir, f".{man_name}.{uuid.uuid4().hex}.tmp")

@@ -148,10 +148,14 @@ def _commit_rows(spark, path: str, df, kinds: list[tuple[str, str]],
         files = []
         n_blocks = 0
         for f in sorted(glob.glob(os.path.join(tmp_dir, "*.parquet"))):
+            import pyarrow.parquet as _pq
+            # manifest "blocks" is the encoded BLOCK count (one block
+            # per parquet row), the same unit stream-batch manifests
+            # record — not the part-file count
+            n_blocks += _pq.ParquetFile(f).metadata.num_rows
             fname = f"stream-dml-{uuid.uuid4().hex}.parquet"
             os.replace(f, os.path.join(path, fname))
             files.append(fname)
-            n_blocks += 1
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
     with _write_lock(path):
@@ -194,20 +198,28 @@ def upsert(spark, path: str, df, n_buckets: int = 8,
         if tombstone_col not in dict(kinds):
             raise ValueError(f"table has no column {tombstone_col!r}")
         df = df.withColumn(tombstone_col, F.lit(False))
-    df = _conform(df, kinds)
-    # latest-wins totality rests on per-batch key uniqueness
-    # (incremental.read_latest ranks by batch id alone): two versions
-    # of a key in ONE batch would resolve nondeterministically
-    dup = (df.groupBy(*key_cols).count()
-           .filter(F.col("count") > 1).limit(1).collect())
-    if dup:
-        raise ValueError(
-            f"upsert frame holds {dup[0]['count']} rows for key "
-            f"{tuple(dup[0][c] for c in key_cols)} — a batch is one "
-            "consistent snapshot of its keys; dropDuplicates or "
-            "pre-aggregate to one row per key first")
-    return _commit_rows(spark, path, df, kinds,
-                        key_cols, n_buckets, block_rows, "upsert")
+    # cache: the frame is executed twice (uniqueness check + encode);
+    # a non-deterministic source could otherwise PASS the check and
+    # still encode duplicate keys — exactly the nondeterminism the
+    # check exists to prevent
+    df = _conform(df, kinds).cache()
+    try:
+        # latest-wins totality rests on per-batch key uniqueness
+        # (incremental.read_latest ranks by batch id alone): two
+        # versions of a key in ONE batch would resolve
+        # nondeterministically
+        dup = (df.groupBy(*key_cols).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"upsert frame holds {dup[0]['count']} rows for key "
+                f"{tuple(dup[0][c] for c in key_cols)} — a batch is "
+                "one consistent snapshot of its keys; dropDuplicates "
+                "or pre-aggregate to one row per key first")
+        return _commit_rows(spark, path, df, kinds,
+                            key_cols, n_buckets, block_rows, "upsert")
+    finally:
+        df.unpersist()
 
 
 def delete_where(spark, path: str, predicate: str,
@@ -252,10 +264,25 @@ def delete_where(spark, path: str, predicate: str,
             return {"batch_id": None, "files": [], "n_deleted": 0}
         if tombstone_col not in by_name:
             # schema evolution: older blocks null-fill the new column
-            # at decode; read_latest treats missing as "not deleted"
-            kinds = kinds + [(tombstone_col, "bool")]
+            # at decode; read_latest treats missing as "not deleted".
+            # MERGE under the lock from a fresh sidecar read — writing
+            # back our pre-lock copy would stomp a concurrent
+            # evolution (another delete_where's tombstone column, a
+            # concurrent append's schema union), silently un-deleting
+            # its keys for every future reader
             with _write_lock(path):
-                write_sidecar(path, kinds, key_cols)
+                cur = list(read_sidecar(path)["kinds"])
+                have = dict(cur)
+                if tombstone_col in have:
+                    if have[tombstone_col] != "bool":
+                        raise ValueError(
+                            f"column {tombstone_col!r} exists with "
+                            f"kind {have[tombstone_col]!r}; a "
+                            "tombstone column must be bool")
+                    kinds = cur
+                else:
+                    kinds = cur + [(tombstone_col, "bool")]
+                    write_sidecar(path, kinds, key_cols)
         tomb = keys
         for n, k in kinds:
             if n in key_cols:
@@ -320,6 +347,25 @@ def table_changes(spark, path: str, from_batch: int,
         to_batch = max(ids)
     if to_batch <= from_batch:
         raise ValueError(f"empty change range ({from_batch}, {to_batch}]")
+    comp_floors = []
+    for m in _manifest_paths(path):
+        if os.path.basename(m).startswith("compact-"):
+            with open(m) as f:
+                comp_floors.append(int(json.load(f)["batch_id"]))
+    if comp_floors and 0 <= from_batch < max(comp_floors):
+        # the table state as of from_batch is gone: those batches
+        # were folded into one manifest carrying the top folded id,
+        # so the base-version existence check would see an empty
+        # prefix and misreport every rewritten key as an insert.
+        # (from_batch=-1 stays valid: "since the beginning" needs no
+        # base state, and a latest-wins compaction preserves exactly
+        # the live-keys-as-inserts answer.) Delta raises the same way
+        # for versions outside retained history.
+        raise ValueError(
+            f"from_batch={from_batch} is below the compaction "
+            f"horizon {max(comp_floors)}: that version is no longer "
+            "resolvable. Compact with retain_from_batch to keep CDC "
+            "history, or read from the horizon forward")
     rng = blocks.filter((F.col("batch_id") > from_batch)
                         & (F.col("batch_id") <= to_batch))
     changed = engine.decode_df(rng, kinds, passthrough=["batch_id"])
@@ -397,10 +443,23 @@ def vacuum(path: str, older_than_s: float = 3600.0,
     tables (sidecar file registry). ``dry_run`` lists without
     removing. Returns ``{"removed": [...], "kept": n}``."""
     is_sink = os.path.isdir(os.path.join(path, _BATCH_DIR))
-    doc = read_sidecar(path)
     removed: list[str] = []
     kept = 0
     cutoff = time.time() - older_than_s
+
+    def _tree_newest_mtime(d: str) -> float:
+        # a directory's own mtime only reflects direct-child churn; a
+        # live Spark staging dir can look hours old while its task
+        # files are seconds old — age by the NEWEST entry in the tree
+        newest = os.path.getmtime(d)
+        for root, dirs, fs in os.walk(d):
+            for x in dirs + fs:
+                try:
+                    newest = max(newest,
+                                 os.path.getmtime(os.path.join(root, x)))
+                except OSError:
+                    pass
+        return newest
 
     def _sweep(candidates, live_names):
         nonlocal kept
@@ -436,6 +495,11 @@ def vacuum(path: str, older_than_s: float = 3600.0,
                    live_mans)
             _sweep(glob.glob(os.path.join(bdir, ".*.tmp")), set())
         else:
+            # registry read INSIDE the lock: outside it, a commit
+            # publishing between our read and the sweep would leave
+            # its fresh files absent from `live` and (if the job ran
+            # longer than the grace window) deletable
+            doc = read_sidecar(path)
             live = set(doc.get("files") or [])
             if live:  # legacy tables without a registry: listing IS
                 # the table, nothing is provably dead
@@ -445,7 +509,7 @@ def vacuum(path: str, older_than_s: float = 3600.0,
         for d in (glob.glob(os.path.join(path, ".compact-*"))
                   + glob.glob(os.path.join(path, ".dml-*"))):
             try:
-                if os.path.isdir(d) and os.path.getmtime(d) < cutoff:
+                if os.path.isdir(d) and _tree_newest_mtime(d) < cutoff:
                     removed.append(os.path.relpath(d, path) + "/")
                     if not dry_run:
                         shutil.rmtree(d, ignore_errors=True)

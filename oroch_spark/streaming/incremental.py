@@ -36,9 +36,15 @@ def encode_stream(stream_df: DataFrame, out_dir: str,
                   checkpoint_dir: Optional[str] = None,
                   trigger_once: bool = False):
     """Start a streaming query that encodes every micro-batch and
-    appends its blocks (tagged with the batch id) to
-    ``out_dir/blocks_stream``. Exactly-once via the streaming
-    checkpoint + idempotent batch-id tagging."""
+    lands its blocks (tagged with the batch id) under
+    ``out_dir/blocks_stream/b<batch_id>/``. Exactly-once via the
+    streaming checkpoint + an IDEMPOTENT per-batch write:
+    ``foreachBatch`` is at-least-once, so a replayed micro-batch
+    (driver crash between the parquet write and the checkpoint
+    commit) overwrites its own batch directory instead of appending a
+    duplicate set of blocks. For manifest-committed exactly-once with
+    concurrent DML, prefer ``writeStream.format("oroch")``
+    (`sources/datasource.py`)."""
     blocks_path = os.path.join(out_dir, "blocks_stream")
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_stream_ckpt")
 
@@ -50,7 +56,8 @@ def encode_stream(stream_df: DataFrame, out_dir: str,
             block_rows=block_rows, chunk_rows=chunk_rows,
             text_cols=text_cols)
         (blocks.withColumn("batch_id", F.lit(batch_id))
-               .write.mode("append").parquet(blocks_path))
+               .write.mode("overwrite")
+               .parquet(os.path.join(blocks_path, f"b{batch_id}")))
 
     writer = (stream_df.writeStream
               .foreachBatch(handle_batch)
@@ -61,7 +68,10 @@ def encode_stream(stream_df: DataFrame, out_dir: str,
 
 
 def read_stream_blocks(spark, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "blocks_stream"))
+    # per-batch subdirs (b<id>/): recursive lookup flattens them while
+    # keeping the layout idempotent-overwritable per batch
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(out_dir, "blocks_stream")))
 
 
 def read_latest(spark, out_dir: Optional[str],
@@ -106,20 +116,16 @@ def read_latest(spark, out_dir: Optional[str],
                            passthrough=["batch_id"])
     rows = inc
     if base_blocks is not None:
-        base_kinds = schema_kinds
-        if tombstone_col is not None:
-            import json as _json
-            first = base_blocks.select("desc").first()
-            base_has = first is not None and any(
-                c["n"] == tombstone_col
-                for c in _json.loads(first["desc"])["cols"])
-            if not base_has:
-                base_kinds = [kv for kv in schema_kinds
-                              if kv[0] != tombstone_col]
-        base = engine.decode_df(base_blocks, base_kinds) \
+        # decode the base with the FULL schema: blocks written before
+        # the tombstone column was born null-fill it per block (decode
+        # schema evolution), and the coalesce below reads null as
+        # "not deleted". Probing one block's desc to decide for the
+        # whole base would misread a heterogeneous base (pre- and
+        # post-evolution blocks mixed): whichever block the probe
+        # happened to hit would decide for all, False-filling genuine
+        # tombstones in the newer blocks.
+        base = engine.decode_df(base_blocks, schema_kinds) \
             .withColumn("batch_id", F.lit(-1).cast("long"))
-        if base_kinds is not schema_kinds:
-            base = base.withColumn(tombstone_col, F.lit(False))
         rows = base.unionByName(inc)
     w = Window.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
     out = (rows.withColumn("_rn", F.row_number().over(w))

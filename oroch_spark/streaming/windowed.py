@@ -56,14 +56,21 @@ PROGRESS_STATE = T.StructType([
     T.StructField("n_assistant", T.LongType()),
 ])
 
-PROGRESS_OUTPUT = T.StructType([
-    T.StructField("conv_id", T.StringType()),
-    T.StructField("n_turns", T.LongType()),
-    T.StructField("first_us", T.LongType()),
-    T.StructField("last_us", T.LongType()),
-    T.StructField("n_user", T.LongType()),
-    T.StructField("n_assistant", T.LongType()),
-])
+def _progress_output(key_name: str, key_type: T.DataType) -> T.StructType:
+    # key column named and typed after the CALLER's group column —
+    # a hardcoded (conv_id, string) field breaks non-string keys at
+    # the Arrow boundary and silently renames the output column
+    return T.StructType([
+        T.StructField(key_name, key_type),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_user", T.LongType()),
+        T.StructField("n_assistant", T.LongType()),
+    ])
+
+
+PROGRESS_OUTPUT = _progress_output("conv_id", T.StringType())
 
 
 def conversation_progress(stream_df: DataFrame,
@@ -83,20 +90,25 @@ def conversation_progress(stream_df: DataFrame,
             n, first, last, nu, na = state.get
         for pdf in pdfs:
             n += len(pdf)
-            us = pdf[ts_col].astype("datetime64[us]").astype("int64")
-            lo, hi = int(us.min()), int(us.max())
-            first = lo if first is None else min(first, lo)
-            last = hi if last is None else max(last, hi)
+            ts = pdf[ts_col].dropna()  # NaT would cast to the int64
+            # min sentinel and poison first_us for the key forever
+            if len(ts):
+                us = ts.astype("datetime64[us]").astype("int64")
+                lo, hi = int(us.min()), int(us.max())
+                first = lo if first is None else min(first, lo)
+                last = hi if last is None else max(last, hi)
             roles = pdf[role_col].value_counts()
             nu += int(roles.get("user", 0))
             na += int(roles.get("assistant", 0))
         state.update((n, first, last, nu, na))
         yield pd.DataFrame({
-            "conv_id": [key[0]], "n_turns": [n], "first_us": [first],
+            conv_col: [key[0]], "n_turns": [n], "first_us": [first],
             "last_us": [last], "n_user": [nu], "n_assistant": [na],
         })
 
+    out_schema = _progress_output(
+        conv_col, stream_df.schema[conv_col].dataType)
     return (stream_df.groupBy(conv_col)
-            .applyInPandasWithState(update, PROGRESS_OUTPUT,
+            .applyInPandasWithState(update, out_schema,
                                     PROGRESS_STATE, "update",
                                     "NoTimeout"))

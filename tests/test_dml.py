@@ -144,12 +144,26 @@ def test_vacuum_removes_only_dead_and_old(spark, sink):
     os.makedirs(stale_dir)
     with open(os.path.join(stale_dir, "x.parquet"), "wb") as f:
         f.write(b"junk")
+    # age the WHOLE tree: vacuum keys on the newest entry within, so
+    # an old dir with a fresh task file (= a live long-running job)
+    # is spared
+    os.utime(os.path.join(stale_dir, "x.parquet"),
+             (time.time() - 7200,) * 2)
     os.utime(stale_dir, (time.time() - 7200,) * 2)
+    # a LIVE job's staging dir: old dir mtime, fresh file inside
+    live_dir = os.path.join(sink, ".dml-livejob")
+    os.makedirs(live_dir)
+    with open(os.path.join(live_dir, "part.parquet"), "wb") as f:
+        f.write(b"junk")
+    os.utime(live_dir, (time.time() - 7200,) * 2)
     rep = dml.vacuum(sink, older_than_s=3600)
     assert rep["removed"] == [".compact-deadbeef/",
                               "stream-deadbeef.parquet"]
     assert not os.path.exists(dead) and os.path.exists(fresh)
     assert not os.path.exists(stale_dir)
+    assert os.path.exists(live_dir)  # fresh inner file spared it
+    import shutil as _sh
+    _sh.rmtree(live_dir)
     # table reads unaffected
     assert spark.read.format("oroch").load(sink).count() == 21
 
@@ -498,3 +512,22 @@ def test_dml_requires_sink(spark, tmp_path):
     with pytest.raises(ValueError, match="not a streaming-sink"):
         dml.upsert(spark, path, spark.createDataFrame(
             [Row(k=1, v="b", score=2)], SCHEMA))
+
+
+def test_table_changes_below_compaction_horizon_raises(spark, sink):
+    """After compact_sink folds batches, a from_batch below the folded
+    top must raise — the base version is gone, and silently reporting
+    every key as an insert would be confidently wrong CDF."""
+    dml.upsert(spark, sink, spark.createDataFrame(
+        [Row(k=1, v="v1b", score=11)], SCHEMA))
+    ds.compact_sink(spark, sink, n_buckets=2)
+    with pytest.raises(ValueError, match="compaction horizon"):
+        dml.table_changes(spark, sink, from_batch=0)
+    # from the horizon forward still works; -1 (since beginning) too
+    top = max(dml._batch_ids(sink))
+    dml.upsert(spark, sink, spark.createDataFrame(
+        [Row(k=2, v="v2b", score=22)], SCHEMA))
+    feed = dml.table_changes(spark, sink, from_batch=top)
+    assert {r["k"] for r in feed.collect()} == {2}
+    allfeed = dml.table_changes(spark, sink, from_batch=-1)
+    assert allfeed.count() == 20  # every live key an insert

@@ -177,3 +177,68 @@ def test_read_latest_tombstone_delete(spark, tmp_path):
     assert (latest.filter(keep).first().text
             == df.filter(keep).first().text)
     df.unpersist()
+
+
+def test_read_latest_heterogeneous_base_keeps_tombstones(spark, tmp_path):
+    """A base assembled from blocks written BEFORE and AFTER the
+    tombstone column was born must decode per-block (pre-evolution
+    blocks null-fill = not deleted; post-evolution tombstones hold) —
+    never by probing one arbitrary block's schema for the whole base."""
+    from pyspark.sql import Row, functions as F
+
+    kinds = [("k", "i64"), ("v", "str"), ("dead", "bool")]
+    old = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b")], "k long, v string")
+    new = spark.createDataFrame(
+        [Row(k=3, v="c", dead=False), Row(k=4, v="d", dead=True)],
+        "k long, v string, dead boolean")
+    b_old = engine.encode_df(old, ["k"], n_buckets=1, block_rows=16)
+    b_new = engine.encode_df(new, ["k"], n_buckets=1, block_rows=16)
+    base = b_old.unionByName(b_new)
+    inc = engine.encode_df(
+        spark.createDataFrame([Row(k=5, v="e", dead=False)],
+                              "k long, v string, dead boolean"),
+        ["k"], n_buckets=1, block_rows=16).withColumn(
+            "batch_id", F.lit(0).cast("long"))
+    out = incremental.read_latest(spark, None, kinds, ["k"],
+                                  base_blocks=base,
+                                  tombstone_col="dead",
+                                  inc_blocks=inc)
+    got = {r["k"]: r["v"] for r in out.collect()}
+    # k=4's tombstone held (the bug: a probe hitting the OLD block
+    # False-filled it and resurrected the key); k=1/2 null -> alive
+    assert got == {1: "a", 2: "b", 3: "c", 5: "e"}
+
+
+def test_encode_stream_batch_dirs_are_idempotent(spark, tmp_path):
+    """Replayed micro-batches overwrite their own b<id>/ directory:
+    re-landing the same batch must not change the block count
+    (foreachBatch is at-least-once; the write must be idempotent)."""
+    import datetime
+
+    from pyspark.sql import Row, functions as F
+
+    out_dir = str(tmp_path / "t")
+    src_dir = str(tmp_path / "src")
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(conv_id=f"c{i}", turn_idx=j, role="user", text=f"t{j}",
+             tool="", ts=t0) for i in range(4) for j in range(8)],
+        transcripts.SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = (spark.readStream.schema(transcripts.SCHEMA)
+              .parquet(src_dir))
+    q = incremental.encode_stream(
+        stream, out_dir, ["conv_id", "turn_idx"], n_buckets=2,
+        block_rows=16, text_cols=["text"], trigger_once=True)
+    q.awaitTermination(120)
+    blocks = incremental.read_stream_blocks(spark, out_dir)
+    n1 = blocks.count()
+    bdir = os.path.join(out_dir, "blocks_stream", "b0")
+    assert os.path.isdir(bdir)
+    # simulate the replay: re-encode batch 0 into its own dir again
+    enc = engine.encode_df(df, ["conv_id", "turn_idx"], n_buckets=2,
+                           block_rows=16, text_cols=["text"])
+    (enc.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite").parquet(bdir))
+    assert incremental.read_stream_blocks(spark, out_dir).count() == n1

@@ -178,3 +178,36 @@ def test_streaming_exact_dedup_unbounded_variant(spark, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert spark.table("sdedup_u").count() == 7
+
+
+def test_conversation_progress_long_key_and_null_ts(spark, tmp_path):
+    """The stateful operator must work with a NON-string group column
+    (output schema built from the caller's key name + type) and must
+    ignore null event times instead of folding the int64-min NaT
+    sentinel into first_us."""
+    import datetime
+    import os
+
+    from pyspark.sql import Row
+
+    schema = "user_id long, ts timestamp, role string"
+    src = str(tmp_path / "src")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [Row(user_id=7, ts=t0, role="user"),
+            Row(user_id=7, ts=None, role="assistant"),
+            Row(user_id=8, ts=t0, role="user")]
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    prog = windowed.conversation_progress(stream, conv_col="user_id")
+    q = (prog.writeStream.format("memory")
+         .queryName("prog_longkey").outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = {r["user_id"]: r
+           for r in spark.sql("select * from prog_longkey").collect()}
+    assert out[7]["n_turns"] == 2 and out[7]["n_assistant"] == 1
+    assert out[7]["first_us"] == out[7]["last_us"]
+    assert out[7]["first_us"] > 0  # NOT the int64-min NaT sentinel
+    assert out[8]["n_turns"] == 1
