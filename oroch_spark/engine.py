@@ -269,6 +269,12 @@ def _encode_float_array(arr: "pa.ListArray", kind: str, nullable: bool,
     # vectorized gather of the logical elements (row slices of the
     # child buffer, skipping null rows) — no per-row Python
     n_elems = int(counts.sum())
+    if n_elems >= 2 ** 31:
+        # decode rebuilds int32 list offsets (the Arrow list layout);
+        # past 2^31 total elements they would wrap silently — fail at
+        # ENCODE time like the binary path does
+        raise ValueError("array block exceeds int32 offset range; "
+                         "lower block_rows for this table")
     within = (np.arange(n_elems)
               - np.repeat(np.cumsum(counts) - counts, counts))
     idx = np.repeat(off[:-1], counts) + within
@@ -1481,7 +1487,8 @@ def encode_df_zorder(df: DataFrame, zcols: list[str],
                      n_buckets: int = 32, block_rows: int = 65536,
                      text_cols: Optional[list[str]] = None,
                      bloom_cols: Optional[list[str]] = None,
-                     token_bloom_cols: Optional[list[str]] = None
+                     token_bloom_cols: Optional[list[str]] = None,
+                     sketch_cols: Optional[list[str]] = None
                      ) -> DataFrame:
     """:func:`encode_df` with Z-order clustering instead of key sorting.
 
@@ -1506,7 +1513,8 @@ def encode_df_zorder(df: DataFrame, zcols: list[str],
     z = zorder_key(df, zcols)
     fn = make_encode_fn(kinds, key_cols, block_rows, text_cols,
                         frozenset(bloom_cols or []),
-                        frozenset(token_bloom_cols or []))
+                        frozenset(token_bloom_cols or []),
+                        frozenset(sketch_cols or []))
     df = (df.repartitionByRange(n_buckets, z)
             .withColumn("_bucket", F.spark_partition_id())
             .sortWithinPartitions(z, *key_cols))
@@ -1735,12 +1743,15 @@ def encode_df_staged(df: DataFrame, key_cols: list[str], staging_dir: str,
         os.path.join(staging_dir, "_bucket=*", "part-*.parquet")))
     rows = [(f, int(re.search(r"_bucket=(\d+)", f).group(1)))
             for f in files]
-    fdf = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, max(len(rows), 1)),
-        "path string, bucket int")
+    # spark.range + the file list in the UDF closure — the same
+    # pattern as encode_parquet_maponly: no pickled-RDD scan (its
+    # second Python worker measured ~2x per-task overhead) and no
+    # O(#files) literal array in the driver plan
+    fdf = spark.range(0, len(rows), 1, numPartitions=max(len(rows), 1))
     fn = make_file_encode_fn(kinds, key_cols, block_rows, text_cols_f,
                              bloom_cols=frozenset(bloom_cols or []),
-                             sketch_cols=frozenset(sketch_cols or []))
+                             sketch_cols=frozenset(sketch_cols or []),
+                             file_map=rows)
     return fdf.mapInArrow(fn, schema=BLOCK_SCHEMA)
 
 
@@ -1840,7 +1851,42 @@ def _key_lit(schema_kinds: list[tuple[str, str]], key_col: str, v):
         return F.date_from_unix_date(F.lit(int(v)))
     if kind == K_BOOL:
         return F.lit(bool(v))
+    if kind.startswith("dec("):
+        import decimal as _dec
+        p, s = kind[4:-1].split(",")
+        # bounds arrive in the prune/stats domain = UNSCALED ints
+        return F.lit(_dec.Decimal(int(v)).scaleb(-int(s))) \
+                .cast(f"decimal({p},{s})")
     return F.lit(int(v))
+
+
+def _int_domain_expr(kind: str, col):
+    """Spark expression mapping a decoded logical column into its
+    int64 codec/stats domain — the inverse of :func:`_key_lit`:
+    epoch-micros for ts, unix-date days for date, exact unscaled ints
+    for dec(p,s) (p <= 18 keeps them in int64). A plain cast('long')
+    would disagree with the stored stats by 10^6 for timestamps
+    (seconds vs micros), truncate decimals to their scaled value, and
+    fail outright for dates."""
+    if kind == K_TS:
+        return F.unix_micros(col)
+    if kind == K_DATE:
+        return F.unix_date(col)
+    if kind.startswith("dec("):
+        s = int(kind[4:-1].split(",")[1])
+        # v * 10^s is integral for scale-s decimals, so the long cast
+        # is exact
+        return (col * F.lit(10 ** s)).cast("long")
+    return col.cast("long")
+
+
+_AGG_BAD_KINDS = (K_STR, K_F64, K_F32, K_BIN)
+
+
+def _check_agg_kind(op: str, kind: str) -> None:
+    if kind in _AGG_BAD_KINDS or kind.startswith(("arr(", "bin")):
+        raise ValueError(f"{op} aggregates integer-domain columns "
+                         f"only, not kind {kind!r}")
 
 
 def prune_blocks(blocks: DataFrame, value) -> DataFrame:
@@ -1987,7 +2033,9 @@ def range_agg(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
         F.col("n").alias("_c"), stats["s"].alias("_s"),
         stats["lo"].alias("_lo"), stats["hi"].alias("_hi"))
     partial = ov.filter(~inside)
-    v = F.col(agg_col).cast("long")
+    agg_kind = dict(schema_kinds)[agg_col]
+    _check_agg_kind("range_agg", agg_kind)
+    v = _int_domain_expr(agg_kind, F.col(agg_col))
     dec_cols = [key_col] if agg_col == key_col else [key_col, agg_col]
     boundary = (decode_df(partial, schema_kinds, columns=dec_cols)
                 .filter((F.col(key_col) >= _key_lit(schema_kinds, key_col, lo))
@@ -2643,13 +2691,15 @@ def make_lookup_fn(kinds: list[tuple[str, str]], key_col: str, value,
                     keys = _decode_column(kb, key_kind, n,
                                           pa.int64(),
                                           nullable=bool(key_d.get("z")))
-                    kv = keys.cast(pa.int64()) \
-                             .to_numpy(zero_copy_only=False)
-                    if len(values) == 1:
-                        idxs = np.flatnonzero(kv == values[0])
-                    else:
-                        idxs = np.flatnonzero(np.isin(
-                            kv, np.asarray(values, dtype=np.int64)))
+                    # Arrow-side equality: a NULLABLE int64 column
+                    # would to_numpy() into float64, whose 53-bit
+                    # mantissa collapses distinct keys above 2^53
+                    # into false equality matches
+                    eq = pc.is_in(keys, value_set=pa.array(
+                        [int(v) for v in values], type=pa.int64()))
+                    idxs = np.flatnonzero(
+                        pc.fill_null(eq, False)
+                        .to_numpy(zero_copy_only=False))
                 if not len(idxs):
                     continue
                 cols = []
@@ -2882,10 +2932,16 @@ def group_agg(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
     if isinstance(group_cols, str):
         group_cols = [group_cols]
     by_name = dict(schema_kinds)
-    if agg_col is not None and by_name[agg_col] in (K_STR, K_F64, K_F32,
-                                                    K_BIN):
-        raise ValueError(f"group_agg aggregates integer-domain columns "
-                         f"only, not kind {by_name[agg_col]!r}")
+    if agg_col is not None:
+        _check_agg_kind("group_agg", by_name[agg_col])
+        if by_name[agg_col].startswith("dec("):
+            # the kernel decodes agg values straight into int64; a
+            # decimal128 rebuild through that type silently interleaves
+            # low/high words — reject instead of aggregating garbage
+            # (range_agg/agg_where handle dec via the unscaled domain)
+            raise ValueError("group_agg does not aggregate dec(p,s) "
+                             "columns; use range_agg/agg_where (the "
+                             "unscaled int64 domain) instead")
     fields = [T.StructField(c, spark_type_of(by_name[c]))
               for c in group_cols]
     fields.append(T.StructField("n_rows", T.LongType()))
@@ -2930,7 +2986,9 @@ def agg_where(blocks: DataFrame, schema_kinds: list[tuple[str, str]],
     interior = ov.filter(inside).select(
         F.col("n").alias("_c"), stats["s"].alias("_s"),
         stats["lo"].alias("_lo"), stats["hi"].alias("_hi"))
-    v = F.col(agg_col).cast("long")
+    agg_kind = dict(schema_kinds)[agg_col]
+    _check_agg_kind("agg_where", agg_kind)
+    v = _int_domain_expr(agg_kind, F.col(agg_col))
     dec_cols = [col] if agg_col == col else [col, agg_col]
     boundary = (decode_df(ov.filter(~inside), schema_kinds,
                           columns=dec_cols)

@@ -423,3 +423,19 @@ def test_topk_by_prunes_on_correlated_column(spark):
         assert got == list(range(4095, 4085, -1))
     finally:
         blocks.unpersist()
+
+
+def test_group_agg_rejects_decimal_agg(spark):
+    """dec(p,s) through the int64 kernel would interleave decimal128
+    low/high words into garbage sums — must reject loudly."""
+    import decimal
+
+    from pyspark.sql import Row
+
+    src = spark.createDataFrame(
+        [Row(g="a", amount=decimal.Decimal("1.50"))],
+        "g string, amount decimal(12,2)")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["g"], n_buckets=1, block_rows=8)
+    with pytest.raises(ValueError, match="dec"):
+        engine.group_agg(blocks, kinds, "g", "amount")

@@ -120,3 +120,23 @@ def test_lookup_in_long_list_coarse_prune(spark, tmp_path):
     got = engine.lookup_in(blocks, kinds, "event_id", probes).count()
     exp = src.filter(F.col("event_id").isin(probes)).count()
     assert got == exp > 0
+
+
+def test_lookup_nullable_huge_int64_keys_exact(spark):
+    """A NULLABLE int64 key decodes arrow-side for equality: a numpy
+    float64 round-trip would collapse 2^60 and 2^60+1 into the same
+    value and match both (53-bit mantissa)."""
+    from pyspark.sql import Row
+
+    a, b = 2 ** 60, 2 ** 60 + 1
+    rows = [Row(k=a, v="a"), Row(k=b, v="b"), Row(k=None, v="n"),
+            Row(k=7, v="c")]
+    src = spark.createDataFrame(rows, "k long, v string")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["k"], n_buckets=1, block_rows=8)
+    got = engine.lookup(blocks, kinds, "k", a).collect()
+    assert len(got) == 1 and got[0]["v"] == "a"
+    got = engine.lookup(blocks, kinds, "k", b).collect()
+    assert len(got) == 1 and got[0]["v"] == "b"
+    got = engine.lookup_in(blocks, kinds, "k", [a, b]).collect()
+    assert sorted(r["v"] for r in got) == ["a", "b"]

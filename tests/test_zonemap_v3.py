@@ -461,3 +461,61 @@ def test_long_string_keys_capped_and_lookupable(spark):
     # a probe that shares the truncated prefix but matches nothing
     miss = base + "99999" * 2000 + "X"
     assert engine.lookup(blocks, kinds, "k", miss).count() == 0
+
+
+def test_range_agg_timestamp_agg_col_micros_domain(spark):
+    """Interior blocks contribute ts stats in epoch-MICROS; boundary
+    blocks must convert through the same domain (a bare cast('long')
+    yields SECONDS — off by 10^6 and silently mixed into the result)."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["event_id"], n_buckets=1,
+                              block_rows=128).cache()
+    got = engine.range_agg(blocks, kinds, "event_id", 100, 900,
+                           "ts").first()
+    # the raw parquet holds ntz; the table kind system folds ntz into
+    # K_TS (session-tz), so the oracle mirrors that cast
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    exp = src.filter((F.col("event_id") >= 100)
+                     & (F.col("event_id") <= 900)).agg(
+        F.count("*").alias("c"), F.sum(us).alias("s"),
+        F.min(us).alias("lo"), F.max(us).alias("hi")).first()
+    assert (got.n_rows, got.sum_v, got.min_v, got.max_v) \
+        == (exp.c, exp.s, exp.lo, exp.hi)
+    # the interior path must be exercised, else the test proves nothing
+    ov = engine.prune_blocks_range(blocks, 100, 900)
+    assert ov.filter(engine._contained_cond(ov, 100, 900)).count() > 0
+    blocks.unpersist()
+
+
+def test_scan_where_decimal_unscaled_domain(spark):
+    """dec(p,s) predicates: bounds arrive in the UNSCALED int64 domain
+    (like micros for ts, days for date); both the stats prune and the
+    exact row filter must resolve in that one domain."""
+    import decimal
+
+    from pyspark.sql import Row
+
+    rows = [Row(k=i, price=decimal.Decimal(f"{10 + i}.25"))
+            for i in range(50)]
+    src = spark.createDataFrame(rows, "k long, price decimal(10,2)")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["k"], n_buckets=1, block_rows=8)
+    # price in [12.25, 19.25] -> unscaled [1225, 1925] -> k in 2..9
+    got = engine.scan_where(blocks, kinds, "price", 1225, 1925,
+                            columns=["k", "price"])
+    ks = sorted(r["k"] for r in got.collect())
+    assert ks == list(range(2, 10))
+    assert all(decimal.Decimal("12.25") <= r["price"]
+               <= decimal.Decimal("19.25") for r in got.collect())
+
+
+def test_agg_where_rejects_float_agg_col(spark):
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df(src, ["event_id"], n_buckets=1,
+                              block_rows=128)
+    with pytest.raises(ValueError, match="integer-domain"):
+        engine.agg_where(blocks, kinds, "user_id", 2, 8, "value")
+    with pytest.raises(ValueError, match="integer-domain"):
+        engine.range_agg(blocks, kinds, "event_id", 0, 10, "value")

@@ -206,3 +206,16 @@ def test_zorder_empty_and_three_cols(spark):
                                    n_buckets=2).count() == 0
     with pytest.raises(ValueError):
         engine.zorder_key(src, ["user_id"])
+
+
+def test_zorder_sketch_cols_passthrough(spark):
+    """encode_df_zorder accepts sketch_cols like encode_df — a
+    Z-ordered layout must still support the approx sketches."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    kinds = engine.column_kinds(src.schema)
+    blocks = engine.encode_df_zorder(
+        src, ["user_id", "value"], key_cols=["event_id"],
+        n_buckets=2, block_rows=256, sketch_cols=["user_id"])
+    est = engine.approx_distinct(blocks, "user_id").first()["approx_ndv"]
+    exact = src.select("user_id").distinct().count()
+    assert abs(est - exact) / exact <= 0.1
